@@ -76,7 +76,8 @@ def _pool(x, kind, window, stride, padding, pad_value):
 
 def max_pool2d(x, window, stride=None, padding=0):
     stride = window if stride is None else stride
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so XLA recognizes the max monoid and autodiff works
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return _pool(x, "max", window, stride, padding, neg)
 
 

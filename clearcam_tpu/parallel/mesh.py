@@ -1,0 +1,108 @@
+"""Device-mesh scaling for the NVR pipeline.
+
+The reference is single-accelerator (SURVEY.md §2.3); multi-chip scale-out is
+new in this framework and follows the GSPMD recipe: build a Mesh, annotate
+shardings with NamedSharding, and let XLA insert the collectives over ICI.
+
+Axes:
+  data   — camera streams / batch rows (pure data parallel: the NVR's natural
+           scaling dimension; detections are per-frame independent)
+  model  — tensor parallelism over output channels / hidden units for the big
+           towers (CLIP ViT-L, LLM) and for training steps
+
+`sharded_detect` shards the frame batch over `data` and replicates weights
+(detect is activation-dominated). `train_step` demonstrates the full dp x tp
+layout: batch over `data`, wide parameters split over `model`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, data: int | None = None):
+    """Build a (data, model) mesh over the first n devices."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    if data is None:
+        # favor data parallelism; model axis gets the largest power-of-2 <= 2
+        data = n if n % 2 else n // 2
+        model = n // data
+    else:
+        model = n // data
+    arr = np.asarray(devs).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+
+def replicate(mesh: Mesh, tree):
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_params_tp(mesh: Mesh, params: dict):
+    """Shard conv/linear output channels over `model` where divisible.
+
+    GSPMD then partitions every conv's filter dim and inserts all-gathers /
+    reduce-scatters as needed — no hand-written collectives.
+    """
+    m = mesh.shape["model"]
+    out = {}
+    for k, v in params.items():
+        if v.ndim >= 1 and v.shape[-1] % m == 0 and v.shape[-1] >= m * 8:
+            spec = P(*([None] * (v.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def sharded_detect_fn(mesh: Mesh, size: str = "t", res: int = 640, **kw):
+    """jit a detect step with batch sharded over `data`, output likewise."""
+    from ..models import yolov9
+
+    in_spec = NamedSharding(mesh, P("data"))
+    out_spec = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def step(params, frames):
+        out = yolov9.detect(params, frames, size=size, res=res, **kw)
+        return jax.lax.with_sharding_constraint(out, out_spec)
+
+    return step, in_spec
+
+
+# ---------------------------------------------------------------------------
+# training step (dp x tp) — used by the multichip dryrun and for fine-tuning
+# ---------------------------------------------------------------------------
+
+def make_train_step(size: str = "t", lr: float = 1e-3):
+    """A full optimizer step on the YOLOv9 head output.
+
+    Distillation-style objective: match a target raw head tensor (e.g. from a
+    teacher or recorded reference outputs). Params may carry any NamedSharding
+    (tp over `model`); the batch rides `data`. XLA derives the collectives
+    (psum for grads across data, all-gathers for tp) from the shardings.
+    """
+    from ..models import yolov9
+
+    opt = optax.sgd(lr)
+
+    def loss_fn(params, frames, targets):
+        raw = yolov9.forward_raw(params, frames, size)
+        return jnp.mean((raw - targets) ** 2)
+
+    @jax.jit
+    def train_step(params, opt_state, frames, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, frames, targets)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, opt
