@@ -1,0 +1,295 @@
+"""Camera ingest: ffmpeg HLS recording + raw frame pumps + VOD playback.
+
+Reference recipe (clearcam.py:300-421): two subprocesses per live camera —
+(a) RTSP -> HLS copy (2s .ts segments) for recording/playback, and
+(b) HLS -> rawvideo bgr24 pipe feeding inference; a daemon thread reads the
+pipe into a newest-frame-wins slot. VOD files play through cv2.VideoCapture.
+
+Re-design for the batched TPU pipeline: sources are pluggable (ffmpeg, cv2,
+synthetic for tests), each pump writes into a lock-free latest-frame slot with
+a monotonically increasing frame number, and the NVR loop snapshots all slots
+per tick to build the cross-stream detect batch. Restart-on-failure semantics
+match the reference (5 consecutive short reads -> respawn, clearcam.py:407-413).
+"""
+from __future__ import annotations
+
+import re
+import shutil
+import subprocess
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+VOD_SUFFIXES = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def find_ffmpeg() -> str | None:
+    """Locate ffmpeg (reference helpers.py:223-235)."""
+    p = shutil.which("ffmpeg")
+    if p:
+        return p
+    for cand in ("/opt/homebrew/bin/ffmpeg", "/usr/local/bin/ffmpeg", "/usr/bin/ffmpeg"):
+        if Path(cand).exists():
+            return cand
+    return None
+
+
+def probe_resolution(src: str, timeout: float = 10.0) -> tuple[int, int]:
+    """(width, height) of a stream via ffmpeg banner parse; 1920x1080 fallback
+    (reference clearcam.py:145-163)."""
+    ff = find_ffmpeg()
+    if ff:
+        try:
+            r = subprocess.run([ff, "-i", src], stderr=subprocess.PIPE,
+                               stdout=subprocess.DEVNULL, text=True, timeout=timeout)
+            m = re.search(r"Video:.*?(\d{2,5})x(\d{2,5})", r.stderr)
+            if m:
+                return int(m.group(1)), int(m.group(2))
+        except Exception:
+            pass
+    try:
+        import cv2
+        cap = cv2.VideoCapture(src)
+        if cap.isOpened():
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            cap.release()
+            if w and h:
+                return w, h
+    except Exception:
+        pass
+    return 1920, 1080
+
+
+def hls_record_cmd(ff: str, src: str, out_dir: Path, vod: bool = False) -> list[str]:
+    """ffmpeg arguments for the copy->HLS recorder (clearcam.py:311-344)."""
+    if vod:
+        return [ff, "-i", src, "-c:v", "copy", "-an", "-f", "hls",
+                "-hls_time", "2", "-hls_list_size", "0",
+                "-hls_flags", "independent_segments",
+                "-hls_segment_type", "fmp4",
+                "-hls_fmp4_init_filename", "init.mp4",
+                "-hls_segment_filename", str(out_dir / "seg_%06d.m4s"),
+                str(out_dir / "stream.m3u8")]
+    rtsp = ["-rtsp_transport", "tcp"] if src.startswith("rtsp") else []
+    return [ff, *rtsp, "-fflags", "+genpts", "-avoid_negative_ts", "make_zero",
+            "-i", src, "-c", "copy", "-an", "-f", "hls",
+            "-hls_time", "2", "-hls_list_size", "0",
+            "-hls_playlist_type", "event",
+            "-hls_flags", "append_list+independent_segments+temp_file",
+            "-hls_segment_filename", str(out_dir / "stream_%06d.ts"),
+            str(out_dir / "stream.m3u8")]
+
+
+def raw_decode_cmd(ff: str, playlist: Path, width: int, height: int) -> list[str]:
+    """ffmpeg arguments for the HLS -> rawvideo bgr24 inference pipe
+    (clearcam.py:349-371)."""
+    return [ff, "-live_start_index", "-1", "-i", str(playlist),
+            "-loglevel", "quiet", "-an", "-f", "rawvideo",
+            "-pix_fmt", "bgr24", "-vf", f"scale={width}:{height}",
+            "-fflags", "+discardcorrupt+fastseek+flush_packets+nobuffer",
+            "-avioflags", "direct", "-flags", "low_delay",
+            "-max_delay", "100000", "-threads", "1", "-"]
+
+
+class FrameSlot:
+    """Newest-frame-wins shared slot between a pump thread and the NVR loop."""
+
+    def __init__(self):
+        self._frame: np.ndarray | None = None
+        self._num = -1
+        self._lock = threading.Lock()
+
+    def push(self, frame: np.ndarray):
+        with self._lock:
+            self._frame = frame
+            self._num += 1
+
+    def snapshot(self) -> tuple[np.ndarray | None, int]:
+        with self._lock:
+            return self._frame, self._num
+
+
+class FrameSource:
+    """Interface: read() -> frame | None (BGR uint8 HWC); close()."""
+
+    fps: float = 30.0
+
+    def read(self) -> np.ndarray | None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+    def progress(self) -> float | None:
+        """VOD completion 0..100 or None for live."""
+        return None
+
+
+class SyntheticSource(FrameSource):
+    """Deterministic moving-box frames for tests and benchmarks."""
+
+    def __init__(self, width=640, height=360, n_frames=None, seed=0, fps=100.0):
+        self.w, self.h = width, height
+        self.n = n_frames
+        self.t = 0
+        self.fps = fps
+        rng = np.random.default_rng(seed)
+        self.base = rng.integers(0, 60, (height, width, 3), np.uint8)
+
+    def read(self):
+        if self.n is not None and self.t >= self.n:
+            return None
+        f = self.base.copy()
+        # ping-pong motion so one object persists as a single long-lived track
+        span = max(1, self.w - 160)
+        p = (self.t * 6) % (2 * span)
+        x = 40 + (p if p < span else 2 * span - p)
+        y = self.h // 3
+        f[y:y + 120, x:x + 80] = (40, 180, 240)
+        self.t += 1
+        return f
+
+    def progress(self):
+        if self.n is None:
+            return None
+        return min(100.0, self.t / self.n * 100.0)
+
+
+class OpenCVSource(FrameSource):
+    """VOD playback through cv2.VideoCapture (reference clearcam.py:425-438)."""
+
+    def __init__(self, path: str, grab_skip: bool = True):
+        import cv2
+        self.cv2 = cv2
+        self.cap = cv2.VideoCapture(path)
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.grab_skip = grab_skip
+
+    def read(self):
+        if self.grab_skip:
+            self.cap.grab()  # skip alternate frames for max throughput
+        ok, frame = self.cap.read()
+        return frame if ok else None
+
+    def position_seconds(self) -> float:
+        return self.cap.get(self.cv2.CAP_PROP_POS_FRAMES) / max(self.fps, 1e-6)
+
+    def progress(self):
+        total = self.cap.get(self.cv2.CAP_PROP_FRAME_COUNT)
+        if not total:
+            return None
+        return self.cap.get(self.cv2.CAP_PROP_POS_FRAMES) / total * 100.0
+
+    def close(self):
+        self.cap.release()
+
+
+class FfmpegSource(FrameSource):
+    """Live source: HLS recorder + rawvideo pipe, with respawn on read
+    failures (reference clearcam.py:300-421)."""
+
+    MAX_FAILS = 5
+
+    def __init__(self, src: str, record_dir: Path, width: int | None = None,
+                 height: int | None = None, warmup_s: float = 15.0):
+        self.src = src
+        self.record_dir = Path(record_dir)
+        self.record_dir.mkdir(parents=True, exist_ok=True)
+        if width is None or height is None:
+            width, height = probe_resolution(src)
+        self.w, self.h = width, height
+        self.warmup_s = warmup_s
+        self.hls_proc: subprocess.Popen | None = None
+        self.pipe_proc: subprocess.Popen | None = None
+        self.fails = 0
+        self._spawn()
+
+    def _spawn(self):
+        ff = find_ffmpeg()
+        if ff is None:
+            raise RuntimeError("ffmpeg not found; live ingest requires ffmpeg")
+        self._kill(self.hls_proc)
+        self._kill(self.pipe_proc)
+        self.hls_proc = subprocess.Popen(
+            hls_record_cmd(ff, self.src, self.record_dir),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        time.sleep(self.warmup_s)  # let the playlist appear
+        self.pipe_proc = subprocess.Popen(
+            raw_decode_cmd(ff, self.record_dir / "stream.m3u8", self.w, self.h),
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+
+    @staticmethod
+    def _kill(proc):
+        if proc:
+            try:
+                proc.terminate()
+                proc.wait(timeout=5)
+            except Exception:
+                try:
+                    proc.kill()
+                except Exception:
+                    pass
+
+    def read(self):
+        size = self.w * self.h * 3
+        raw = self.pipe_proc.stdout.read(size)
+        if raw is None or len(raw) != size:
+            self.fails += 1
+            if self.fails > self.MAX_FAILS:
+                self._spawn()
+                self.fails = 0
+            return None
+        self.fails = 0
+        return np.frombuffer(raw, np.uint8).reshape(self.h, self.w, 3)
+
+    def close(self):
+        self._kill(self.hls_proc)
+        self._kill(self.pipe_proc)
+
+
+def open_source(src: str, record_dir: Path) -> FrameSource:
+    if src.startswith("synthetic://"):
+        # synthetic://WxH?n=120
+        m = re.match(r"synthetic://(\d+)x(\d+)(?:\?n=(\d+))?", src)
+        if m:
+            n = int(m.group(3)) if m.group(3) else None
+            return SyntheticSource(int(m.group(1)), int(m.group(2)), n)
+        return SyntheticSource()
+    if src.endswith(VOD_SUFFIXES):
+        return OpenCVSource(src)
+    return FfmpegSource(src, record_dir)
+
+
+class FramePump(threading.Thread):
+    """Daemon thread: source.read() -> slot, pacing to the source fps."""
+
+    def __init__(self, name: str, source: FrameSource, slot: FrameSlot):
+        super().__init__(daemon=True, name=f"pump-{name}")
+        self.source = source
+        self.slot = slot
+        self.running = True
+        self.ended = False
+
+    def run(self):
+        period = 1.0 / max(self.source.fps, 1.0)
+        while self.running:
+            try:
+                frame = self.source.read()
+            except Exception:
+                time.sleep(1.0)
+                continue
+            if frame is None:
+                if self.source.progress() is not None:  # VOD finished
+                    self.ended = True
+                    return
+                time.sleep(0.5)
+                continue
+            self.slot.push(frame)
+            time.sleep(min(period, 0.01))
+
+    def stop(self):
+        self.running = False
+        self.source.close()

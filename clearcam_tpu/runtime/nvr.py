@@ -1,0 +1,574 @@
+"""NVR core runtime: cross-stream batched detection, tracking, alerts.
+
+Reference architecture (clearcam.py: VideoCapture + __main__): one Python main
+loop round-robins cameras, runs YOLO per camera per iteration, and a task
+queue serializes all other GPU work onto that loop.
+
+TPU-native re-design (SURVEY.md §2.3):
+  * per-camera pumps (ingest.FramePump) fill newest-frame-wins slots;
+  * each tick, ALL cameras with fresh frames are grouped by resolution bucket
+    and detected in ONE jitted batched program per bucket (letterbox+net+NMS
+    fused, models/yolov9.detect) — cross-stream batching instead of
+    round-robin;
+  * trackers / alert logic / crop saving stay host-side per camera;
+  * a DeviceExecutor drains queued CLIP/face/search work between ticks so the
+    chip is shared without blocking HTTP threads on the GIL.
+
+Behavioral parity (per camera): class whitelist {0,1,2,7}, tracklet_len>=1
+gate, min speed 2.5, crop save throttling (<=20 crops, >=1s apart, min 100px
+side), zone filtering with per-alert zone opt-out, alert windows + schedules,
+hourly preview.png, 5s settings/counters sync through the KV store, daily
+restart, VOD analysis progress (clearcam.py:165-628,1162-1176).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+from ..track.ocsort import OCSort
+from ..utils.annotate import draw_predictions
+from ..utils.labels import COCO_LABELS
+from .counters import RollingClassCounter
+from .ingest import FramePump, FrameSlot, OpenCVSource, open_source, VOD_SUFFIXES
+from .settings import GlobalSettings
+from .zones import box_outside_zone
+
+DEFAULT_CLASSES = {"0", "1", "2", "7"}  # person, bicycle, car, truck
+MIN_TRACK_SPEED = 2.5
+MIN_CROP_SIDE = 100
+MAX_CROPS_PER_TRACK = 20
+
+
+class DeviceExecutor:
+    """Single-consumer task queue: HTTP threads submit device work and block;
+    the NVR loop drains one task per tick (reference add_to_queue /
+    process_queue, clearcam.py:1214-1226)."""
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+
+    def submit(self, fn, *args):
+        result: queue.Queue = queue.Queue(maxsize=1)
+        self._q.put((fn, args, result))
+        out = result.get()
+        if isinstance(out, BaseException):
+            raise out
+        return out
+
+    def drain_one(self) -> bool:
+        try:
+            fn, args, result = self._q.get_nowait()
+        except queue.Empty:
+            return False
+        try:
+            result.put(fn(*args))
+        except BaseException as e:  # noqa: BLE001
+            result.put(e)
+        return True
+
+
+class BatchDetector:
+    """Shape-bucketed batched detection. One compiled program per
+    (batch, H, W) bucket; batch dims are padded to powers of two to bound the
+    number of XLA programs (replacing the reference's shape-keyed TinyJit
+    cache, helpers.py:214-221)."""
+
+    def __init__(self, size: str = "t", res: int = 960, params=None,
+                 compute_dtype=None):
+        import jax
+        import jax.numpy as jnp
+        import functools
+        from ..models import yolov9
+        self.size, self.res = size, res
+        self.params = params if params is not None else yolov9.init_params(size)
+        dtype = compute_dtype or jnp.float32
+        self._fn = jax.jit(functools.partial(
+            yolov9.detect, size=size, res=res, compute_dtype=dtype))
+        self._jnp = jnp
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def detect_many(self, frames: list[np.ndarray]) -> list[np.ndarray]:
+        """Frames may have mixed resolutions; same-shape frames share one
+        batched device call."""
+        out: list[np.ndarray | None] = [None] * len(frames)
+        groups: dict[tuple, list[int]] = {}
+        for i, f in enumerate(frames):
+            groups.setdefault(f.shape, []).append(i)
+        for shape, idxs in groups.items():
+            n = len(idxs)
+            b = self._bucket(n)
+            batch = np.zeros((b, *shape), np.uint8)
+            for j, i in enumerate(idxs):
+                batch[j] = frames[i]
+            preds = np.asarray(self._fn(self.params, self._jnp.asarray(batch)))
+            for j, i in enumerate(idxs):
+                out[i] = preds[j]
+        return out  # type: ignore[return-value]
+
+
+@dataclass
+class CamState:
+    name: str
+    src: str
+    slot: FrameSlot = field(default_factory=FrameSlot)
+    pump: FramePump | None = None
+    source: object = None
+    vod: bool = False
+    tracker: OCSort = None
+    counter: RollingClassCounter = None
+    alerts: dict = field(default_factory=dict)
+    settings: dict | None = None
+    last_frame_num: int = -1
+    last_frame: np.ndarray | None = None
+    prev_frame: np.ndarray | None = None
+    last_preds: np.ndarray = field(default_factory=lambda: np.zeros((0, 7)))
+    object_set: set = field(default_factory=set)
+    object_set_zone: set = field(default_factory=set)
+    pred_occs: dict = field(default_factory=dict)
+    start_time: float | None = None
+    warmup: int = 0
+    last_preview: float | None = None
+    last_sync: float = 0.0
+    last_live_check: float = 0.0
+    last_live_seg: float = 0.0
+    live_link: str | None = None
+    alerts_on: bool = True
+    fps: float = 0.0
+    _prev_t: float = field(default_factory=time.time)
+
+
+class NVR:
+    """Owns the cameras, the detector, and the KV-store sync loop."""
+
+    def __init__(self, db, base_dir: Path, settings: GlobalSettings | None = None,
+                 detector: BatchDetector | None = None, object_finder=None,
+                 qwen=None, notifier=None, uploader=None,
+                 classes: set | None = None, labels=None):
+        self.db = db
+        self.base_dir = Path(base_dir)
+        (self.base_dir / "cameras").mkdir(parents=True, exist_ok=True)
+        self.settings = settings or GlobalSettings()
+        self.detector = detector
+        self.object_finder = object_finder
+        self.qwen = qwen
+        self.qwen_prompt = ("What has been detected on my CCTV camera? "
+                            "Write in one short sentence")
+        self.notifier = notifier          # callable(userID, title, body)
+        self.uploader = uploader          # callable(**kw) -> export_and_upload
+        self.executor = DeviceExecutor()
+        self.cams: dict[str, CamState] = {}
+        self.classes = classes if classes is not None else set(DEFAULT_CLASSES)
+        self.labels = labels or COCO_LABELS
+        self.object_queue: list[Path] = []
+        self._last_cam_check = 0.0
+        self.running = True
+
+    # -- camera lifecycle ---------------------------------------------------
+
+    def cam_dir(self, name: str) -> Path:
+        return self.base_dir / "cameras" / name
+
+    def stream_day_dir(self, cam: CamState) -> Path:
+        day = "video" if cam.vod else datetime.now().strftime("%Y-%m-%d")
+        d = self.cam_dir(cam.name) / "streams" / day
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def init_cam(self, name: str, src: str):
+        cam = CamState(name=name, src=src, vod=str(src).endswith(VOD_SUFFIXES))
+        cam.tracker = OCSort(max_age=100)
+        cam.counter = RollingClassCounter(cam_name=name, window_seconds=float("inf"))
+        alerts = self.db.run_get("alerts", name)
+        if not alerts:
+            import uuid as _uuid
+            default = RollingClassCounter(window_seconds=None, max=1,
+                                          classes={0, 1, 2, 3, 5, 7}, cam_name=name)
+            aid = str(_uuid.uuid4())
+            self.db.run_put("alerts", name, default, id=aid)
+            alerts = {aid: default}
+        if not isinstance(alerts, dict) or isinstance(alerts, RollingClassCounter):
+            alerts = {"1": alerts}
+        cam.alerts = alerts
+        cam.start_time = time.time()
+        record_dir = self.stream_day_dir(cam)
+        cam.source = open_source(src, record_dir)
+        if not cam.vod:
+            cam.pump = FramePump(name, cam.source, cam.slot)
+            cam.pump.start()
+        self.cams[name] = cam
+
+    def remove_cam(self, name: str):
+        cam = self.cams.pop(name, None)
+        if cam and cam.pump:
+            cam.pump.stop()
+
+    def refresh_cams(self):
+        """Hot add / re-point from the links table (clearcam.py:255-268)."""
+        links = self.db.run_get("links", None)
+        for name, src in links.items():
+            if not isinstance(src, str):
+                continue
+            if name not in self.cams:
+                try:
+                    self.init_cam(name, src)
+                except Exception as e:  # noqa: BLE001
+                    print(f"init_cam {name} failed: {e}")
+            elif self.cams[name].src != src:
+                self.remove_cam(name)
+                self.init_cam(name, src)
+        for name in [n for n in self.cams if n not in links]:
+            self.remove_cam(name)
+
+    # -- per-tick pipeline ----------------------------------------------------
+
+    def tick(self):
+        now = time.time()
+        if now - self._last_cam_check >= 5:
+            self._last_cam_check = now
+            self.refresh_cams()
+
+        # gather fresh frames
+        todo: list[CamState] = []
+        frames: list[np.ndarray] = []
+        for cam in list(self.cams.values()):
+            frame, num = self._next_frame(cam)
+            if frame is None:
+                continue
+            if not self._should_infer(cam):
+                cam.last_preds = np.zeros((0, 7))
+                continue
+            cam.prev_frame = cam.last_frame
+            cam.last_frame = frame
+            cam.last_frame_num = num
+            todo.append(cam)
+            frames.append(frame)
+
+        # one batched device call per resolution bucket
+        if todo and self.detector is not None:
+            all_preds = self.detector.detect_many(frames)
+            for cam, preds in zip(todo, all_preds):
+                cam.last_preds = self._postprocess(cam, preds)
+                t = time.time()
+                cam.fps = 1.0 / max(t - cam._prev_t, 1e-6)
+                cam._prev_t = t
+
+        for cam in list(self.cams.values()):
+            try:
+                self._housekeeping(cam)
+            except Exception as e:  # noqa: BLE001
+                print(f"housekeeping error {cam.name}: {e}")
+
+        # shared-device queued work (search/embed requests from HTTP threads)
+        self.executor.drain_one()
+        self._drain_object_queue()
+
+    def _next_frame(self, cam: CamState):
+        if cam.vod:
+            frame = cam.source.read()
+            if frame is None:
+                prog = self.db.run_get("analysis_prog", cam.name)
+                if not (isinstance(prog, dict) and "Processing" in prog):
+                    self.db.run_put("analysis_prog", cam.name, {"Tracking": 100})
+                return None, -1
+            self.db.run_put("analysis_prog", cam.name,
+                            {"Tracking": cam.source.progress() or 0.0})
+            return frame, cam.last_frame_num + 1
+        frame, num = cam.slot.snapshot()
+        if frame is None or num == cam.last_frame_num:
+            return None, -1
+        return frame, num
+
+    def _should_infer(self, cam: CamState) -> bool:
+        """Skip inference when no alert schedule is active (clearcam.py:447)."""
+        if not cam.alerts:
+            return True
+        active = any(a.is_active(alerts_enabled=cam.alerts_on)
+                     for a in cam.alerts.values())
+        if not active:
+            return False
+        if self.settings.userID and not cam.alerts_on:
+            return False
+        return True
+
+    def _postprocess(self, cam: CamState, preds: np.ndarray) -> np.ndarray:
+        """Tracker + filters + counters (reference run_inference,
+        clearcam.py:580-623). Returns rows [x1,y1,x2,y2,score,cls,track_id]."""
+        thresh = 0.5
+        if cam.settings and cam.settings.get("threshold"):
+            thresh = cam.settings["threshold"]
+        tracks = cam.tracker.update(preds, thresh)
+        tracks = [t for t in tracks
+                  if self.classes is None or str(int(t.class_id)) in self.classes]
+        out = []
+        h, w = cam.last_frame.shape[:2]
+        now = time.time()
+        for t in tracks:
+            if t.tracklet_len < 1:
+                continue
+            # crop saving (throttled), regardless of speed
+            occ = cam.pred_occs.setdefault(t.track_id, [now])
+            if ((len(occ) < MAX_CROPS_PER_TRACK and now - occ[-1] > 1)
+                    or now - occ[-1] > 10):
+                occ.append(now)
+                self._save_object(cam, t)
+            if t.speed < MIN_TRACK_SPEED:
+                continue
+            outside = False
+            if cam.settings and cam.settings.get("coords"):
+                outside = box_outside_zone(
+                    t.tlbr, np.asarray(cam.settings["coords"]), (h, w),
+                    invert=bool(cam.settings.get("outside") or False))
+            if outside and not any(not a.zone for a in cam.alerts.values()):
+                continue
+            out.append([*t.tlbr, t.score, t.class_id, t.track_id])
+            new = int(t.track_id) not in cam.object_set
+            new_in_zone = (int(t.track_id) not in cam.object_set_zone
+                           and not outside)
+            if new:
+                cam.object_set.add(int(t.track_id))
+                cam.counter.add(int(t.class_id))
+            if new_in_zone:
+                cam.object_set_zone.add(int(t.track_id))
+            for alert in cam.alerts.values():
+                if alert.get_counts()[1]:
+                    continue
+                if (new and not alert.zone) or (new_in_zone and alert.zone):
+                    alert.add(int(t.class_id))
+        return np.array(out).reshape(-1, 7)
+
+    def _save_object(self, cam: CamState, t):
+        """Crop save with even-size expansion + min-side gate
+        (clearcam.py:373-399)."""
+        day = "video" if cam.vod else datetime.now().strftime("%Y-%m-%d")
+        obj_dir = self.cam_dir(cam.name) / "objects" / day
+        obj_dir.mkdir(parents=True, exist_ok=True)
+        (self.cam_dir(cam.name) / "faces" / day).mkdir(parents=True, exist_ok=True)
+        x1, y1, x2, y2 = map(int, t.tlbr)
+        cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
+        hw, hh = ((x2 - x1) // 2) * 2, ((y2 - y1) // 2) * 2
+        H, W = cam.last_frame.shape[:2]
+        x1n, x2n = max(0, cx - hw), min(W, cx + hw)
+        y1n, y2n = max(0, cy - hh), min(H, cy + hh)
+        if (y2n - y1n) < MIN_CROP_SIDE or (x2n - x1n) < MIN_CROP_SIDE:
+            return
+        ts = self._event_ts(cam)
+        path = obj_dir / f"{ts}_{int(t.track_id)}_{int(t.class_id)}.jpg"
+        crop = cam.last_frame[y1n:y2n, x1n:x2n]
+        try:
+            import cv2
+            cv2.imwrite(str(path), crop)
+        except Exception:
+            return
+        if self.settings.use_clip or self.settings.use_face:
+            self.object_queue.append(path)
+
+    def _event_ts(self, cam: CamState) -> float:
+        if cam.vod and isinstance(cam.source, OpenCVSource):
+            return round(cam.source.position_seconds() - 5, 1)
+        return round(time.time() - (cam.start_time or time.time()) - 5, 1)
+
+    # -- periodic housekeeping ------------------------------------------------
+
+    def _housekeeping(self, cam: CamState):
+        now = time.time()
+        cam.warmup += 1
+        if cam.warmup <= 10:
+            return
+        # hourly preview snapshot (clearcam.py:466-469)
+        if cam.last_frame is not None and (
+                cam.last_preview is None or now - cam.last_preview >= 3600):
+            cam.last_preview = now
+            try:
+                import cv2
+                cv2.imwrite(str(self.cam_dir(cam.name) / "preview.png"),
+                            cam.last_frame)
+            except Exception:
+                pass
+        self._fire_alerts(cam)
+        if now - cam.last_sync >= 5:
+            cam.last_sync = now
+            self._sync_kv(cam)
+        if now - cam.last_live_check >= 5:
+            cam.last_live_check = now
+            link = self.db.run_get("links", cam.name)
+            if isinstance(link, list):
+                link = link[0]
+            if isinstance(link, str) and link != cam.src:
+                self.remove_cam(cam.name)
+                self.init_cam(cam.name, link)
+                return
+            if self.settings.userID and not cam.vod:
+                threading.Thread(target=self._check_live_link, args=(cam,),
+                                 daemon=True).start()
+        if (self.settings.userID and not cam.vod and cam.live_link
+                and now - cam.last_live_seg >= 4):
+            cam.last_live_seg = now
+            from ..cloud import relay
+            threading.Thread(
+                target=relay.upload_live_segment,
+                args=(self.stream_day_dir(cam), cam.live_link, self.settings.key),
+                daemon=True).start()
+
+    def _check_live_link(self, cam: CamState):
+        from ..cloud import relay
+        link, alerts_on = relay.check_upload_link(cam.name, self.settings.userID)
+        cam.live_link = link
+        if alerts_on is not None:
+            cam.alerts_on = alerts_on
+
+    def _fire_alerts(self, cam: CamState):
+        """Window-max alert trigger: annotated snapshot, push notification,
+        optional Qwen summary, encrypted clip upload (clearcam.py:470-499)."""
+        now = time.time()
+        for alert in cam.alerts.values():
+            if alert.desc is not None:
+                continue  # description alerts fire from the CLIP embed path
+            if not alert.is_active(alerts_enabled=cam.alerts_on):
+                alert.reset_counts()
+                continue
+            window = alert._window()
+            if not alert.get_counts()[1]:
+                continue
+            if now - alert.last_det < window:
+                continue
+            day = "video" if cam.vod else datetime.now().strftime("%Y-%m-%d")
+            img_dir = self.cam_dir(cam.name) / "event_images" / day
+            img_dir.mkdir(parents=True, exist_ok=True)
+            ts = int(self._event_ts(cam))
+            annotated = draw_predictions(cam.last_frame.copy(), cam.last_preds,
+                                         self.labels)
+            fname = img_dir / (f"{ts}_notif.jpg" if alert.is_notif else f"{ts}.jpg")
+            if not cam.vod:
+                try:
+                    import cv2
+                    cv2.imwrite(str(fname), annotated,
+                                [cv2.IMWRITE_JPEG_QUALITY, 85])
+                except Exception:
+                    pass
+            plain = img_dir / f"{ts}.jpg"
+            if plain.exists() and (img_dir / f"{ts}_notif.jpg").exists():
+                plain.unlink()
+                fname = img_dir / f"{ts}_notif.jpg"
+            if self.settings.userID and not cam.vod and alert.is_notif:
+                self._notify_and_upload(cam, fname, ts)
+            alert.last_det = now
+
+    def _notify_and_upload(self, cam: CamState, thumbnail: Path, ts: float):
+        notify = self.notifier
+        if notify is None:
+            from ..cloud.relay import send_notif as notify  # noqa: N813
+        threading.Thread(target=notify,
+                         args=(self.settings.userID,
+                               f"Event Detected ({cam.name})", None),
+                         daemon=True).start()
+        if self.settings.use_qwen and self.qwen is not None:
+            try:
+                if cam.prev_frame is not None:
+                    self.qwen.generate(image=cam.prev_frame[..., ::-1], reset=True)
+                text = self.qwen.generate(prompt=self.qwen_prompt,
+                                          image=cam.last_frame[..., ::-1],
+                                          reset=cam.prev_frame is None)
+                threading.Thread(target=notify,
+                                 args=(self.settings.userID,
+                                       f"AI Summary ({cam.name}):", text),
+                                 daemon=True).start()
+            except Exception as e:  # noqa: BLE001
+                print(f"qwen summary failed: {e}")
+        upload = self.uploader
+        if upload is None:
+            from ..cloud.relay import export_and_upload as upload  # noqa: N813
+        threading.Thread(target=upload, kwargs=dict(
+            cam_name=cam.name, thumbnail=thumbnail, userID=self.settings.userID,
+            key=self.settings.key, base_dir=self.base_dir, start=ts, wait=True),
+            daemon=True).start()
+
+    def _sync_kv(self, cam: CamState):
+        """5-second KV sync: counters out, alert edits in (clearcam.py:509-536)."""
+        counters = self.db.run_get("counters", cam.name)
+        if counters not in (None, {}) and getattr(counters, "reset", False):
+            cam.counter.reset_counts()
+            cam.counter.reset = False
+        self.db.run_put("counters", cam.name, cam.counter)
+
+        alerts = self.db.run_get("alerts", cam.name)
+        if not isinstance(alerts, dict) or isinstance(alerts, RollingClassCounter):
+            alerts = {"1": alerts} if alerts else {}
+        for aid, a in alerts.items():
+            if a is None or not getattr(a, "new", False):
+                continue
+            a.new = False
+            self.db.run_put("alerts", cam.name, a, id=aid)
+            cam.alerts[aid] = a
+            if a.classes:
+                for c in a.classes:
+                    self.classes.add(str(c))
+        cam.alerts = {i: a for i, a in cam.alerts.items() if i in alerts}
+
+        new_settings = self.db.run_get("settings", cam.name)
+        if new_settings == {}:
+            new_settings = None
+        if (cam.settings is not None and new_settings != cam.settings and cam.vod):
+            self._reset_vod(cam)
+            if isinstance(new_settings, dict) and "reset" in new_settings:
+                new_settings = {k: v for k, v in new_settings.items() if k != "reset"}
+        cam.settings = new_settings
+
+    def _reset_vod(self, cam: CamState):
+        """Settings changed on a VOD camera: re-analyze from scratch
+        (clearcam.py:574-578)."""
+        import shutil
+        cam.source.close()
+        cam.source = OpenCVSource(cam.src)
+        cam.tracker = OCSort(max_age=100)
+        for sub in ("objects", "faces", "event_images"):
+            shutil.rmtree(self.cam_dir(cam.name) / sub, ignore_errors=True)
+
+    # -- CLIP/face embedding of saved crops ------------------------------------
+
+    def _drain_object_queue(self):
+        if not self.object_queue or self.object_finder is None:
+            return
+        path = self.object_queue[0]
+        try:
+            import cv2
+            img = cv2.imread(str(path))
+            if img is not None:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                self.object_finder.ingest_crop(path, img, nvr=self)
+        except Exception as e:  # noqa: BLE001
+            print(f"object queue error {path}: {e}")
+        del self.object_queue[0]
+
+    # -- loop -------------------------------------------------------------------
+
+    def run(self, max_ticks: int | None = None, tick_sleep: float = 0.0):
+        links = self.db.run_get("links", None)
+        for name, src in links.items():
+            if isinstance(src, str):
+                try:
+                    self.init_cam(name, src)
+                except Exception as e:  # noqa: BLE001
+                    print(f"init_cam {name} failed: {e}")
+        n = 0
+        while self.running and (max_ticks is None or n < max_ticks):
+            self.tick()
+            n += 1
+            if tick_sleep:
+                time.sleep(tick_sleep)
+
+    def stop(self):
+        self.running = False
+        for name in list(self.cams):
+            self.remove_cam(name)

@@ -1,0 +1,104 @@
+"""NVR loop integration: synthetic camera -> batched detect -> track ->
+counters/crops/events, KV sync, executor. Uses a deterministic color-keyed
+fake detector so the test runs in milliseconds without model compiles."""
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from clearcam_tpu.runtime.nvr import NVR, BatchDetector, DeviceExecutor
+from clearcam_tpu.runtime.settings import GlobalSettings
+from clearcam_tpu.utils.db import KVStore
+
+
+class ColorKeyDetector:
+    """Finds the synthetic source's (40,180,240) box by color threshold and
+    emits one class-0 detection per frame. detect_many-compatible."""
+
+    def detect_many(self, frames):
+        out = []
+        for f in frames:
+            mask = (np.abs(f.astype(int) - np.array([40, 180, 240])).sum(-1) < 30)
+            ys, xs = np.where(mask)
+            if len(xs) == 0:
+                out.append(np.zeros((0, 6)))
+                continue
+            out.append(np.array(
+                [[xs.min(), ys.min(), xs.max() + 1, ys.max() + 1, 0.9, 0.0]],
+                np.float64))
+        return out
+
+
+@pytest.fixture
+def nvr(tmp_path):
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "cam1", "synthetic://640x360")
+    n = NVR(db, tmp_path / "data", GlobalSettings(), detector=ColorKeyDetector())
+    yield n
+    n.stop()
+
+
+def test_end_to_end_counts_and_events(nvr):
+    nvr.run(max_ticks=80, tick_sleep=0.02)
+    cam = nvr.cams["cam1"]
+    # the moving box was tracked and counted as a new class-0 object
+    counts, _ = cam.counter.get_counts()
+    assert counts.get(0, 0) >= 1
+    # counters synced to the KV store for /get_counts
+    stored = nvr.db.run_get("counters", "cam1")
+    assert stored and stored.get_counts()[0].get(0, 0) >= 1
+    # crops saved with <ts>_<track>_<class>.jpg naming
+    crops = list((nvr.base_dir / "cameras" / "cam1" / "objects").glob("*/*.jpg"))
+    assert crops, "no object crops saved"
+    name = crops[0].stem.split("_")
+    assert len(name) == 3 and name[2] == "0"
+    # alert fired -> event image written
+    events = list((nvr.base_dir / "cameras" / "cam1" / "event_images").glob("*/*.jpg"))
+    assert events, "no event image written"
+
+
+def test_executor_roundtrip_and_errors():
+    ex = DeviceExecutor()
+    import threading
+    results = []
+    t = threading.Thread(target=lambda: results.append(ex.submit(lambda a: a + 1, 41)))
+    t.start()
+    while not ex.drain_one():
+        time.sleep(0.001)
+    t.join()
+    assert results == [42]
+
+    t = threading.Thread(target=lambda: results.append(
+        pytest.raises(ValueError, ex.submit, _raise)))
+    t.start()
+    while not ex.drain_one():
+        time.sleep(0.001)
+    t.join()
+
+
+def _raise():
+    raise ValueError("boom")
+
+
+def test_camera_hot_add_and_remove(tmp_path):
+    db = KVStore(tmp_path / "kv.db")
+    n = NVR(db, tmp_path / "data", GlobalSettings(), detector=ColorKeyDetector())
+    n.run(max_ticks=1)
+    assert n.cams == {}
+    db.run_put("links", "late_cam", "synthetic://320x240")
+    n._last_cam_check = 0  # force refresh
+    n.tick()
+    assert "late_cam" in n.cams
+    db.run_delete("links", "late_cam")
+    n._last_cam_check = 0
+    n.tick()
+    assert "late_cam" not in n.cams
+    n.stop()
+
+
+def test_batch_detector_bucketing():
+    assert BatchDetector._bucket(1) == 1
+    assert BatchDetector._bucket(3) == 4
+    assert BatchDetector._bucket(8) == 8
+    assert BatchDetector._bucket(9) == 16
