@@ -1,0 +1,160 @@
+"""NVR server entry point: `python -m clearcam_tpu [--port 8080] [--data DIR]`.
+
+Equivalent of the reference's `python3 clearcam.py` (clearcam.py:1418-1475):
+loads persisted settings, builds the detector (and CLIP/face/Qwen when
+enabled), starts the HTTP API + web UI on :8080, the storage manager, the
+daily-restart scheduler, and runs the NVR loop forever.
+"""
+from __future__ import annotations
+
+import argparse
+import socket
+import threading
+import time
+from datetime import datetime
+from pathlib import Path
+
+
+def lan_ip() -> str:
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        s.connect(("8.8.8.8", 80))
+        return s.getsockname()[0]
+    except Exception:
+        return "127.0.0.1"
+    finally:
+        s.close()
+
+
+def daily_restart(nvr, at=(0, 0)):
+    """Re-open every stream at midnight so recordings roll into a new day
+    folder (reference schedule_daily_restart, clearcam.py:1162-1176)."""
+    while True:
+        now = datetime.now()
+        target = now.replace(hour=at[0], minute=at[1], second=0, microsecond=0)
+        delta = (target - now).total_seconds()
+        if delta <= 0:
+            delta += 24 * 3600
+        time.sleep(delta)
+        for name in list(nvr.cams):
+            cam = nvr.cams[name]
+            src = cam.src
+            nvr.remove_cam(name)
+            try:
+                nvr.init_cam(name, src)
+            except Exception as e:  # noqa: BLE001
+                print(f"daily restart {name}: {e}")
+
+
+def build_detector(settings, weights_dir: Path):
+    """YOLOv9 with published weights when present, random otherwise."""
+    from .runtime.nvr import BatchDetector
+    from .models import yolov9
+    import jax.numpy as jnp
+    path = weights_dir / f"yolov9-{settings.model_size}.safetensors"
+    params = None
+    if path.exists():
+        from .io import safetensors as st
+        params = yolov9.convert_state_dict(st.load(path))
+        print(f"loaded {path}")
+    else:
+        print(f"weights not found at {path} — using random init (detections "
+              "will be meaningless; drop the published safetensors there)")
+    return BatchDetector(settings.model_size, int(settings.model_res),
+                         params=params, compute_dtype=jnp.bfloat16)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--data", type=Path, default=Path("data"))
+    ap.add_argument("--weights", type=Path, default=Path("weights"))
+    ap.add_argument("--cam_name", default="my_camera")
+    ap.add_argument("--no-detector", action="store_true",
+                    help="run the server without a TPU detector (UI/API only)")
+    args = ap.parse_args(argv)
+
+    from .utils.db import KVStore
+    from .runtime.settings import GlobalSettings
+    from .runtime.nvr import NVR
+    from .runtime.storage import StorageManager
+    from .server.http import AppContext, serve
+
+    db = KVStore(args.data / "cc_cache.db")
+    stored = db.run_get("global_settings", "all")
+    settings = stored if isinstance(stored, GlobalSettings) else GlobalSettings()
+    if not isinstance(stored, GlobalSettings):
+        db.run_put("global_settings", "all", settings)
+
+    detector = None if args.no_detector else build_detector(settings, args.weights)
+
+    object_finder = None
+    if settings.use_clip or settings.use_face:
+        try:
+            from .models.objects import ObjectFinder
+            object_finder = ObjectFinder(base_dir=args.data / "cameras",
+                                         weights_dir=args.weights)
+            if settings.use_clip:
+                object_finder.init_clip()
+            if settings.use_face:
+                object_finder.init_face()
+        except Exception as e:  # noqa: BLE001
+            print(f"object finder unavailable: {e}")
+
+    qwen = None
+    if settings.use_qwen and settings.key:
+        try:
+            from .models.qwen3vl import Qwen3VL
+            qwen = Qwen3VL(size=f"{settings.qwen_size}B", res=(544, 960),
+                           weights_dir=args.weights)
+            print("prewarming Qwen")
+            qwen.prewarm()
+            print("DONE")
+        except Exception as e:  # noqa: BLE001
+            print(f"qwen unavailable: {e}")
+
+    nvr = NVR(db, args.data, settings, detector=detector,
+              object_finder=object_finder, qwen=qwen)
+    storage = StorageManager(args.data / "cameras")
+    nvr.storage = storage
+
+    def offload_detect(img_rgb):
+        """Serve the iOS /yolo + /diff offload protocol with the NVR's model."""
+        if detector is None:
+            import numpy as np
+            return np.zeros((0, 6), np.float32)
+        return detector.detect_many([img_rgb[..., ::-1]])[0]  # expects BGR
+
+    def on_settings_change(new):
+        nonlocal detector
+        nvr.settings = new
+        if object_finder is not None:
+            (object_finder.init_clip if new.use_clip else object_finder.turn_off_clip)()
+            (object_finder.init_face if new.use_face else object_finder.turn_off_face)()
+        if detector is not None and (new.model_size != detector.size
+                                     or int(new.model_res) != detector.res):
+            detector = build_detector(new, args.weights)
+            nvr.detector = detector
+
+    ctx = AppContext(db, args.data, nvr=nvr, object_finder=object_finder,
+                     settings=settings, offload_detect=offload_detect,
+                     on_settings_change=on_settings_change)
+    storage.max_gb = ctx.max_gb
+    storage.start()
+    server = serve(ctx, port=args.port)
+    if server:
+        print(f"Serving at http://{lan_ip()}:{args.port}")
+    threading.Thread(target=daily_restart, args=(nvr,), daemon=True).start()
+    try:
+        nvr.run()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        nvr.stop()
+        storage.stop()
+        if server:
+            server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

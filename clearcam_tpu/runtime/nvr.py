@@ -52,8 +52,11 @@ class DeviceExecutor:
 
     def __init__(self):
         self._q: queue.Queue = queue.Queue()
+        self.loop_running = False   # set by NVR.run; inline execution otherwise
 
     def submit(self, fn, *args):
+        if not self.loop_running:
+            return fn(*args)
         result: queue.Queue = queue.Queue(maxsize=1)
         self._q.put((fn, args, result))
         out = result.get()
@@ -562,11 +565,15 @@ class NVR:
                 except Exception as e:  # noqa: BLE001
                     print(f"init_cam {name} failed: {e}")
         n = 0
-        while self.running and (max_ticks is None or n < max_ticks):
-            self.tick()
-            n += 1
-            if tick_sleep:
-                time.sleep(tick_sleep)
+        self.executor.loop_running = True
+        try:
+            while self.running and (max_ticks is None or n < max_ticks):
+                self.tick()
+                n += 1
+                if tick_sleep:
+                    time.sleep(tick_sleep)
+        finally:
+            self.executor.loop_running = False
 
     def stop(self):
         self.running = False

@@ -1,0 +1,578 @@
+"""HTTP API + web UI server (:8080).
+
+Endpoint-for-endpoint mirror of the reference public surface
+(clearcam.py:680-1156) — the browsers and the iOS/Android apps are the
+clients, so routes, params and response shapes must match:
+
+GET  /set_max_storage /get_global_settings /get_max_storage /list_cameras
+     /list_days /add_camera /edit_settings /edit_alert /get_settings
+     /get_alerts /delete_camera /get_counts /reset_counts
+     /                      -> mainview.html
+     /?cam=<name>           -> cameraview.html (templated)
+     /<cam>/streams/...     -> HLS playlists/segments/images (VOD rewrite)
+POST /edit_settings (global, secret-preserving)  /analyse-footage (chunked
+     upload)  /event_thumbs (gallery + CLIP text/image/similar/face search)
+
+New (reference only has the iOS client side, Yolo.m:269-302,363-403):
+POST /yolo  — raw RGB frame bytes -> float32 [x1,y1,x2,y2,conf,cls]*N
+POST /diff  — sparse (int32 idx, u8 val) patches vs the per-session frame,
+              session affinity via x-session-id.
+
+Design: a plain routing table on a ThreadingHTTPServer; all device work is
+forwarded to the NVR's DeviceExecutor so HTTP threads never touch the TPU.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import re
+import shutil
+import threading
+import uuid
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, unquote, urlparse
+
+import numpy as np
+
+from ..runtime.counters import RollingClassCounter
+from ..runtime.settings import GlobalSettings
+from ..utils.labels import COCO_LABELS
+
+SCORE_CUTOFF = 0.21  # search result floor (clearcam.py:689)
+WEB_DIR = Path(__file__).parent / "web"
+DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+class OffloadSessions:
+    """Per-session last-frame store for the /diff sparse protocol."""
+
+    def __init__(self, res: int = 640):
+        self.res = res
+        self.frames: dict[str, np.ndarray] = {}
+        self.lock = threading.Lock()
+
+    def full(self, sid: str, body: bytes) -> np.ndarray:
+        frame = np.frombuffer(body, np.uint8).copy()
+        with self.lock:
+            self.frames[sid] = frame
+        return frame
+
+    def patch(self, sid: str, body: bytes) -> np.ndarray | None:
+        with self.lock:
+            frame = self.frames.get(sid)
+            if frame is None:
+                return None
+            n = len(body) // 5
+            rec = np.frombuffer(body[: n * 5], np.uint8).reshape(n, 5)
+            idx = rec[:, :4].copy().view("<i4").reshape(-1)
+            frame[idx] = rec[:, 4]
+            return frame
+
+
+class AppContext:
+    """Shared state between the HTTP handler, the NVR loop and models."""
+
+    def __init__(self, db, base_dir: Path, nvr=None, object_finder=None,
+                 settings: GlobalSettings | None = None, max_gb: float = 256.0,
+                 labels=None, offload_detect=None, on_settings_change=None):
+        self.db = db
+        self.base_dir = Path(base_dir)
+        self.nvr = nvr
+        self.object_finder = object_finder
+        self.settings = settings or GlobalSettings()
+        self.labels = labels or COCO_LABELS
+        self.offload = OffloadSessions()
+        self.offload_detect = offload_detect  # callable(frame_hw3_rgb) -> rows
+        self.on_settings_change = on_settings_change
+        stored = db.run_get("max_storage", None)
+        if stored == {}:
+            db.run_put("max_storage", "all", max_gb)
+            stored = {"all": max_gb}
+        self.max_gb = stored["all"]
+
+    # device work goes through the NVR executor when it exists
+    def submit(self, fn, *args):
+        if self.nvr is not None:
+            return self.nvr.executor.submit(fn, *args)
+        return fn(*args)
+
+
+def event_img_info(stem: str) -> dict:
+    """Parse `<ts>_<object>_<class>` crop names (clearcam.py:1193)."""
+    parts = stem.split("_")
+    return {"ts": int(float(parts[0])),
+            "object_id": int(parts[1]) if len(parts) > 1 else None,
+            "class_id": int(parts[2]) if len(parts) > 2 else None}
+
+
+def make_handler(ctx: AppContext):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silenced like the reference (clearcam.py:684)
+            pass
+
+        # -- helpers -----------------------------------------------------
+        def _json(self, body, status=200):
+            data = json.dumps(body).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _html(self, text: str):
+            data = text.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _q(self, query, name, default=None):
+            return query.get(name, [default])[0]
+
+        def _cameras_dir(self) -> Path:
+            return ctx.base_dir / "cameras"
+
+        # -- GET -----------------------------------------------------------
+        def do_GET(self):  # noqa: N802
+            parsed = urlparse(unquote(self.path))
+            q = parse_qs(parsed.query)
+            cam = self._q(q, "cam")
+            route = getattr(self, "_get_" + parsed.path.strip("/").replace("-", "_"),
+                            None)
+            try:
+                if parsed.path == "/":
+                    return self._page(q, cam)
+                if route is not None:
+                    return route(q, cam)
+                if parsed.path == f"/{cam}":
+                    return self._page(q, cam)
+                return self._static(parsed.path)
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                try:
+                    self.send_error(500, str(e))
+                except Exception:
+                    pass
+
+        def _get_set_max_storage(self, q, cam):
+            ctx.max_gb = float(self._q(q, "max"))
+            ctx.db.run_put("max_storage", "all", ctx.max_gb)
+            if ctx.nvr is not None and getattr(ctx.nvr, "storage", None):
+                ctx.nvr.storage.max_gb = ctx.max_gb
+            self._json(None)
+
+        def _get_get_global_settings(self, q, cam):
+            self._json(ctx.settings.masked().to_dict())
+
+        def _get_get_max_storage(self, q, cam):
+            self._json({"max_gb": ctx.max_gb})
+
+        def _get_list_cameras(self, q, cam):
+            cams = ctx.db.run_get("links", None)
+            progs = ctx.db.run_get("analysis_prog", None)
+            self._json({name: progs.get(name) for name in cams})
+
+        def _get_list_days(self, q, cam):
+            days = set()
+            base = self._cameras_dir()
+            if base.exists():
+                for cam_dir in base.iterdir():
+                    streams = cam_dir / "streams"
+                    if streams.is_dir():
+                        days.update(d.name for d in streams.iterdir()
+                                    if d.is_dir() and DATE_RE.match(d.name))
+            self._json(sorted(days, reverse=True))
+
+        def _get_add_camera(self, q, cam):
+            name, src = self._q(q, "cam_name"), self._q(q, "src")
+            if not name or not src:
+                return self.send_error(400, "Missing cam_name or src")
+            ctx.db.run_put("links", name, src)
+            self.send_response(302)
+            self.send_header("Location", "/")
+            self.end_headers()
+
+        def _get_edit_settings(self, q, cam):
+            if not cam:
+                return self.send_error(400, "Missing cam or id")
+            zone = ctx.db.run_get("settings", cam) or {}
+            if not isinstance(zone, dict):
+                zone = {}
+            coords_json = self._q(q, "coords")
+            if coords_json is not None:
+                coords = json.loads(coords_json)
+                if isinstance(coords, list):
+                    if len(coords) >= 3:
+                        zone["coords"] = [[float(x), float(y)] for x, y in coords]
+                    else:
+                        zone.pop("coords", None)
+            for flag in ("is_notif", "outside"):
+                v = self._q(q, flag)
+                if v is not None:
+                    zone[flag] = str(v).lower() == "true"
+                else:
+                    zone[flag] = zone.get(flag)
+            thr = self._q(q, "threshold")
+            if thr is not None:
+                zone["threshold"] = float(thr)
+            ctx.db.run_put("settings", cam, zone)
+            url = q.get("url")
+            if url is not None:
+                ctx.db.run_put("links", cam, url[0])
+            self._json({"status": "ok"})
+
+        def _get_edit_alert(self, q, cam):
+            if not cam:
+                return self.send_error(400, "Missing cam or id")
+            alerts = ctx.db.run_get("alerts", cam)
+            if not isinstance(alerts, dict) or isinstance(alerts, RollingClassCounter):
+                alerts = {"1": alerts} if alerts else {}
+            alert_id = self._q(q, "id")
+            is_on, zone = self._q(q, "is_on"), self._q(q, "zone")
+            is_notif, desc = self._q(q, "is_notif"), self._q(q, "desc")
+            thr = self._q(q, "threshold")
+            if thr is not None:
+                thr = float(thr) / 100
+            alert = None
+            if alert_id is None:  # create
+                window = self._q(q, "window")
+                sched = json.loads(self._q(
+                    q, "sched", "[[0,86400],[0,86400],[0,86400],[0,86400],"
+                                "[0,86400],[0,86400],[0,86400]]"))
+                alert = RollingClassCounter(
+                    window_seconds=int(window) if window else None,
+                    max=int(self._q(q, "max")),
+                    classes=[int(c) for c in self._q(q, "class_ids").split(",")],
+                    sched=sched, cam_name=cam, desc=desc,
+                    threshold=thr if thr is not None else 0.28)
+                alert_id = str(uuid.uuid4())
+                alerts[alert_id] = alert
+            elif any(v is not None for v in (is_on, is_notif, zone)):
+                alert = alerts[alert_id]
+                if is_on is not None:
+                    alert.is_on = str(is_on).lower() == "true"
+                if is_notif is not None:
+                    alert.is_notif = str(is_notif).lower() == "true"
+                if zone is not None:
+                    alert.zone = str(zone).lower() == "true"
+                if desc is not None:
+                    alert.desc = desc
+                if thr is not None:
+                    alert.threshold = thr
+                alert.new = True
+            else:
+                del alerts[alert_id]
+            if alert is not None:
+                ctx.db.run_put("alerts", cam, alert, alert_id)
+            else:
+                ctx.db.run_delete("alerts", cam, alert_id)
+            # flag VOD re-analysis (clearcam.py:853-857)
+            settings = ctx.db.run_get("settings", cam) or {}
+            if not isinstance(settings, dict):
+                settings = {}
+            settings["reset"] = True
+            ctx.db.run_put("settings", cam, settings)
+            self._json({"status": "ok"})
+
+        def _get_get_settings(self, q, cam):
+            zone = ctx.db.run_get("settings", cam)
+            self._json(zone if zone else {})
+
+        def _get_get_alerts(self, q, cam):
+            if not cam:
+                return self.send_error(400, "Missing cam parameter")
+            alerts = ctx.db.run_get("alerts", cam)
+            if not isinstance(alerts, dict) or isinstance(alerts, RollingClassCounter):
+                alerts = {"1": alerts} if alerts else {}
+            out = []
+            for key, a in alerts.items():
+                out.append({
+                    "window": a.window, "max": a.max,
+                    "classes": list(a.classes) if a.classes else [],
+                    "id": str(key),
+                    "sched": a.sched or [[0, 86399], *[True] * 7],
+                    "is_on": a.is_on, "is_notif": a.is_notif, "zone": a.zone,
+                    "desc": a.desc, "threshold": a.threshold})
+            self._json(out)
+
+        def _get_delete_camera(self, q, cam):
+            name = self._q(q, "cam_name")
+            if not name:
+                return self.send_error(400, "Missing cam_name parameter")
+            shutil.rmtree(self._cameras_dir() / name, ignore_errors=True)
+            alerts = ctx.db.run_get("alerts", name)
+            if isinstance(alerts, dict):
+                for aid in alerts:
+                    ctx.db.run_delete("alerts", name, id=aid)
+            for table in ("links", "analysis_prog", "settings", "counters"):
+                ctx.db.run_delete(table, name)
+            self._json({"status": "deleted"})
+
+        def _get_get_counts(self, q, cam):
+            if not cam:
+                return self.send_error(400, "Missing cam parameter")
+            counter = ctx.db.run_get("counters", cam)
+            if counter:
+                self._json({ctx.labels[int(k)]: len(v)
+                            for k, v in counter.data.items()
+                            if int(k) < len(ctx.labels)})
+            else:
+                ctx.db.run_put("counters", cam, RollingClassCounter(cam_name=cam))
+                self._json([])
+
+        def _get_reset_counts(self, q, cam):
+            if not cam:
+                return self.send_error(400, "Missing cam parameter")
+            counter = ctx.db.run_get("counters", cam)
+            if counter:
+                counter.reset_counts()
+            ctx.db.run_put("counters", cam, counter)
+            self._json({})
+
+        def _page(self, q, cam):
+            if not cam:
+                return self._html((WEB_DIR / "mainview.html").read_text())
+            # per-camera page (served at /?cam=<name>, clearcam.py:968-988)
+            selected_dir = self._q(q, "folder", datetime.now().strftime("%Y-%m-%d"))
+            start = self._q(q, "start")
+            try:
+                start = max(float(start), 0) if start is not None else None
+            except ValueError:
+                start = None
+            html = (WEB_DIR / "cameraview.html").read_text()
+            for k, v in {
+                "{selected_dir}": selected_dir,
+                "{class_labels}": json.dumps(ctx.labels),
+                "{start_time}": str(start) if start is not None else "null",
+                "{cam_name}": cam,
+            }.items():
+                html = html.replace(k, v)
+            self._html(html)
+
+        def _static(self, path: str):
+            rel = path.lstrip("/")
+            if rel.startswith("cameras/"):
+                rel = rel[len("cameras/"):]
+            # VOD path rewrite: any day folder maps to "video" (clearcam.py:994-999)
+            try:
+                cam_name = rel.split("/")[0]
+                is_vod = (self._cameras_dir() / cam_name / "streams" / "video").is_dir()
+                if is_vod and "preview.png" not in rel:
+                    head, fname = rel.rsplit("/", 2)[0], rel.rsplit("/", 1)[1]
+                    rel = f"{head}/video/{fname}"
+            except Exception:
+                pass
+            fp = self._cameras_dir() / rel
+            if not fp.exists() or not fp.is_file():
+                return self.send_error(404)
+            ctype = {"m3u8": "application/vnd.apple.mpegurl",
+                     ".ts": "video/MP2T", ".m4s": "video/iso.segment",
+                     ".mp4": "video/mp4", ".png": "image/png",
+                     ".jpg": "image/jpeg"}.get(fp.suffix, "application/octet-stream")
+            if fp.suffix == ".m3u8":
+                ctype = "application/vnd.apple.mpegurl"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(fp.stat().st_size))
+            if fp.suffix == ".m3u8":
+                self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            with open(fp, "rb") as f:
+                shutil.copyfileobj(f, self.wfile)
+
+        # -- POST ------------------------------------------------------------
+        def do_POST(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            try:
+                if parsed.path == "/edit_settings":
+                    return self._post_edit_settings()
+                if parsed.path == "/analyse-footage":
+                    return self._post_analyse_footage(parse_qs(parsed.query))
+                if parsed.path == "/event_thumbs":
+                    return self._post_event_thumbs()
+                if parsed.path in ("/yolo", "/diff"):
+                    return self._post_offload(parsed.path == "/diff")
+                self.send_error(404)
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                try:
+                    self.send_error(500, str(e))
+                except Exception:
+                    pass
+
+        def _body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(length)
+
+        def _post_edit_settings(self):
+            data = json.loads(self._body().decode())
+            new = GlobalSettings.from_dict(data, current=ctx.settings)
+            ctx.submit(ctx.db.run_put, "global_settings", "all", new)
+            if ctx.on_settings_change is not None:
+                ctx.submit(ctx.on_settings_change, new)
+            ctx.settings = new
+            if ctx.nvr is not None:
+                ctx.nvr.settings = new
+            self._json([])
+
+        def _post_analyse_footage(self, q):
+            filename = self._q(q, "filename")
+            chunk = int(self._q(q, "chunk", 0))
+            total = int(self._q(q, "total", 1))
+            if not filename:
+                return self.send_error(400, "Missing filename")
+            filename = Path(filename).name
+            upload_dir = self._cameras_dir()
+            upload_dir.mkdir(parents=True, exist_ok=True)
+            body = self._body()
+            if not body:
+                return self.send_error(411, "Content-Length required")
+            temp = upload_dir / f"{filename}.part"
+            with open(temp, "ab") as f:
+                f.write(body)
+            if chunk == total - 1:
+                temp.rename(upload_dir / filename)
+            self._json([])
+
+        def _post_event_thumbs(self):
+            try:
+                data = json.loads(self._body())
+            except json.JSONDecodeError:
+                return self.send_error(400, "Invalid JSON")
+            cam = data.get("cam")
+            folder = data.get("folder")
+            name_contains = data.get("name_contains")
+            image_text = data.get("image_text")
+            similar_img = data.get("similar_img")
+            is_face = data.get("is_face") or False
+            start = data.get("start")
+            count = data.get("count")
+            if is_face and not ctx.settings.use_face:
+                return self._json({"images": [], "count": 0})
+            if start is None:
+                start, count = 0, 100
+            uploaded = data.get("uploaded_image")
+            if uploaded:
+                if "," in uploaded:
+                    uploaded = uploaded.split(",")[1]
+                uploaded = base64.b64decode(uploaded)
+
+            finder = ctx.object_finder
+            use_clip = ctx.settings.use_clip and finder is not None
+            if (image_text or uploaded or similar_img) and (use_clip or (is_face and finder)):
+                ctx.submit(finder.load_all_embeddings, is_face)
+                if uploaded or similar_img:
+                    results = ctx.submit(finder.search_image,
+                                         uploaded or similar_img,
+                                         start + count, cam, folder, is_face)
+                else:
+                    results = ctx.submit(finder.search_text, image_text,
+                                         start + count, cam, folder)
+                return self._send_results(results, start, count)
+
+            # plain listing of event images, newest first
+            base = self._cameras_dir()
+            cam_dirs = [base / cam] if cam else \
+                [d for d in base.iterdir() if d.is_dir()] if base.exists() else []
+            folders = [folder] if folder else sorted({
+                sub.name for c in cam_dirs if (c / "streams").is_dir()
+                for sub in (c / "streams").iterdir() if sub.is_dir()})
+            folders = list(folders) + ["video"]
+            images = []
+            for c in cam_dirs:
+                for day in folders:
+                    p = c / "event_images" / day
+                    if not p.exists():
+                        continue
+                    for img in sorted(p.glob("*.jpg"),
+                                      key=lambda x: int(x.stem.split("_")[0]),
+                                      reverse=True):
+                        if name_contains and name_contains not in img.name:
+                            continue
+                        images.append({
+                            "url": f"/{img.relative_to(ctx.base_dir)}",
+                            "timestamp": int(img.stem.split("_")[0]),
+                            "filename": img.name, "cam_name": c.name,
+                            "folder": day})
+            images.sort(key=_image_sort_key, reverse=True)
+            images = images[start:start + count]
+            self._json({"images": images, "count": len(images)})
+
+        def _send_results(self, results, start, count):
+            """Search results -> gallery rows with the 0.21 score floor
+            (clearcam.py:686-710)."""
+            images = []
+            for path_str, score in results:
+                if score < SCORE_CUTOFF:
+                    break
+                p = Path(path_str).resolve()
+                parts = p.parts
+                try:
+                    cam = parts[parts.index("cameras") + 1]
+                    rel = p.relative_to((self._cameras_dir()).resolve())
+                except ValueError:
+                    continue
+                images.append({
+                    "url": f"/{rel}",
+                    "timestamp": event_img_info(p.stem)["ts"],
+                    "filename": p.name, "cam_name": cam,
+                    "folder": p.parts[-2], "score": score})
+            images = images[start:start + count]
+            self._json({"images": images, "count": len(images)})
+
+        def _post_offload(self, is_diff: bool):
+            """Remote-inference offload serving the iOS protocol."""
+            sid = self.headers.get("x-session-id") or str(uuid.uuid4())
+            body = self._body()
+            if is_diff:
+                frame = ctx.offload.patch(sid, body)
+                if frame is None:
+                    # unknown session: client must resend a full frame
+                    self.send_response(409)
+                    self.send_header("x-session-id", sid)
+                    self.end_headers()
+                    return
+            else:
+                frame = ctx.offload.full(sid, body)
+            res = ctx.offload.res
+            img = frame.reshape(res, res, 3)
+            if ctx.offload_detect is not None:
+                rows = ctx.submit(ctx.offload_detect, img)
+            else:
+                rows = np.zeros((0, 6), np.float32)
+            data = np.asarray(rows, np.float32).tobytes()
+            self.send_response(200)
+            self.send_header("x-session-id", sid)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    return Handler
+
+
+def _image_sort_key(item):
+    try:
+        return (datetime.strptime(item["folder"], "%Y-%m-%d").timestamp()
+                + item["timestamp"])
+    except ValueError:
+        return -1
+
+
+def serve(ctx: AppContext, port: int = 8080, host: str = "0.0.0.0",
+          background: bool = True) -> ThreadingHTTPServer | None:
+    try:
+        server = ThreadingHTTPServer((host, port), make_handler(ctx))
+    except OSError as e:
+        print(f"Port in use, server not started ({e}).")
+        return None
+    if background:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    else:
+        server.serve_forever()
+    return server

@@ -1,0 +1,185 @@
+"""HTTP API surface tests: spin up the real server on an ephemeral port and
+drive the endpoints the web/mobile clients use (reference routes,
+clearcam.py:680-1156, plus the /yolo + /diff offload protocol)."""
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from clearcam_tpu.runtime.nvr import NVR
+from clearcam_tpu.runtime.settings import GlobalSettings
+from clearcam_tpu.server.http import AppContext, serve
+from clearcam_tpu.utils.db import KVStore
+
+
+class EchoDetector:
+    """Offload stub: one fixed detection regardless of frame."""
+
+    def detect_many(self, frames):
+        return [np.array([[1, 2, 3, 4, 0.9, 0.0]], np.float32) for _ in frames]
+
+
+@pytest.fixture
+def ctx(tmp_path):
+    db = KVStore(tmp_path / "kv.db")
+    nvr = NVR(db, tmp_path / "data", GlobalSettings(), detector=None)
+    det = EchoDetector()
+    c = AppContext(db, tmp_path / "data", nvr=nvr, settings=nvr.settings,
+                   offload_detect=lambda img: det.detect_many([img])[0])
+    return c
+
+
+@pytest.fixture
+def base(ctx):
+    server = serve(ctx, port=0)
+    yield f"http://127.0.0.1:{server.server_address[1]}", ctx
+    server.shutdown()
+
+
+def get(url, raw=False):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        body = r.read()
+        return body if raw else (json.loads(body) if body else None)
+
+
+def post(url, data, headers=None):
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers=headers or {})
+    return urllib.request.urlopen(req, timeout=10)
+
+
+def test_camera_crud_and_settings(base):
+    url, ctx = base
+    # add_camera redirects to /
+    req = urllib.request.Request(f"{url}/add_camera?cam_name=c1&src=synthetic://64x48")
+    with urllib.request.urlopen(req) as r:
+        assert r.url.endswith("/")
+    assert "c1" in get(f"{url}/list_cameras")
+    # per-camera settings: zone polygon + threshold
+    coords = json.dumps([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9]])
+    get(f"{url}/edit_settings?cam=c1&coords={urllib.parse.quote(coords)}"
+        f"&outside=false&threshold=0.4")
+    s = get(f"{url}/get_settings?cam=c1")
+    assert len(s["coords"]) == 3 and s["threshold"] == 0.4
+    # counts endpoints auto-create a counter
+    assert get(f"{url}/get_counts?cam=c1") == []
+    get(f"{url}/reset_counts?cam=c1")
+    # delete
+    get(f"{url}/delete_camera?cam_name=c1")
+    assert "c1" not in get(f"{url}/list_cameras")
+
+
+def test_alert_crud(base):
+    url, _ = base
+    get(f"{url}/edit_alert?cam=c1&max=2&class_ids=0,2&window=30")
+    alerts = get(f"{url}/get_alerts?cam=c1")
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["max"] == 2 and a["window"] == 30 and set(a["classes"]) == {0, 2}
+    # edit flags
+    get(f"{url}/edit_alert?cam=c1&id={a['id']}&is_on=false&zone=false")
+    a2 = get(f"{url}/get_alerts?cam=c1")[0]
+    assert a2["is_on"] is False and a2["zone"] is False
+    # CLIP-description alert
+    get(f"{url}/edit_alert?cam=c1&max=1&class_ids=0&desc=a%20red%20car&threshold=35")
+    descs = [x["desc"] for x in get(f"{url}/get_alerts?cam=c1")]
+    assert "a red car" in descs
+    thr = [x["threshold"] for x in get(f"{url}/get_alerts?cam=c1") if x["desc"]]
+    assert thr[0] == pytest.approx(0.35)
+    # delete (id with no flags)
+    get(f"{url}/edit_alert?cam=c1&id={a['id']}")
+    assert all(x["id"] != a["id"] for x in get(f"{url}/get_alerts?cam=c1"))
+
+
+def test_global_settings_secret_masking(base):
+    url, ctx = base
+    body = json.dumps({"use_clip": False, "use_face": False, "model_size": "t",
+                       "model_res": 640, "userID": "secret-user",
+                       "key": "secret-key", "use_qwen": False,
+                       "qwen_size": 2}).encode()
+    post(f"{url}/edit_settings", body)
+    s = get(f"{url}/get_global_settings")
+    assert s["userID"] is True and s["key"] is True      # masked
+    assert ctx.settings.userID == "secret-user"          # stored
+    # True keeps the stored secret
+    body = json.dumps({"userID": True, "key": True, "model_size": "s",
+                       "model_res": 640}).encode()
+    post(f"{url}/edit_settings", body)
+    assert ctx.settings.userID == "secret-user"
+    assert ctx.settings.model_size == "s"
+
+
+def test_max_storage(base):
+    url, _ = base
+    assert get(f"{url}/get_max_storage")["max_gb"] == 256
+    get(f"{url}/set_max_storage?max=64")
+    assert get(f"{url}/get_max_storage")["max_gb"] == 64
+
+
+def test_pages_and_static(base, tmp_path):
+    url, ctx = base
+    html = get(f"{url}/", raw=True).decode()
+    assert "<title>clearcam</title>" in html
+    cam_html = get(f"{url}/?cam=mycam&start=12", raw=True).decode()
+    assert "mycam" in cam_html and "12.0" in cam_html
+    # static file serving with content types
+    d = ctx.base_dir / "cameras" / "mycam" / "streams" / "2026-08-16"
+    d.mkdir(parents=True)
+    (d / "stream.m3u8").write_text("#EXTM3U\n")
+    body = get(f"{url}/mycam/streams/2026-08-16/stream.m3u8", raw=True)
+    assert body.startswith(b"#EXTM3U")
+    with pytest.raises(urllib.error.HTTPError):
+        get(f"{url}/mycam/streams/2026-08-16/missing.ts")
+    assert get(f"{url}/list_days") == ["2026-08-16"]
+
+
+def test_event_thumbs_listing(base):
+    url, ctx = base
+    d = ctx.base_dir / "cameras" / "camx" / "event_images" / "2026-08-16"
+    d.mkdir(parents=True)
+    import numpy as np, cv2
+    for ts in (10, 20):
+        cv2.imwrite(str(d / f"{ts}_notif.jpg"), np.zeros((8, 8, 3), np.uint8))
+    (ctx.base_dir / "cameras" / "camx" / "streams" / "2026-08-16").mkdir(parents=True)
+    resp = json.loads(post(f"{url}/event_thumbs",
+                           json.dumps({"cam": "camx"}).encode()).read())
+    assert resp["count"] == 2
+    assert resp["images"][0]["timestamp"] == 20  # newest first
+    # pagination
+    resp = json.loads(post(f"{url}/event_thumbs",
+                           json.dumps({"cam": "camx", "start": 1,
+                                       "count": 1}).encode()).read())
+    assert resp["count"] == 1 and resp["images"][0]["timestamp"] == 10
+
+
+def test_analyse_footage_chunked(base):
+    url, ctx = base
+    post(f"{url}/analyse-footage?filename=vid.mp4&chunk=0&total=2", b"aaaa")
+    assert not (ctx.base_dir / "cameras" / "vid.mp4").exists()
+    post(f"{url}/analyse-footage?filename=vid.mp4&chunk=1&total=2", b"bbbb")
+    assert (ctx.base_dir / "cameras" / "vid.mp4").read_bytes() == b"aaaabbbb"
+
+
+def test_offload_yolo_and_diff(base):
+    url, _ = base
+    frame = np.zeros(640 * 640 * 3, np.uint8)
+    r = post(f"{url}/yolo", frame.tobytes())
+    sid = r.headers["x-session-id"]
+    rows = np.frombuffer(r.read(), np.float32).reshape(-1, 6)
+    assert rows[0, 4] == pytest.approx(0.9)
+    # sparse diff against the stored session frame
+    patch = np.zeros(5, np.uint8)
+    patch[:4] = np.frombuffer(np.int32(7).tobytes(), np.uint8)
+    patch[4] = 255
+    r2 = post(f"{url}/diff", patch.tobytes(), {"x-session-id": sid})
+    rows2 = np.frombuffer(r2.read(), np.float32).reshape(-1, 6)
+    assert rows2.shape == rows.shape
+    # unknown session -> 409 (client falls back to full frame)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post(f"{url}/diff", patch.tobytes(), {"x-session-id": "nope"})
+    assert e.value.code == 409
+
+
+import urllib.parse  # noqa: E402  (used in test_camera_crud_and_settings)
+import urllib.error  # noqa: E402

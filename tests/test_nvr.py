@@ -60,6 +60,7 @@ def test_end_to_end_counts_and_events(nvr):
 
 def test_executor_roundtrip_and_errors():
     ex = DeviceExecutor()
+    ex.loop_running = True  # queue mode (inline mode used when no NVR loop)
     import threading
     results = []
     t = threading.Thread(target=lambda: results.append(ex.submit(lambda a: a + 1, 41)))
