@@ -1,0 +1,134 @@
+"""CLIP towers, BPE tokenizer, and the embedding index/search semantics."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clearcam_tpu.models import clip
+from clearcam_tpu.models.objects import (EmbeddingIndex, ObjectFinder,
+                                         append_day_cache, read_day_cache)
+from clearcam_tpu.utils.tokenizer import CLIPTokenizer, byte_encoder, split_words
+
+
+def small_params():
+    return clip.init_params(seed=0, img_blocks=2, txt_blocks=2)
+
+
+def test_image_tower_shapes_and_norm():
+    p = small_params()
+    x = jnp.zeros((2, 224, 224, 3), jnp.uint8)
+    emb = clip.encode_image(p, x)
+    assert emb.shape == (2, 768)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0,
+                               rtol=1e-3)
+
+
+def test_text_tower_eot_pooling():
+    p = small_params()
+    toks = np.zeros((2, 77), np.int32)
+    toks[0, 0], toks[0, 1], toks[0, 2] = 49406, 100, 49407
+    toks[1, 0], toks[1, 1] = 49406, 49407
+    emb = clip.encode_text(p, jnp.asarray(toks))
+    assert emb.shape == (2, 768)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0,
+                               rtol=1e-3)
+    # different tokens -> different embeddings
+    assert not np.allclose(np.asarray(emb[0]), np.asarray(emb[1]))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+def tiny_tokenizer():
+    # synthetic merge table: "he", "ll", "hell", "hello</w>" style merges
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("hell", "o</w>"),
+              ("w", "o"), ("r", "l"), ("wo", "rl"), ("worl", "d</w>")]
+    return CLIPTokenizer(merges=merges)
+
+
+def test_bpe_merging_and_roundtrip():
+    tok = tiny_tokenizer()
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+    # fully merged words produce single tokens
+    assert len(ids) == 2
+
+
+def test_split_words_pattern():
+    assert split_words("it's 42 ok-ish!") == ["it", "'s", "4", "2", "ok", "-", "ish", "!"]
+
+
+def test_encode_padded_layout():
+    tok = tiny_tokenizer()
+    ids = tok.encode_padded("hello")
+    assert len(ids) == 77
+    assert ids[0] == tok.sot_id and ids[2] == tok.eot_id and ids[3] == 0
+
+
+def test_byte_encoder_reversible():
+    be = byte_encoder()
+    assert len(set(be.values())) == 256
+
+
+# ---------------------------------------------------------------------------
+# embedding index / search
+# ---------------------------------------------------------------------------
+
+def _unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v)
+
+
+def test_index_search_filters_and_dedup(tmp_path):
+    idx = EmbeddingIndex()
+    e1, e2, e3 = _unit([1, 0, 0]), _unit([0.9, 0.1, 0]), _unit([0, 1, 0])
+    idx.rebuild({
+        "data/cameras/cam1/objects/2026-08-16/10_5_0.jpg": e1,   # track 5
+        "data/cameras/cam1/objects/2026-08-16/11_5_0.jpg": e2,   # track 5 (worse)
+        "data/cameras/cam2/objects/2026-08-16/12_7_0.jpg": e3,   # track 7
+    })
+    q = _unit([1, 0, 0])
+    res = idx.search(q, top_k=10)
+    # best-per-track dedup: only one hit for track 5, ordered by score
+    assert [r[0].split("/")[-1] for r in res] == ["10_5_0.jpg", "12_7_0.jpg"]
+    # camera filter
+    res = idx.search(q, top_k=10, cam="cam2")
+    assert len(res) == 1 and "cam2" in res[0][0]
+    # day filter admits "video"
+    res = idx.search(q, top_k=10, day="2026-01-01")
+    assert res == []
+
+
+def test_day_cache_roundtrip(tmp_path):
+    p = tmp_path / "embeddings.pkl"
+    append_day_cache(p, "a.jpg", np.ones(4))
+    append_day_cache(p, "b.jpg", np.zeros(4))
+    data = read_day_cache(p)
+    assert set(data) == {"a.jpg", "b.jpg"}
+
+
+def test_object_finder_ingest_and_search(tmp_path):
+    """End-to-end with a tiny random CLIP: ingest crops, reload from disk,
+    search by image finds the matching crop first."""
+    import cv2
+    base = tmp_path / "cameras"
+    finder = ObjectFinder(base_dir=base, weights_dir=tmp_path)
+    finder.init_clip(params=small_params())
+
+    day = base / "cam1" / "objects" / "2026-08-16"
+    day.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    img_a = rng.integers(0, 255, (160, 160, 3), np.uint8)
+    img_b = rng.integers(0, 255, (160, 160, 3), np.uint8)
+    for i, img in enumerate([img_a, img_b]):
+        path = day / f"{10 + i}_{i}_0.jpg"
+        cv2.imwrite(str(path), img[..., ::-1])
+        finder.ingest_crop(path, img)
+    n = finder.load_all_embeddings()
+    assert n == 2
+    # query with crop A's bytes -> A ranks first
+    ok, buf = cv2.imencode(".jpg", img_a[..., ::-1])
+    res = finder.search_image(buf.tobytes(), top_k=2)
+    assert res and res[0][0].endswith("10_0_0.jpg")
+    assert res[0][1] > res[1][1]
