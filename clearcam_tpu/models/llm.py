@@ -1,0 +1,645 @@
+"""GGUF-loading LLM runtime (dense / MoE / MLA / GatedDeltaNet-SSM blocks).
+
+Capability mirror of the reference decoder (utils/model.py): GQA attention
+with optional qk-norm and output gating, RoPE (half-split layout, with the
+interleaved->half-split repack for llama/MLA checkpoints at load), MoE FFN
+with optional shared expert + expert bias, DeepSeek-style MLA latent-KV
+attention, Qwen3.5 GatedDeltaNet linear-attention blocks, Gumbel-max
+sampling, chunked prefill, and token-prefix cache reuse.
+
+TPU-native re-design: the KV/SSM caches are an explicit state pytree threaded
+through pure jitted step functions (the reference mutates tinygrad buffers
+via UOp.store). Two compiled programs exist per model — a fixed-CHUNK prefill
+(ragged tail handled by masking + an explicit real-length scalar, replacing
+the reference's UOp.variable binding, model.py:397-417) and a T=1 decode step.
+All caches are static-shape [B, ..., max_context, ...]; attention masks are
+built from iota comparisons (no data-dependent shapes).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nn import functional as F
+
+CHUNK = 32
+
+
+@dataclass(frozen=True)
+class SSMConfig:
+    conv_kernel: int
+    state_size: int
+    group_count: int
+    time_step_rank: int
+    inner_size: int
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    num_blocks: int
+    dim: int
+    hidden_dim: int
+    n_heads: int
+    n_kv_heads: int
+    norm_eps: float
+    vocab_size: int
+    head_dim: int
+    rope_theta: float
+    rope_dim: int
+    v_head_dim: int
+    max_context: int = 2048
+    qk_norm: int = 0
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    norm_topk_prob: bool = False
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    shared_expert_dim: int = 0
+    full_attention_interval: int = 0
+    attn_output_gate: bool = False
+    ssm: SSMConfig | None = None
+    shared_expert_gate: bool = True
+    leading_dense_blocks: int = 0
+    dense_hidden_dim: int = 0
+    routed_scaling_factor: float = 1.0
+    qkv_bias: bool = False
+    expert_bias: bool = False
+
+    def block_kind(self, i: int) -> str:
+        if self.ssm and (i + 1) % max(self.full_attention_interval, 1) != 0:
+            return "ssm"
+        if self.kv_lora_rank > 0:
+            return "mla"
+        return "attn"
+
+    def block_cfg(self, i: int) -> "TransformerConfig":
+        if i < self.leading_dense_blocks:
+            return replace(self, num_experts=0, num_experts_per_tok=0,
+                           shared_expert_dim=0,
+                           hidden_dim=self.dense_hidden_dim or self.hidden_dim)
+        return self
+
+
+def precompute_freqs(dim: int, end: int, theta: float) -> np.ndarray:
+    """[end, dim] = concat(cos, sin) of position*inv_freq (model.py:8-12)."""
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+    ang = np.arange(end)[:, None] * inv[None, :]
+    return np.concatenate([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+
+
+def apply_rope(x, freqs):
+    """Half-split RoPE on [B,H,T,D]; freqs [T, D] (cos||sin)."""
+    d = x.shape[-1] // 2
+    cos = freqs[None, None, :, :d]
+    sin = freqs[None, None, :, d:]
+    x1, x2 = x[..., :d], x[..., d:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+def _ffn(p, pre, cfg: TransformerConfig, x):
+    """Dense or MoE feed-forward (model.py:100-121)."""
+    if cfg.num_experts > 0 and f"{pre}.ffn_gate_exps.weight" in p:
+        logits = F.linear(x, p[f"{pre}.ffn_gate_inp.weight"])
+        if cfg.expert_bias:
+            probs = jax.nn.sigmoid(logits)
+            _, sel = jax.lax.top_k(probs + p[f"{pre}.exp_probs_b.bias"],
+                                   cfg.num_experts_per_tok)
+            probs = jnp.take_along_axis(probs, sel, -1)
+            if cfg.norm_topk_prob:
+                probs = probs / probs.sum(-1, keepdims=True)
+        else:
+            vals, sel = jax.lax.top_k(logits, cfg.num_experts_per_tok)
+            probs = jax.nn.softmax(vals, -1) if cfg.norm_topk_prob else \
+                jnp.take_along_axis(jax.nn.softmax(logits, -1), sel, -1)
+        probs = probs * cfg.routed_scaling_factor
+        wg = p[f"{pre}.ffn_gate_exps.weight"][sel]      # [B,T,k,hid,dim]
+        wu = p[f"{pre}.ffn_up_exps.weight"][sel]
+        wd = p[f"{pre}.ffn_down_exps.weight"][sel]
+        h = x[..., None, :]                              # [B,T,1,dim]
+        gate = jnp.einsum("btd,btkhd->btkh", x, wg)
+        up = jnp.einsum("btd,btkhd->btkh", x, wu)
+        down = jnp.einsum("btkh,btkdh->btkd", F.silu(gate) * up, wd)
+        out = (down * probs[..., None]).sum(axis=2)
+        if f"{pre}.ffn_gate_shexp.weight" in p:
+            sh = F.linear(F.silu(F.linear(x, p[f"{pre}.ffn_gate_shexp.weight"]))
+                          * F.linear(x, p[f"{pre}.ffn_up_shexp.weight"]),
+                          p[f"{pre}.ffn_down_shexp.weight"])
+            if f"{pre}.ffn_gate_inp_shexp.weight" in p:
+                g = jax.nn.sigmoid((x * p[f"{pre}.ffn_gate_inp_shexp.weight"])
+                                   .sum(-1, keepdims=True))
+                sh = sh * g
+            out = out + sh
+        return out
+    gate = F.linear(x, p[f"{pre}.ffn_gate.weight"])
+    up = F.linear(x, p[f"{pre}.ffn_up.weight"])
+    return F.linear(F.silu(gate) * up, p[f"{pre}.ffn_down.weight"])
+
+
+def _attn_mask(start_pos, t, ctx):
+    """Causal lower-right mask [T, ctx]: token row r (at absolute position
+    start_pos+r) sees cache columns <= start_pos+r."""
+    rows = jnp.arange(t)[:, None]
+    cols = jnp.arange(ctx)[None, :]
+    return jnp.where(cols <= start_pos + rows, 0.0, -jnp.inf)[None, None]
+
+
+def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
+    """Standard GQA attention with cache (model.py:153-190)."""
+    b, t, _ = x.shape
+    hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    q = F.linear(x, p[f"{pre}.attn_q.weight"], p.get(f"{pre}.attn_q.bias"))
+    k = F.linear(x, p[f"{pre}.attn_k.weight"], p.get(f"{pre}.attn_k.bias"))
+    v = F.linear(x, p[f"{pre}.attn_v.weight"], p.get(f"{pre}.attn_v.bias"))
+    if cfg.qk_norm and cfg.qk_norm != hd:
+        q = F.rms_norm(q, p[f"{pre}.attn_q_norm.weight"], cfg.norm_eps)
+        k = F.rms_norm(k, p[f"{pre}.attn_k_norm.weight"], cfg.norm_eps)
+    gate = None
+    if cfg.attn_output_gate:
+        qg = q.reshape(b, t, nh, 2, hd)
+        q, gate = qg[:, :, :, 0], qg[:, :, :, 1].reshape(b, t, nh * hd)
+        q = q.reshape(b, t, nh * hd)
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    if cfg.qk_norm == hd:
+        q = F.rms_norm(q, p[f"{pre}.attn_q_norm.weight"], cfg.norm_eps)
+        k = F.rms_norm(k, p[f"{pre}.attn_k_norm.weight"], cfg.norm_eps)
+    fr = jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
+    q = jnp.concatenate([apply_rope(q[..., :cfg.rope_dim], fr),
+                         q[..., cfg.rope_dim:]], -1)
+    k = jnp.concatenate([apply_rope(k[..., :cfg.rope_dim], fr),
+                         k[..., cfg.rope_dim:]], -1)
+
+    ck = jax.lax.dynamic_update_slice(state["k"], k.astype(state["k"].dtype),
+                                      (0, 0, start_pos, 0))
+    cv = jax.lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype),
+                                      (0, 0, start_pos, 0))
+    new_state = {"k": ck, "v": cv}
+    rep = nh // nkv
+    kk = jnp.repeat(ck, rep, axis=1).astype(jnp.float32)
+    vv = jnp.repeat(cv, rep, axis=1).astype(jnp.float32)
+    mask = _attn_mask(start_pos, t, cfg.max_context)
+    out = F.mha(q.astype(jnp.float32), kk, vv, mask=mask)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
+    if gate is not None:
+        out = out * jax.nn.sigmoid(gate)
+    return F.linear(out, p[f"{pre}.attn_output.weight"]), new_state
+
+
+def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
+    """DeepSeek MLA latent-KV attention (model.py:192-238)."""
+    b, t, _ = x.shape
+    nope = cfg.head_dim - cfg.rope_dim
+    if cfg.q_lora_rank > 0:
+        qa = F.rms_norm(F.linear(x, p[f"{pre}.attn_q_a.weight"]),
+                        p[f"{pre}.attn_q_a_norm.weight"], cfg.norm_eps)
+        qp = F.linear(qa, p[f"{pre}.attn_q_b.weight"])
+    else:
+        qp = F.linear(x, p[f"{pre}.attn_q.weight"])
+    q = qp.reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    fr = jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
+    q_nope, q_rope = q[..., :nope], q[..., nope:]
+    # project q into the latent space: [H, lora, nope]
+    q_lat = jnp.einsum("bhtn,hln->bhtl", q_nope, p[f"{pre}.attn_k_b.weight"])
+    q = jnp.concatenate([q_lat, apply_rope(q_rope, fr)], -1)
+
+    kv_a = F.linear(x, p[f"{pre}.attn_kv_a_mqa.weight"])
+    c_kv = F.rms_norm(kv_a[..., :cfg.kv_lora_rank],
+                      p[f"{pre}.attn_kv_a_norm.weight"], cfg.norm_eps)
+    k_rope = apply_rope(kv_a[..., cfg.kv_lora_rank:]
+                        .reshape(b, t, 1, cfg.rope_dim).transpose(0, 2, 1, 3), fr)
+    k_new = jnp.concatenate([c_kv[:, None], k_rope], -1)       # [B,1,T,lora+rope]
+    ck = jax.lax.dynamic_update_slice(state["kv"],
+                                      k_new.astype(state["kv"].dtype),
+                                      (0, 0, start_pos, 0))
+    k = ck.astype(jnp.float32)
+    v = k[..., :cfg.kv_lora_rank]
+    mask = _attn_mask(start_pos, t, cfg.max_context)
+    scores = jnp.einsum("bhtd,bqsd->bhts", q.astype(jnp.float32), k) \
+        * (cfg.head_dim ** -0.5) + mask
+    probs = jax.nn.softmax(scores, -1)
+    ctx_lat = jnp.einsum("bhts,bqsl->bhtl", probs, v)
+    out = jnp.einsum("bhtl,hvl->bhtv", ctx_lat, p[f"{pre}.attn_v_b.weight"])
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, -1).astype(x.dtype)
+    return F.linear(out, p[f"{pre}.attn_output.weight"]), {"kv": ck}
+
+
+def _ssm_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
+    """GatedDeltaNet linear-attention step, T=1 (model.py:240-295)."""
+    ssm = cfg.ssm
+    b, t, _ = x.shape
+    nk, nv = ssm.group_count, ssm.time_step_rank
+    dk, dv = ssm.state_size, ssm.inner_size // nv
+    conv_ch = ssm.inner_size + 2 * nk * dk
+    q_dim = nk * dk
+
+    out_gate = F.linear(x, p[f"{pre}.attn_gate.weight"]).reshape(b, 1, nv, dv)
+    beta = jax.nn.sigmoid(F.linear(x, p[f"{pre}.ssm_beta.weight"])) \
+        .reshape(b, nv, 1, 1)
+    alpha_in = F.linear(x, p[f"{pre}.ssm_alpha.weight"]).astype(jnp.float32)
+    alpha = jnp.exp((jax.nn.softplus(alpha_in + p[f"{pre}.ssm_dt.bias"])
+                     * p[f"{pre}.ssm_a"]).reshape(b, nv, 1, 1))
+
+    qkv = F.linear(x, p[f"{pre}.attn_qkv.weight"])               # [B,1,conv_ch]
+    window = jnp.concatenate([state["conv"], qkv[:, 0][:, None]], 1) \
+        if False else jnp.concatenate([state["conv"], qkv.reshape(b, 1, conv_ch)], 1)
+    conv_out = F.silu((window * p[f"{pre}.ssm_conv1d.weight"].T[None]).sum(1))
+    q, k, v = (conv_out[:, :q_dim], conv_out[:, q_dim:2 * q_dim],
+               conv_out[:, 2 * q_dim:])
+
+    def _norm(u):
+        return u / jnp.sqrt((u ** 2).sum(-1, keepdims=True) + 1e-6)
+
+    q = jnp.tile(_norm(q.reshape(b, nk, dk)), (1, nv // nk, 1)) * dk ** -0.5
+    k = jnp.tile(_norm(k.reshape(b, nk, dk)), (1, nv // nk, 1))
+    v = v.reshape(b, nv, dv)
+    q, k, v = q[..., None], k[..., None], v[..., None]
+
+    rec = state["rec"].astype(jnp.float32) * alpha
+    rec = rec + ((v - rec @ k) * beta) @ k.transpose(0, 1, 3, 2)
+    core = (rec @ q)[..., 0].reshape(b, 1, nv, dv)
+    core = F.rms_norm(core, p[f"{pre}.ssm_norm.weight"], cfg.norm_eps)
+    out = F.linear((core * F.silu(out_gate)).reshape(b, 1, -1).astype(x.dtype),
+                   p[f"{pre}.ssm_out.weight"])
+    new_state = {"conv": window[:, 1:].astype(state["conv"].dtype),
+                 "rec": rec.astype(state["rec"].dtype)}
+    return out, new_state
+
+
+_BLOCK_FNS = {"attn": _attention_block, "mla": _mla_block, "ssm": _ssm_block}
+
+
+# ---------------------------------------------------------------------------
+# full model step
+# ---------------------------------------------------------------------------
+
+def init_state(cfg: TransformerConfig, batch: int = 1, dtype=jnp.float32) -> list:
+    state = []
+    for i in range(cfg.num_blocks):
+        kind = cfg.block_kind(i)
+        if kind == "attn":
+            shape = (batch, cfg.n_kv_heads, cfg.max_context, cfg.head_dim)
+            state.append({"k": jnp.zeros(shape, dtype),
+                          "v": jnp.zeros(shape, dtype)})
+        elif kind == "mla":
+            state.append({"kv": jnp.zeros(
+                (batch, 1, cfg.max_context, cfg.kv_lora_rank + cfg.rope_dim),
+                dtype)})
+        else:
+            ssm = cfg.ssm
+            conv_ch = ssm.inner_size + 2 * ssm.group_count * ssm.state_size
+            dv = ssm.inner_size // ssm.time_step_rank
+            state.append({
+                "conv": jnp.zeros((batch, ssm.conv_kernel - 1, conv_ch), dtype),
+                "rec": jnp.zeros((batch, ssm.time_step_rank, dv, dv), dtype)})
+    return state
+
+
+def reset_recurrent(cfg: TransformerConfig, state: list) -> list:
+    """Zero SSM states after a prefix-cache divergence (model.py:287-290)."""
+    out = []
+    for i, s in enumerate(state):
+        if cfg.block_kind(i) == "ssm":
+            out.append(jax.tree.map(jnp.zeros_like, s))
+        else:
+            out.append(s)
+    return out
+
+
+def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
+            start_pos, freqs, hidden_override=None, deepstack=None):
+    """Core stack: embeds -> blocks -> final hidden states [B,T,D].
+
+    hidden_override replaces the token embeddings (VLM image splice);
+    deepstack is an optional {block_idx: [B,T,D] residual} add-in
+    (qwen3vl.py:293-297).
+    """
+    if hidden_override is not None:
+        x = hidden_override
+    else:
+        x = F.embedding(p["token_embd.weight"], tokens).astype(jnp.float32)
+    new_state = []
+    for i in range(cfg.num_blocks):
+        bc = cfg.block_cfg(i)
+        pre = f"blk.{i}"
+        kind = cfg.block_kind(i)
+        h = F.rms_norm(x, p[f"{pre}.attn_norm.weight"], cfg.norm_eps)
+        attn_out, st = _BLOCK_FNS[kind](p, pre, bc, h, state[i], start_pos, freqs)
+        x = x + attn_out
+        x = x + _ffn(p, pre, bc, F.rms_norm(x, p[f"{pre}.ffn_norm.weight"],
+                                            cfg.norm_eps))
+        new_state.append(st)
+        if deepstack is not None and i in deepstack:
+            x = x + deepstack[i]
+    return x, new_state
+
+
+def logits_at(p: dict, cfg: TransformerConfig, hidden, index):
+    h = jnp.take(hidden, index, axis=1)                  # [B, D] (traced index ok)
+    h = F.rms_norm(h, p["output_norm.weight"], cfg.norm_eps)
+    return F.linear(h, p["output.weight"])
+
+
+def sample_gumbel(logits, temperature, key):
+    """Gumbel-max sampling == softmax(logits/temp) draw (model.py:318-319)."""
+    g = jax.random.gumbel(key, logits.shape, jnp.float32)
+    return jnp.argmax(logits / jnp.maximum(temperature, 1e-12) + g, -1)
+
+
+def make_step_fns(p: dict, cfg: TransformerConfig):
+    """-> (prefill_fn, decode_fn), both jitted.
+
+    prefill(state, tokens[B,CHUNK], start_pos, n_real, temp, key)
+        -> (token [B], new_state)   (logits taken at n_real-1)
+    decode(state, token[B,1], start_pos, temp, key) -> (token [B], new_state)
+    """
+    freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                         cfg.rope_theta))
+
+    @jax.jit
+    def prefill(state, tokens, start_pos, n_real, temperature, key):
+        hidden, state = forward(p, cfg, state, tokens, start_pos, freqs)
+        logits = logits_at(p, cfg, hidden, n_real - 1)
+        return sample_gumbel(logits, temperature, key), state
+
+    @jax.jit
+    def decode(state, token, start_pos, temperature, key):
+        hidden, state = forward(p, cfg, state, token, start_pos, freqs)
+        logits = logits_at(p, cfg, hidden, jnp.int32(0))
+        return sample_gumbel(logits, temperature, key), state
+
+    return prefill, decode
+
+
+# ---------------------------------------------------------------------------
+# config from GGUF metadata
+# ---------------------------------------------------------------------------
+
+def config_from_gguf(kv: dict, state_dict: dict,
+                     max_context: int | None = None) -> TransformerConfig:
+    """llama.cpp metadata conventions -> TransformerConfig
+    (reference from_gguf, model.py:324-384)."""
+    arch = kv["general.architecture"]
+    mc = kv.get(f"{arch}.context_length", 4096)
+    max_context = min(max_context, mc) if max_context else mc
+    n_heads = kv[f"{arch}.attention.head_count"]
+    n_kv = kv[f"{arch}.attention.head_count_kv"]
+    if isinstance(n_kv, list):
+        n_kv = max(n_kv)
+    kv_lora = kv.get(f"{arch}.attention.kv_lora_rank", 0)
+    head_dim = kv.get(f"{arch}.attention.key_length_mla",
+                      kv.get(f"{arch}.attention.key_length",
+                             kv[f"{arch}.embedding_length"] // n_heads))
+    rope_dim = kv.get(f"{arch}.rope.dimension_count", head_dim)
+    ssm = None
+    if arch in ("qwen35", "qwen35moe"):
+        ssm = SSMConfig(**{k: kv[f"{arch}.ssm.{k}"] for k in
+                           ("conv_kernel", "state_size", "group_count",
+                            "time_step_rank", "inner_size")})
+    lead = kv.get(f"{arch}.leading_dense_block_count", 0)
+    return TransformerConfig(
+        num_blocks=kv[f"{arch}.block_count"] - kv.get(f"{arch}.nextn_predict_layers", 0),
+        dim=kv[f"{arch}.embedding_length"],
+        hidden_dim=kv.get(f"{arch}.expert_feed_forward_length",
+                          kv.get(f"{arch}.feed_forward_length", 0)),
+        n_heads=n_heads, n_kv_heads=n_kv,
+        norm_eps=kv[f"{arch}.attention.layer_norm_rms_epsilon"],
+        vocab_size=len(kv["tokenizer.ggml.tokens"]),
+        head_dim=head_dim, rope_theta=kv[f"{arch}.rope.freq_base"],
+        rope_dim=rope_dim,
+        v_head_dim=kv.get(f"{arch}.attention.value_length_mla",
+                          kv.get(f"{arch}.attention.value_length", head_dim)),
+        max_context=max_context,
+        qk_norm=(head_dim if ssm else
+                 (state_dict["blk.0.attn_q_norm.weight"].shape[0]
+                  if "blk.0.attn_q_norm.weight" in state_dict else 0)),
+        num_experts=kv.get(f"{arch}.expert_count", 0),
+        num_experts_per_tok=kv.get(f"{arch}.expert_used_count", 0),
+        norm_topk_prob=kv.get(f"{arch}.expert_weights_norm",
+                              arch in ("qwen3moe", "qwen35moe")),
+        kv_lora_rank=kv_lora, q_lora_rank=kv.get(f"{arch}.attention.q_lora_rank", 0),
+        leading_dense_blocks=lead,
+        shared_expert_dim=kv.get(
+            f"{arch}.expert_shared_feed_forward_length",
+            kv.get(f"{arch}.expert_shared_count", 0)
+            * kv.get(f"{arch}.expert_feed_forward_length", 0)),
+        shared_expert_gate=f"blk.{lead}.ffn_gate_inp_shexp.weight" in state_dict,
+        dense_hidden_dim=kv.get(f"{arch}.feed_forward_length", 0) if lead else 0,
+        routed_scaling_factor=kv.get(f"{arch}.expert_weights_scale", 1.0),
+        attn_output_gate=arch in ("qwen35", "qwen35moe"),
+        ssm=ssm, full_attention_interval=kv.get(f"{arch}.full_attention_interval", 0),
+        qkv_bias="blk.0.attn_q.bias" in state_dict,
+        expert_bias=f"blk.{lead}.exp_probs_b.bias" in state_dict)
+
+
+def convert_state_dict(sd: dict[str, np.ndarray], kv: dict,
+                       dtype=jnp.bfloat16) -> dict:
+    """GGUF tensors -> device params. Handles the llama/MLA RoPE repack
+    (interleaved -> half-split, model.py:350-360) and renames
+    post_attention_norm -> ffn_norm for qwen35/glm4moe."""
+    arch = kv["general.architecture"]
+    n_heads = kv[f"{arch}.attention.head_count"]
+    n_kv = kv[f"{arch}.attention.head_count_kv"]
+    kv_lora = kv.get(f"{arch}.attention.kv_lora_rank", 0)
+    head_dim = kv.get(f"{arch}.attention.key_length_mla",
+                      kv.get(f"{arch}.attention.key_length",
+                             kv[f"{arch}.embedding_length"] // n_heads))
+    rope_dim = kv.get(f"{arch}.rope.dimension_count", head_dim)
+
+    sd = dict(sd)
+    if arch in ("qwen35", "qwen35moe", "glm4moe"):
+        sd = {k.replace("post_attention_norm", "ffn_norm"): v for k, v in sd.items()}
+    if "output.weight" not in sd and "token_embd.weight" in sd:
+        sd["output.weight"] = sd["token_embd.weight"]
+
+    def half_split(w, n):
+        w = w.reshape(n, w.shape[0] // n, -1)
+        prefix = head_dim - rope_dim
+        head = w[:, :prefix]
+        tail = w[:, prefix:].reshape(n, -1, 2, w.shape[-1]) \
+            .transpose(0, 2, 1, 3).reshape(n, -1, w.shape[-1])
+        return np.concatenate([head, tail], 1).reshape(-1, w.shape[-1])
+
+    out = {}
+    for name, arr in sd.items():
+        arr = np.asarray(arr)
+        if (("attn_q.weight" in name or "attn_q_b.weight" in name)
+                and (arch == "llama" or kv_lora)):
+            arr = half_split(arr, n_heads)
+        elif arch == "llama" and "attn_k.weight" in name:
+            w = arr.reshape(n_kv, arr.shape[0] // n_kv, -1)
+            arr = w.reshape(n_kv, -1, 2, w.shape[-1]).transpose(0, 2, 1, 3) \
+                .reshape(arr.shape)
+        elif kv_lora and "attn_kv_a_mqa.weight" in name:
+            head = arr[:kv_lora]
+            tail = arr[kv_lora:].reshape(-1, 2, arr.shape[-1]) \
+                .transpose(1, 0, 2).reshape(-1, arr.shape[-1])
+            arr = np.concatenate([head, tail], 0)
+        out[name] = jnp.asarray(arr, dtype if arr.dtype != np.int32 else None)
+    return out
+
+
+def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.float32) -> dict:
+    """Random GGUF-named params for tests/offline runs."""
+    rng = np.random.default_rng(seed)
+    p: dict[str, jnp.ndarray] = {}
+
+    def t(key, *shape, scale=0.05):
+        p[key] = jnp.asarray(rng.normal(0, scale, shape), dtype)
+
+    def ones(key, *shape):
+        p[key] = jnp.ones(shape, dtype)
+
+    t("token_embd.weight", cfg.vocab_size, cfg.dim)
+    ones("output_norm.weight", cfg.dim)
+    t("output.weight", cfg.vocab_size, cfg.dim)
+    for i in range(cfg.num_blocks):
+        bc = cfg.block_cfg(i)
+        pre = f"blk.{i}"
+        ones(pre + ".attn_norm.weight", cfg.dim)
+        ones(pre + ".ffn_norm.weight", cfg.dim)
+        kind = cfg.block_kind(i)
+        if kind == "attn":
+            qd = bc.head_dim * bc.n_heads * (2 if bc.attn_output_gate else 1)
+            t(pre + ".attn_q.weight", qd, bc.dim)
+            t(pre + ".attn_k.weight", bc.head_dim * bc.n_kv_heads, bc.dim)
+            t(pre + ".attn_v.weight", bc.head_dim * bc.n_kv_heads, bc.dim)
+            t(pre + ".attn_output.weight", bc.dim, bc.head_dim * bc.n_heads)
+            if bc.qkv_bias:
+                for n in ("q", "k", "v"):
+                    d = qd if n == "q" else bc.head_dim * bc.n_kv_heads
+                    p[f"{pre}.attn_{n}.bias"] = jnp.zeros((d,), dtype)
+            if bc.qk_norm:
+                ones(pre + ".attn_q_norm.weight", bc.qk_norm)
+                ones(pre + ".attn_k_norm.weight", bc.qk_norm)
+        elif kind == "mla":
+            nope = bc.head_dim - bc.rope_dim
+            if bc.q_lora_rank > 0:
+                t(pre + ".attn_q_a.weight", bc.q_lora_rank, bc.dim)
+                ones(pre + ".attn_q_a_norm.weight", bc.q_lora_rank)
+                t(pre + ".attn_q_b.weight", bc.n_heads * bc.head_dim, bc.q_lora_rank)
+            else:
+                t(pre + ".attn_q.weight", bc.n_heads * bc.head_dim, bc.dim)
+            t(pre + ".attn_kv_a_mqa.weight", bc.kv_lora_rank + bc.rope_dim, bc.dim)
+            ones(pre + ".attn_kv_a_norm.weight", bc.kv_lora_rank)
+            t(pre + ".attn_k_b.weight", bc.n_heads, bc.kv_lora_rank, nope)
+            t(pre + ".attn_v_b.weight", bc.n_heads, bc.v_head_dim, bc.kv_lora_rank)
+            t(pre + ".attn_output.weight", bc.dim, bc.n_heads * bc.v_head_dim)
+        else:
+            ssm = bc.ssm
+            conv_ch = ssm.inner_size + 2 * ssm.group_count * ssm.state_size
+            dv = ssm.inner_size // ssm.time_step_rank
+            t(pre + ".attn_qkv.weight", conv_ch, bc.dim)
+            t(pre + ".attn_gate.weight", ssm.inner_size, bc.dim)
+            t(pre + ".ssm_alpha.weight", ssm.time_step_rank, bc.dim)
+            t(pre + ".ssm_beta.weight", ssm.time_step_rank, bc.dim)
+            t(pre + ".ssm_conv1d.weight", conv_ch, ssm.conv_kernel)
+            p[pre + ".ssm_dt.bias"] = jnp.zeros((ssm.time_step_rank,), dtype)
+            p[pre + ".ssm_a"] = jnp.full((ssm.time_step_rank,), -0.1, dtype)
+            ones(pre + ".ssm_norm.weight", dv)
+            t(pre + ".ssm_out.weight", bc.dim, ssm.inner_size)
+        if bc.num_experts > 0:
+            t(pre + ".ffn_gate_inp.weight", bc.num_experts, bc.dim)
+            t(pre + ".ffn_gate_exps.weight", bc.num_experts, bc.hidden_dim, bc.dim)
+            t(pre + ".ffn_up_exps.weight", bc.num_experts, bc.hidden_dim, bc.dim)
+            t(pre + ".ffn_down_exps.weight", bc.num_experts, bc.dim, bc.hidden_dim)
+            if bc.expert_bias:
+                p[pre + ".exp_probs_b.bias"] = jnp.zeros((bc.num_experts,), dtype)
+            if bc.shared_expert_dim > 0:
+                t(pre + ".ffn_gate_shexp.weight", bc.shared_expert_dim, bc.dim)
+                t(pre + ".ffn_up_shexp.weight", bc.shared_expert_dim, bc.dim)
+                t(pre + ".ffn_down_shexp.weight", bc.dim, bc.shared_expert_dim)
+                if bc.shared_expert_gate:
+                    t(pre + ".ffn_gate_inp_shexp.weight", bc.dim)
+        else:
+            t(pre + ".ffn_gate.weight", bc.hidden_dim, bc.dim)
+            t(pre + ".ffn_up.weight", bc.hidden_dim, bc.dim)
+            t(pre + ".ffn_down.weight", bc.dim, bc.hidden_dim)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# host-side generator
+# ---------------------------------------------------------------------------
+
+class Transformer:
+    """Stateful wrapper: chunked prefill + decode loop + prefix-cache reuse
+    (reference Transformer.generate, model.py:393-417)."""
+
+    def __init__(self, params: dict, cfg: TransformerConfig, seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.state = init_state(cfg)
+        self.prefill_fn, self.decode_fn = make_step_fns(params, cfg)
+        self._cached_tokens: list[int] = []
+        self._key = jax.random.PRNGKey(seed)
+        self.chunk = 1 if cfg.ssm else CHUNK
+
+    @classmethod
+    def from_gguf(cls, path: str | Path, max_context: int | None = None,
+                  dtype=jnp.bfloat16, seed: int = 0):
+        from ..io import gguf
+        kv, sd = gguf.load(path)
+        cfg = config_from_gguf(kv, sd, max_context)
+        params = convert_state_dict(sd, kv, dtype)
+        return cls(params, cfg, seed), kv
+
+    def _split_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def reusable_prefix(self, tokens: list[int]) -> int:
+        n = 0
+        for a, b in zip(tokens[:-1], self._cached_tokens):
+            if a != b:
+                break
+            n += 1
+        if self.cfg.ssm and n != len(self._cached_tokens):
+            return 0  # recurrent state cannot be partially reused
+        return n
+
+    def generate(self, tokens: list[int], temperature: float = 0.0,
+                 start_pos: int | None = None, max_new: int | None = None):
+        """Yields sampled token ids until max_context (caller checks eos)."""
+        cfg = self.cfg
+        if start_pos is None:
+            start_pos = self.reusable_prefix(tokens)
+            if start_pos < len(self._cached_tokens):
+                self.state = reset_recurrent(cfg, self.state)
+        tokens = list(tokens)
+        prompt_len = len(tokens)
+        temp = jnp.float32(temperature)
+        out_tok = None
+        produced = 0
+        while len(tokens) < cfg.max_context:
+            if start_pos < prompt_len:  # (chunked) prefill
+                n = min(self.chunk, prompt_len - start_pos)
+                chunk = tokens[start_pos:start_pos + n] + [0] * (self.chunk - n)
+                tok = jnp.asarray([chunk], jnp.int32)
+                out_tok, self.state = self.prefill_fn(
+                    self.state, tok, start_pos, jnp.int32(n), temp,
+                    self._split_key())
+                start_pos += n
+                if start_pos < prompt_len:
+                    continue
+            else:
+                out_tok, self.state = self.decode_fn(
+                    self.state, jnp.asarray([[tokens[-1]]], jnp.int32),
+                    start_pos, temp, self._split_key())
+                start_pos += 1
+            nxt = int(np.asarray(out_tok)[0])
+            tokens.append(nxt)
+            self._cached_tokens = tokens[:-1]
+            produced += 1
+            yield nxt
+            if max_new is not None and produced >= max_new:
+                return
