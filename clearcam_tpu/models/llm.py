@@ -608,37 +608,44 @@ class Transformer:
         return n
 
     def generate(self, tokens: list[int], temperature: float = 0.0,
-                 start_pos: int | None = None, max_new: int | None = None):
-        """Yields sampled token ids until max_context (caller checks eos)."""
+                 cache_offset: int = 0, max_new: int | None = None):
+        """Yields sampled token ids until max_context (caller checks eos).
+
+        cache_offset: absolute cache position where the prompt begins —
+        nonzero when earlier context (e.g. VLM image embeddings) already
+        occupies the cache. Prefix-cache reuse applies only at offset 0.
+        """
         cfg = self.cfg
-        if start_pos is None:
-            start_pos = self.reusable_prefix(tokens)
-            if start_pos < len(self._cached_tokens):
+        pos = 0  # tokens of the prompt already consumed
+        if cache_offset == 0:
+            pos = self.reusable_prefix(tokens)
+            if pos < len(self._cached_tokens):
                 self.state = reset_recurrent(cfg, self.state)
         tokens = list(tokens)
         prompt_len = len(tokens)
         temp = jnp.float32(temperature)
         out_tok = None
         produced = 0
-        while len(tokens) < cfg.max_context:
-            if start_pos < prompt_len:  # (chunked) prefill
-                n = min(self.chunk, prompt_len - start_pos)
-                chunk = tokens[start_pos:start_pos + n] + [0] * (self.chunk - n)
+        while cache_offset + len(tokens) < cfg.max_context:
+            if pos < prompt_len:  # (chunked) prefill
+                n = min(self.chunk, prompt_len - pos)
+                chunk = tokens[pos:pos + n] + [0] * (self.chunk - n)
                 tok = jnp.asarray([chunk], jnp.int32)
                 out_tok, self.state = self.prefill_fn(
-                    self.state, tok, start_pos, jnp.int32(n), temp,
+                    self.state, tok, cache_offset + pos, jnp.int32(n), temp,
                     self._split_key())
-                start_pos += n
-                if start_pos < prompt_len:
+                pos += n
+                if pos < prompt_len:
                     continue
             else:
                 out_tok, self.state = self.decode_fn(
                     self.state, jnp.asarray([[tokens[-1]]], jnp.int32),
-                    start_pos, temp, self._split_key())
-                start_pos += 1
+                    cache_offset + pos, temp, self._split_key())
+                pos += 1
             nxt = int(np.asarray(out_tok)[0])
             tokens.append(nxt)
-            self._cached_tokens = tokens[:-1]
+            if cache_offset == 0:
+                self._cached_tokens = tokens[:-1]
             produced += 1
             yield nxt
             if max_new is not None and produced >= max_new:
