@@ -47,6 +47,14 @@ def pkcs7_unpad(data: bytes) -> bytes:
 
 
 def _cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    # backend order: native AES-NI (native/aes) -> OpenSSL -> pure Python
+    try:
+        from ..runtime.native_loader import aes_cbc as native_cbc
+        out = native_cbc(key, iv, data, encrypt)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     if _HAVE_OPENSSL:
         c = Cipher(algorithms.AES(key), modes.CBC(iv))
         op = c.encryptor() if encrypt else c.decryptor()

@@ -1,0 +1,129 @@
+"""ctypes bindings for the native runtime components (native/).
+
+Auto-builds with `make -C native` on first use when a toolchain exists;
+everything has a pure-Python fallback so the framework runs without a
+compiler (the native paths are the production-performance ones).
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+NATIVE_DIR = Path(__file__).parent.parent.parent / "native"
+BUILD_DIR = NATIVE_DIR / "build"
+
+_libs: dict[str, ctypes.CDLL | None] = {}
+
+
+def load_lib(name: str) -> ctypes.CDLL | None:
+    if name in _libs:
+        return _libs[name]
+    path = BUILD_DIR / f"lib{name}.so"
+    if not path.exists():
+        try:
+            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            _libs[name] = None
+            return None
+    try:
+        _libs[name] = ctypes.CDLL(str(path))
+    except OSError:
+        _libs[name] = None
+    return _libs[name]
+
+
+# ---------------------------------------------------------------------------
+# AES (native/aes/aesni.c)
+# ---------------------------------------------------------------------------
+
+def aes_lib() -> ctypes.CDLL | None:
+    lib = load_lib("ccaes")
+    if lib is not None and not hasattr(lib, "_cc_ready"):
+        lib.cc_aes_cbc.restype = ctypes.c_int
+        lib.cc_aes_cbc.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_char_p, ctypes.c_size_t,
+                                   ctypes.c_char_p, ctypes.c_int]
+        lib.cc_aes_selftest.restype = ctypes.c_int
+        if lib.cc_aes_selftest() != 0:
+            _libs["ccaes"] = None
+            return None
+        lib._cc_ready = True
+    return lib
+
+
+def aes_cbc(key32: bytes, iv16: bytes, data: bytes, encrypt: bool) -> bytes | None:
+    """Native AES-256-CBC; None when the library is unavailable."""
+    lib = aes_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(len(data))
+    rc = lib.cc_aes_cbc(key32, iv16, data, len(data), out, int(encrypt))
+    return out.raw if rc == 0 else None
+
+
+# ---------------------------------------------------------------------------
+# frame batcher (native/ingest/batcher.cc)
+# ---------------------------------------------------------------------------
+
+class NativeBatcher:
+    """Seqlock'd latest-frame slots + one-call batch snapshot.
+
+    Use push() from Python sources or add_fd() to hand a pipe fd (e.g. an
+    ffmpeg rawvideo stdout) to a native reader thread.
+    """
+
+    def __init__(self, n_streams: int, frame_shape: tuple[int, int, int]):
+        lib = load_lib("ccingest")
+        if lib is None:
+            raise RuntimeError("native ingest library unavailable")
+        self.lib = lib
+        lib.cc_batcher_create.restype = ctypes.c_void_p
+        lib.cc_batcher_create.argtypes = [ctypes.c_int, ctypes.c_long]
+        lib.cc_batcher_add_fd.restype = ctypes.c_int
+        lib.cc_batcher_add_fd.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        lib.cc_batcher_push.restype = ctypes.c_int
+        lib.cc_batcher_push.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p]
+        lib.cc_batcher_snapshot.restype = ctypes.c_long
+        lib.cc_batcher_snapshot.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p]
+        lib.cc_batcher_stop.argtypes = [ctypes.c_void_p]
+        lib.cc_batcher_destroy.argtypes = [ctypes.c_void_p]
+        self.n = n_streams
+        self.shape = frame_shape
+        self.frame_bytes = int(np.prod(frame_shape))
+        self.h = lib.cc_batcher_create(n_streams, self.frame_bytes)
+        self.batch = np.zeros((n_streams, *frame_shape), np.uint8)
+        self.seqs = np.zeros(n_streams, np.int64)
+
+    def add_fd(self, stream: int, fd: int):
+        rc = self.lib.cc_batcher_add_fd(self.h, stream, fd)
+        if rc:
+            raise RuntimeError(f"add_fd failed ({rc})")
+
+    def push(self, stream: int, frame: np.ndarray):
+        frame = np.ascontiguousarray(frame, np.uint8)
+        assert frame.nbytes == self.frame_bytes
+        self.lib.cc_batcher_push(self.h, stream,
+                                 frame.ctypes.data_as(ctypes.c_char_p))
+
+    def snapshot(self) -> tuple[np.ndarray, np.ndarray]:
+        """-> (batch [N,H,W,3] view, per-stream seq numbers; -1 = empty)."""
+        self.lib.cc_batcher_snapshot(
+            self.h, self.batch.ctypes.data_as(ctypes.c_void_p),
+            self.seqs.ctypes.data_as(ctypes.c_void_p))
+        return self.batch, self.seqs.copy()
+
+    def close(self):
+        if self.h:
+            self.lib.cc_batcher_destroy(self.h)
+            self.h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

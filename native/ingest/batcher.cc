@@ -1,0 +1,147 @@
+// Native frame-batch assembler for multi-camera ingest.
+//
+// Runtime equivalent of the reference's per-camera Python frame pumps
+// (clearcam.py:401-421: thread reads an ffmpeg rawvideo pipe into a
+// newest-frame-wins slot). At 32x 1080p streams the Python loop burns the
+// GIL on ~190 MB/s of memcpy; this moves pipe reads and batch assembly into
+// native threads with seqlock'd latest-frame slots, so the NVR tick does one
+// ctypes call to materialize the [N, H, W, 3] batch for the TPU.
+//
+// ABI (ctypes, clearcam_tpu/runtime/native_loader.py):
+//   void* cc_batcher_create(int n_streams, long frame_bytes);
+//   int   cc_batcher_add_fd(void* h, int stream, int fd);   // reader thread
+//   int   cc_batcher_push(void* h, int stream, const uint8_t* data);
+//   long  cc_batcher_snapshot(void* h, uint8_t* out, long* seqs);
+//   void  cc_batcher_stop(void* h);
+//   void  cc_batcher_destroy(void* h);
+//
+// snapshot copies every stream's newest frame into out[stream] and writes its
+// sequence number (monotonic per stream; -1 = no frame yet); returns the
+// number of streams that have ever produced a frame.
+//
+// Build: g++ -O3 -std=c++17 -pthread -shared -fPIC -o libccingest.so batcher.cc
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <unistd.h>
+
+namespace {
+
+struct Slot {
+  std::vector<uint8_t> buf[2];
+  std::atomic<int64_t> seq{-1};  // seq % 2 selects the readable buffer
+  std::thread reader;
+  std::atomic<bool> running{false};
+  int fd = -1;
+};
+
+struct Batcher {
+  long frame_bytes;
+  std::vector<Slot> slots;
+  std::atomic<bool> alive{true};
+};
+
+void reader_loop(Batcher* b, Slot* s) {
+  const long need = b->frame_bytes;
+  while (s->running.load(std::memory_order_relaxed) &&
+         b->alive.load(std::memory_order_relaxed)) {
+    int64_t next = s->seq.load(std::memory_order_relaxed) + 1;
+    uint8_t* dst = s->buf[next & 1].data();
+    long got = 0;
+    while (got < need) {
+      ssize_t r = read(s->fd, dst + got, need - got);
+      if (r <= 0) {
+        if (!s->running.load(std::memory_order_relaxed)) return;
+        if (r == 0) {  // EOF: stop this stream
+          s->running.store(false, std::memory_order_relaxed);
+          return;
+        }
+        continue;  // EINTR etc.
+      }
+      got += r;
+    }
+    s->seq.store(next, std::memory_order_release);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* cc_batcher_create(int n_streams, long frame_bytes) {
+  auto* b = new Batcher();
+  b->frame_bytes = frame_bytes;
+  b->slots = std::vector<Slot>(n_streams);
+  for (auto& s : b->slots) {
+    s.buf[0].resize(frame_bytes);
+    s.buf[1].resize(frame_bytes);
+  }
+  return b;
+}
+
+int cc_batcher_add_fd(void* h, int stream, int fd) {
+  auto* b = static_cast<Batcher*>(h);
+  if (stream < 0 || stream >= (int)b->slots.size()) return 1;
+  Slot& s = b->slots[stream];
+  if (s.running.load()) return 2;
+  s.fd = fd;
+  s.running.store(true);
+  s.reader = std::thread(reader_loop, b, &s);
+  return 0;
+}
+
+int cc_batcher_push(void* h, int stream, const uint8_t* data) {
+  auto* b = static_cast<Batcher*>(h);
+  if (stream < 0 || stream >= (int)b->slots.size()) return 1;
+  Slot& s = b->slots[stream];
+  int64_t next = s.seq.load(std::memory_order_relaxed) + 1;
+  std::memcpy(s.buf[next & 1].data(), data, b->frame_bytes);
+  s.seq.store(next, std::memory_order_release);
+  return 0;
+}
+
+long cc_batcher_snapshot(void* h, uint8_t* out, long* seqs) {
+  auto* b = static_cast<Batcher*>(h);
+  long fresh = 0;
+  const long fb = b->frame_bytes;
+  for (size_t i = 0; i < b->slots.size(); i++) {
+    Slot& s = b->slots[i];
+    int64_t seq = s.seq.load(std::memory_order_acquire);
+    if (seq < 0) {
+      seqs[i] = -1;
+      continue;
+    }
+    // seqlock: retry if the writer laps us mid-copy
+    for (;;) {
+      std::memcpy(out + i * fb, s.buf[seq & 1].data(), fb);
+      int64_t now = s.seq.load(std::memory_order_acquire);
+      if (now == seq || (now & 1) != (seq & 1)) break;
+      seq = now;
+    }
+    seqs[i] = seq;
+    fresh++;
+  }
+  return fresh;
+}
+
+void cc_batcher_stop(void* h) {
+  auto* b = static_cast<Batcher*>(h);
+  b->alive.store(false);
+  for (auto& s : b->slots) {
+    s.running.store(false);
+    if (s.fd >= 0) close(s.fd);
+    if (s.reader.joinable()) s.reader.join();
+  }
+}
+
+void cc_batcher_destroy(void* h) {
+  auto* b = static_cast<Batcher*>(h);
+  cc_batcher_stop(h);
+  delete b;
+}
+
+}  // extern "C"
