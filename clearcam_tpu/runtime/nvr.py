@@ -260,12 +260,18 @@ class NVR:
 
         # one batched device call per resolution bucket
         if todo and self.detector is not None:
-            all_preds = self.detector.detect_many(frames)
-            for cam, preds in zip(todo, all_preds):
-                cam.last_preds = self._postprocess(cam, preds)
-                t = time.time()
-                cam.fps = 1.0 / max(t - cam._prev_t, 1e-6)
-                cam._prev_t = t
+            from . import metrics
+            metrics.gauge("batch_size", len(todo))
+            with metrics.timer("detect_step"):
+                all_preds = self.detector.detect_many(frames)
+            with metrics.timer("track_step"):
+                for cam, preds in zip(todo, all_preds):
+                    cam.last_preds = self._postprocess(cam, preds)
+                    t = time.time()
+                    cam.fps = 1.0 / max(t - cam._prev_t, 1e-6)
+                    cam._prev_t = t
+                    metrics.gauge(f"fps.{cam.name}", round(cam.fps, 2))
+            metrics.count("frames", len(todo))
 
         for cam in list(self.cams.values()):
             try:
@@ -316,7 +322,10 @@ class NVR:
                   if self.classes is None or str(int(t.class_id)) in self.classes]
         out = []
         h, w = cam.last_frame.shape[:2]
-        now = time.time()
+        # crop-save throttling runs on media time for VOD (analysis is much
+        # faster than real time) and wall time for live streams
+        now = cam.source.position_seconds() if (
+            cam.vod and isinstance(cam.source, OpenCVSource)) else time.time()
         for t in tracks:
             if t.tracklet_len < 1:
                 continue

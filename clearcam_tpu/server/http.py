@@ -171,6 +171,10 @@ def make_handler(ctx: AppContext):
         def _get_get_max_storage(self, q, cam):
             self._json({"max_gb": ctx.max_gb})
 
+        def _get_metrics(self, q, cam):
+            from ..runtime import metrics
+            self._json(metrics.snapshot())
+
         def _get_list_cameras(self, q, cam):
             cams = ctx.db.run_get("links", None)
             progs = ctx.db.run_get("analysis_prog", None)
