@@ -91,6 +91,11 @@ class BatchDetector:
         self.size, self.res = size, res
         self.params = params if params is not None else yolov9.init_params(size)
         dtype = compute_dtype or jnp.float32
+        if dtype != jnp.float32:
+            # keep weights in the compute dtype so convs hit the MXU fast path
+            self.params = jax.tree.map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                self.params)
         self._fn = jax.jit(functools.partial(
             yolov9.detect, size=size, res=res, compute_dtype=dtype))
         self._jnp = jnp
