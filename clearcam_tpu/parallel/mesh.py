@@ -78,6 +78,41 @@ def sharded_detect_fn(mesh: Mesh, size: str = "t", res: int = 640, **kw):
     return step, in_spec
 
 
+def shard_llm_params(mesh: Mesh, params: dict):
+    """LLM sharding: MoE expert banks expert-parallel over `model` (each chip
+    holds E/model experts; GSPMD turns the per-token expert gather into the
+    all-to-all), attention/FFN projections tensor-parallel on the output dim,
+    embeddings replicated."""
+    m = mesh.shape["model"]
+    out = {}
+    for k, v in params.items():
+        if ".ffn_gate_exps." in k or ".ffn_up_exps." in k or ".ffn_down_exps." in k:
+            spec = P("model") if v.shape[0] % m == 0 else P()
+        elif v.ndim == 2 and v.shape[0] % m == 0 and v.shape[0] >= m * 8 \
+                and not k.startswith(("token_embd", "output")):
+            spec = P("model", None)
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def sharded_llm_prefill(mesh: Mesh, params: dict, cfg):
+    """Batch-dp + tp/ep jitted prefill step for the LLM."""
+    from ..models import llm
+
+    freqs = jnp.asarray(
+        llm.precompute_freqs(cfg.rope_dim, cfg.max_context, cfg.rope_theta))
+
+    @jax.jit
+    def prefill(state, tokens, start_pos, n_real, temperature, key):
+        hidden, state = llm.forward(params, cfg, state, tokens, start_pos, freqs)
+        logits = llm.logits_at(params, cfg, hidden, n_real - 1)
+        return llm.sample_gumbel(logits, temperature, key), state
+
+    return prefill
+
+
 # ---------------------------------------------------------------------------
 # training step (dp x tp) — used by the multichip dryrun and for fine-tuning
 # ---------------------------------------------------------------------------

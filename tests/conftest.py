@@ -7,9 +7,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-# persistent compile cache: model-graph compiles dominate test time otherwise
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter startup, so the env var
+# above is captured too late — force the platform through the config API
+# (backend init is still lazy at this point).
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: model-graph compiles dominate test time otherwise
 jax.config.update("jax_compilation_cache_dir", "/tmp/clearcam_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
