@@ -126,6 +126,43 @@ class BatchDetector:
         return out  # type: ignore[return-value]
 
 
+class NativeIngest:
+    """Groups live ffmpeg cameras by resolution onto native batchers
+    (native/ingest): pipe fds are consumed by C++ reader threads and the NVR
+    tick materializes each group's batch with one snapshot call — no
+    per-frame Python copies (replaces FramePump for FfmpegSource cams)."""
+
+    GROUP_CAP = 32
+
+    def __init__(self):
+        self.groups: dict[tuple, dict] = {}
+
+    def register(self, cam_name: str, fd: int, shape: tuple[int, int, int]):
+        from .native_loader import NativeBatcher
+        g = self.groups.get(shape)
+        if g is None or len(g["names"]) >= self.GROUP_CAP:
+            g = {"batcher": NativeBatcher(self.GROUP_CAP, shape), "names": []}
+            self.groups[shape] = g
+        idx = len(g["names"])
+        g["batcher"].add_fd(idx, fd)
+        g["names"].append(cam_name)
+        return shape, idx
+
+    def snapshot_all(self) -> dict[str, tuple]:
+        """-> {cam_name: (frame_view, seq)} for every registered camera."""
+        out = {}
+        for g in self.groups.values():
+            batch, seqs = g["batcher"].snapshot()
+            for i, name in enumerate(g["names"]):
+                out[name] = (batch[i], int(seqs[i]))
+        return out
+
+    def close(self):
+        for g in self.groups.values():
+            g["batcher"].close()
+        self.groups.clear()
+
+
 @dataclass
 class CamState:
     name: str
@@ -153,6 +190,8 @@ class CamState:
     last_live_seg: float = 0.0
     live_link: str | None = None
     alerts_on: bool = True
+    native_key: tuple | None = None
+    last_seq_seen: float = 0.0
     fps: float = 0.0
     _prev_t: float = field(default_factory=time.time)
 
@@ -163,7 +202,8 @@ class NVR:
     def __init__(self, db, base_dir: Path, settings: GlobalSettings | None = None,
                  detector: BatchDetector | None = None, object_finder=None,
                  qwen=None, notifier=None, uploader=None,
-                 classes: set | None = None, labels=None):
+                 classes: set | None = None, labels=None,
+                 use_native_ingest: bool = True):
         self.db = db
         self.base_dir = Path(base_dir)
         (self.base_dir / "cameras").mkdir(parents=True, exist_ok=True)
@@ -182,6 +222,15 @@ class NVR:
         self.object_queue: list[Path] = []
         self._last_cam_check = 0.0
         self.running = True
+        self.native_ingest: NativeIngest | None = None
+        if use_native_ingest:
+            try:
+                from .native_loader import load_lib
+                if load_lib("ccingest") is not None:
+                    self.native_ingest = NativeIngest()
+            except Exception:
+                self.native_ingest = None
+        self._native_frames: dict[str, tuple] = {}
 
     # -- camera lifecycle ---------------------------------------------------
 
@@ -213,8 +262,17 @@ class NVR:
         record_dir = self.stream_day_dir(cam)
         cam.source = open_source(src, record_dir)
         if not cam.vod:
-            cam.pump = FramePump(name, cam.source, cam.slot)
-            cam.pump.start()
+            from .ingest import FfmpegSource
+            if (self.native_ingest is not None
+                    and isinstance(cam.source, FfmpegSource)
+                    and cam.source.pipe_proc is not None):
+                # hand the rawvideo pipe to a native reader thread
+                cam.native_key = self.native_ingest.register(
+                    name, cam.source.pipe_proc.stdout.fileno(),
+                    (cam.source.h, cam.source.w, 3))
+            else:
+                cam.pump = FramePump(name, cam.source, cam.slot)
+                cam.pump.start()
         self.cams[name] = cam
 
     def remove_cam(self, name: str):
@@ -246,6 +304,9 @@ class NVR:
         if now - self._last_cam_check >= 5:
             self._last_cam_check = now
             self.refresh_cams()
+
+        if self.native_ingest is not None and self.native_ingest.groups:
+            self._native_frames = self.native_ingest.snapshot_all()
 
         # gather fresh frames
         todo: list[CamState] = []
@@ -299,6 +360,16 @@ class NVR:
             self.db.run_put("analysis_prog", cam.name,
                             {"Tracking": cam.source.progress() or 0.0})
             return frame, cam.last_frame_num + 1
+        if cam.native_key is not None:
+            got = self._native_frames.get(cam.name)
+            if got is None:
+                return None, -1
+            frame, seq = got
+            if seq < 0 or seq == cam.last_frame_num:
+                return None, -1
+            cam.last_seq_seen = time.time()
+            # copy: the group buffer is rewritten by the next snapshot
+            return frame.copy(), seq
         frame, num = cam.slot.snapshot()
         if frame is None or num == cam.last_frame_num:
             return None, -1
@@ -417,6 +488,14 @@ class NVR:
         if now - cam.last_sync >= 5:
             cam.last_sync = now
             self._sync_kv(cam)
+        if (cam.native_key is not None and cam.last_seq_seen
+                and now - cam.last_seq_seen > 15):
+            # native reader stalled (stream died): respawn the camera
+            print(f"{cam.name}: ingest stalled, restarting stream")
+            src = cam.src
+            self.remove_cam(cam.name)
+            self.init_cam(cam.name, src)
+            return
         if now - cam.last_live_check >= 5:
             cam.last_live_check = now
             link = self.db.run_get("links", cam.name)
@@ -593,3 +672,5 @@ class NVR:
         self.running = False
         for name in list(self.cams):
             self.remove_cam(name)
+        if self.native_ingest is not None:
+            self.native_ingest.close()
