@@ -25,8 +25,10 @@ def main():
 
     BATCH = 8
     RES = 640
-    params = yolov9.init_params("t", seed=0)
-    det = jax.jit(lambda p, f: yolov9.detect(p, f, size="t", res=RES))
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          yolov9.init_params("t", seed=0))
+    det = jax.jit(lambda p, f: yolov9.detect(p, f, size="t", res=RES,
+                                             compute_dtype=jnp.bfloat16))
 
     frames = np.random.default_rng(0).integers(
         0, 255, (BATCH, 1080, 1920, 3), np.uint8)
