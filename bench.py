@@ -23,7 +23,7 @@ def main():
     import jax.numpy as jnp
     from clearcam_tpu.models import yolov9
 
-    BATCH = 8
+    BATCH = 32
     RES = 640
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                           yolov9.init_params("t", seed=0))
@@ -36,7 +36,7 @@ def main():
     np.asarray(det(params, x))  # compile + warm
 
     # sustained: issue steps back-to-back, sync once at the end
-    n_steps = 50
+    n_steps = 20
     best_fps = 0.0
     for _ in range(3):
         t0 = time.time()

@@ -348,6 +348,7 @@ class NVR:
         # shared-device queued work (search/embed requests from HTTP threads)
         self.executor.drain_one()
         self._drain_object_queue()
+        self._advance_summary()
 
     def _next_frame(self, cam: CamState):
         if cam.vod:
@@ -570,18 +571,11 @@ class NVR:
                                f"Event Detected ({cam.name})", None),
                          daemon=True).start()
         if self.settings.use_qwen and self.qwen is not None:
-            try:
-                if cam.prev_frame is not None:
-                    self.qwen.generate(image=cam.prev_frame[..., ::-1], reset=True)
-                text = self.qwen.generate(prompt=self.qwen_prompt,
-                                          image=cam.last_frame[..., ::-1],
-                                          reset=cam.prev_frame is None)
-                threading.Thread(target=notify,
-                                 args=(self.settings.userID,
-                                       f"AI Summary ({cam.name}):", text),
-                                 daemon=True).start()
-            except Exception as e:  # noqa: BLE001
-                print(f"qwen summary failed: {e}")
+            # cooperative summary: a few decode steps per tick so the detect
+            # loop keeps running (the reference blocks it, clearcam.py:494-496)
+            self._pending_summary = {
+                "cam": cam.name, "notify": notify,
+                "gen": self._summary_steps(cam), "tokens": []}
         upload = self.uploader
         if upload is None:
             from ..cloud.relay import export_and_upload as upload  # noqa: N813
@@ -589,6 +583,48 @@ class NVR:
             cam_name=cam.name, thumbnail=thumbnail, userID=self.settings.userID,
             key=self.settings.key, base_dir=self.base_dir, start=ts, wait=True),
             daemon=True).start()
+
+    def _summary_steps(self, cam: CamState):
+        """Generator yielding one Qwen token per step (images fed first)."""
+        if cam.prev_frame is not None:
+            self.qwen.feed_image(cam.prev_frame[..., ::-1], reset=True)
+            yield None
+        self.qwen.feed_image(cam.last_frame[..., ::-1],
+                             reset=cam.prev_frame is None)
+        yield None
+        toks = self.qwen.tok.encode("<|im_start|>user\n" + self.qwen_prompt
+                                    + "<|im_end|>\n<|im_start|>assistant\n")
+        produced = 0
+        for t in self.qwen.lang.generate(toks, temperature=0.7,
+                                         cache_offset=self.qwen.start_pos,
+                                         max_new=60):
+            if self.qwen.tok.is_end(t):
+                break
+            produced += 1
+            yield t
+        self.qwen.start_pos += len(toks) + produced
+
+    def _advance_summary(self, steps: int = 4):
+        """Run up to `steps` summary tokens this tick; send the notification
+        when generation completes."""
+        pending = getattr(self, "_pending_summary", None)
+        if pending is None:
+            return
+        try:
+            for _ in range(steps):
+                tok = next(pending["gen"])
+                if tok is not None:
+                    pending["tokens"].append(tok)
+        except StopIteration:
+            text = self.qwen.tok.decode(pending["tokens"]) if pending["tokens"] else ""
+            threading.Thread(target=pending["notify"],
+                             args=(self.settings.userID,
+                                   f"AI Summary ({pending['cam']}):", text),
+                             daemon=True).start()
+            self._pending_summary = None
+        except Exception as e:  # noqa: BLE001
+            print(f"qwen summary failed: {e}")
+            self._pending_summary = None
 
     def _sync_kv(self, cam: CamState):
         """5-second KV sync: counters out, alert edits in (clearcam.py:509-536)."""
