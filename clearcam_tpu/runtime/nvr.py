@@ -324,15 +324,27 @@ class NVR:
             todo.append(cam)
             frames.append(frame)
 
-        # one batched device call per resolution bucket
+        # one batched device call per resolution bucket; errors are isolated
+        # so one bad frame/camera can't kill the loop (reference reopens the
+        # stream on process_frame errors, clearcam.py:543-546)
         if todo and self.detector is not None:
             from . import metrics
             metrics.gauge("batch_size", len(todo))
-            with metrics.timer("detect_step"):
-                all_preds = self.detector.detect_many(frames)
+            try:
+                with metrics.timer("detect_step"):
+                    all_preds = self.detector.detect_many(frames)
+            except Exception as e:  # noqa: BLE001
+                print(f"detect error: {e}")
+                metrics.count("detect_errors")
+                all_preds = [np.zeros((0, 6)) for _ in todo]
             with metrics.timer("track_step"):
                 for cam, preds in zip(todo, all_preds):
-                    cam.last_preds = self._postprocess(cam, preds)
+                    try:
+                        cam.last_preds = self._postprocess(cam, preds)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"postprocess error {cam.name}: {e}")
+                        metrics.count("postprocess_errors")
+                        continue
                     t = time.time()
                     cam.fps = 1.0 / max(t - cam._prev_t, 1e-6)
                     cam._prev_t = t
