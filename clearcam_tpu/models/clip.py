@@ -44,7 +44,8 @@ def encode_image(p: dict, pixels, normalize: bool = True):
     Preprocess parity with ObjectFinder.preprocess (objects.py:237-242):
     x/255, (x-0.5)/0.5 — fused here so the host ships raw bytes.
     """
-    x = pixels.astype(jnp.float32)
+    dtype = p["visual_conv1.weight"].dtype      # compute in the weights' dtype
+    x = pixels.astype(dtype)
     x = (x / 255.0 - 0.5) / 0.5
     x = F.conv2d(x, p["visual_conv1.weight"], stride=PATCH)      # [B,16,16,1024]
     b = x.shape[0]
