@@ -373,20 +373,39 @@ def make_handler(ctx: AppContext):
             fp = self._cameras_dir() / rel
             if not fp.exists() or not fp.is_file():
                 return self.send_error(404)
-            ctype = {"m3u8": "application/vnd.apple.mpegurl",
+            ctype = {".m3u8": "application/vnd.apple.mpegurl",
                      ".ts": "video/MP2T", ".m4s": "video/iso.segment",
                      ".mp4": "video/mp4", ".png": "image/png",
                      ".jpg": "image/jpeg"}.get(fp.suffix, "application/octet-stream")
-            if fp.suffix == ".m3u8":
-                ctype = "application/vnd.apple.mpegurl"
-            self.send_response(200)
+            size = fp.stat().st_size
+            rng = self.headers.get("Range")
+            start, end = 0, size - 1
+            if rng and rng.startswith("bytes="):
+                try:
+                    s, _, e = rng[6:].partition("-")
+                    start = int(s) if s else max(0, size - int(e))
+                    end = min(int(e), size - 1) if (e and s) else end
+                except ValueError:
+                    start, end = 0, size - 1
+                self.send_response(206)
+                self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
+            else:
+                self.send_response(200)
+            self.send_header("Accept-Ranges", "bytes")
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(fp.stat().st_size))
+            self.send_header("Content-Length", str(end - start + 1))
             if fp.suffix == ".m3u8":
                 self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             with open(fp, "rb") as f:
-                shutil.copyfileobj(f, self.wfile)
+                f.seek(start)
+                remaining = end - start + 1
+                while remaining > 0:
+                    chunk = f.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    self.wfile.write(chunk)
+                    remaining -= len(chunk)
 
         # -- POST ------------------------------------------------------------
         def do_POST(self):  # noqa: N802

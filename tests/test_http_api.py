@@ -183,3 +183,24 @@ def test_offload_yolo_and_diff(base):
 
 import urllib.parse  # noqa: E402  (used in test_camera_crud_and_settings)
 import urllib.error  # noqa: E402
+
+
+def test_range_requests_and_metrics(base):
+    url, ctx = base
+    d = ctx.base_dir / "cameras" / "rcam" / "streams" / "2026-08-16"
+    d.mkdir(parents=True)
+    (d / "clip.mp4").write_bytes(bytes(range(256)) * 4)
+    req = urllib.request.Request(f"{url}/rcam/streams/2026-08-16/clip.mp4",
+                                 headers={"Range": "bytes=10-19"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 206
+        assert r.headers["Content-Range"] == "bytes 10-19/1024"
+        assert r.read() == bytes(range(10, 20))
+    # suffix range
+    req = urllib.request.Request(f"{url}/rcam/streams/2026-08-16/clip.mp4",
+                                 headers={"Range": "bytes=-4"})
+    with urllib.request.urlopen(req) as r:
+        assert r.read() == bytes(range(252, 256))
+    # metrics endpoint
+    m = get(f"{url}/metrics")
+    assert "uptime_s" in m and "timers" in m
