@@ -152,8 +152,10 @@ def _attn_mask(start_pos, t, ctx):
     return jnp.where(cols <= start_pos + rows, 0.0, -jnp.inf)[None, None]
 
 
-def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
-    """Standard GQA attention with cache (model.py:153-190)."""
+def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
+                     decode_attn=None):
+    """Standard GQA attention with cache (model.py:153-190). decode_attn
+    optionally replaces the T=1 attention math (Pallas prefix kernel)."""
     b, t, _ = x.shape
     hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     q = F.linear(x, p[f"{pre}.attn_q.weight"], p.get(f"{pre}.attn_q.bias"))
@@ -184,11 +186,14 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs)
     cv = jax.lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype),
                                       (0, 0, start_pos, 0))
     new_state = {"k": ck, "v": cv}
-    rep = nh // nkv
-    kk = jnp.repeat(ck, rep, axis=1).astype(jnp.float32)
-    vv = jnp.repeat(cv, rep, axis=1).astype(jnp.float32)
-    mask = _attn_mask(start_pos, t, cfg.max_context)
-    out = F.mha(q.astype(jnp.float32), kk, vv, mask=mask)
+    if decode_attn is not None and t == 1:
+        out = decode_attn(q, ck, cv, start_pos)
+    else:
+        rep = nh // nkv
+        kk = jnp.repeat(ck, rep, axis=1).astype(jnp.float32)
+        vv = jnp.repeat(cv, rep, axis=1).astype(jnp.float32)
+        mask = _attn_mask(start_pos, t, cfg.max_context)
+        out = F.mha(q.astype(jnp.float32), kk, vv, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
     if gate is not None:
         out = out * jax.nn.sigmoid(gate)
@@ -316,7 +321,8 @@ def reset_recurrent(cfg: TransformerConfig, state: list) -> list:
 
 
 def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
-            start_pos, freqs, hidden_override=None, deepstack=None):
+            start_pos, freqs, hidden_override=None, deepstack=None,
+            decode_attn=None):
     """Core stack: embeds -> blocks -> final hidden states [B,T,D].
 
     hidden_override replaces the token embeddings (VLM image splice);
@@ -333,7 +339,12 @@ def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
         pre = f"blk.{i}"
         kind = cfg.block_kind(i)
         h = F.rms_norm(x, p[f"{pre}.attn_norm.weight"], cfg.norm_eps)
-        attn_out, st = _BLOCK_FNS[kind](p, pre, bc, h, state[i], start_pos, freqs)
+        if kind == "attn":
+            attn_out, st = _attention_block(p, pre, bc, h, state[i], start_pos,
+                                            freqs, decode_attn=decode_attn)
+        else:
+            attn_out, st = _BLOCK_FNS[kind](p, pre, bc, h, state[i], start_pos,
+                                            freqs)
         x = x + attn_out
         x = x + _ffn(p, pre, bc, F.rms_norm(x, p[f"{pre}.ffn_norm.weight"],
                                             cfg.norm_eps))
@@ -355,12 +366,17 @@ def sample_gumbel(logits, temperature, key):
     return jnp.argmax(logits / jnp.maximum(temperature, 1e-12) + g, -1)
 
 
-def make_step_fns(p: dict, cfg: TransformerConfig):
+def make_step_fns(p: dict, cfg: TransformerConfig, use_pallas_decode: bool = False,
+                  interpret: bool = False):
     """-> (prefill_fn, decode_fn), both jitted.
 
     prefill(state, tokens[B,CHUNK], start_pos, n_real, temp, key)
         -> (token [B], new_state)   (logits taken at n_real-1)
     decode(state, token[B,1], start_pos, temp, key) -> (token [B], new_state)
+
+    use_pallas_decode: route standard-attention blocks through the prefix-
+    aware Pallas decode kernel (ops/decode_attention) — HBM reads scale with
+    the live context instead of max_context. Batch-1, plain GQA blocks only.
     """
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
@@ -371,9 +387,23 @@ def make_step_fns(p: dict, cfg: TransformerConfig):
         logits = logits_at(p, cfg, hidden, n_real - 1)
         return sample_gumbel(logits, temperature, key), state
 
+    attn_impl = None
+    if use_pallas_decode:
+        from ..ops.decode_attention import CHUNK as _DC, decode_attention
+        assert cfg.max_context % _DC == 0, \
+            f"use_pallas_decode needs max_context % {_DC} == 0"
+
+
+        def attn_impl(q, ck, cv, start_pos):  # noqa: F811
+            # q [1,H,1,D]; caches [1,KvH,S,D] (S padded to the chunk size)
+            out = decode_attention(q[0, :, 0], ck[0], cv[0], start_pos,
+                                   interpret=interpret)
+            return out[None, :, None]
+
     @jax.jit
     def decode(state, token, start_pos, temperature, key):
-        hidden, state = forward(p, cfg, state, token, start_pos, freqs)
+        hidden, state = forward(p, cfg, state, token, start_pos, freqs,
+                                decode_attn=attn_impl)
         logits = logits_at(p, cfg, hidden, jnp.int32(0))
         return sample_gumbel(logits, temperature, key), state
 

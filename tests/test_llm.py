@@ -173,3 +173,18 @@ def test_config_from_gguf_qwen3():
     cfg = llm.config_from_gguf(kv, sd, max_context=64)
     assert cfg.num_blocks == 2 and cfg.head_dim == 8 and cfg.qk_norm == 8
     assert cfg.max_context == 64
+
+
+def test_pallas_decode_matches_xla():
+    """Prefix-aware Pallas decode kernel (interpret mode) produces the same
+    greedy tokens as the XLA full-cache path."""
+    cfg = tiny_cfg(head_dim=128, rope_dim=128, v_head_dim=128, n_heads=4,
+                   n_kv_heads=2, max_context=256)
+    params = llm.init_params(cfg, seed=5)
+    ref = llm.Transformer(params, cfg, seed=0)
+    out_ref = greedy(ref, [1, 2, 3], n=3)
+
+    fast = llm.Transformer(params, cfg, seed=0)
+    fast.prefill_fn, fast.decode_fn = llm.make_step_fns(
+        params, cfg, use_pallas_decode=True, interpret=True)
+    assert greedy(fast, [1, 2, 3], n=3) == out_ref
