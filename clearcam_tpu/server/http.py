@@ -370,7 +370,10 @@ def make_handler(ctx: AppContext):
                     rel = f"{head}/video/{fname}"
             except Exception:
                 pass
-            fp = self._cameras_dir() / rel
+            fp = (self._cameras_dir() / rel).resolve()
+            root = self._cameras_dir().resolve()
+            if not fp.is_relative_to(root):       # block ../ traversal
+                return self.send_error(403)
             if not fp.exists() or not fp.is_file():
                 return self.send_error(404)
             ctype = {".m3u8": "application/vnd.apple.mpegurl",

@@ -204,3 +204,14 @@ def test_range_requests_and_metrics(base):
     # metrics endpoint
     m = get(f"{url}/metrics")
     assert "uptime_s" in m and "timers" in m
+
+
+def test_path_traversal_blocked(base, tmp_path):
+    url, ctx = base
+    (ctx.base_dir / "cameras").mkdir(parents=True, exist_ok=True)
+    secret = ctx.base_dir / "secret.txt"
+    secret.write_text("no")
+    for path in ("/..%2Fsecret.txt", "/c/../../secret.txt", "/../secret.txt"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(url + path, raw=True)
+        assert e.value.code in (403, 404)
