@@ -95,3 +95,12 @@ def test_state_dict_roundtrip():
     assert p["model.0.conv.weight"].shape == (3, 3, 3, 16)
     assert p["model.22.dfl.conv.weight"].shape == (16,)
     assert "model.22.anchors" not in p
+
+
+@pytest.mark.parametrize("size", ["m", "c", "e"])
+def test_forward_shapes_large_variants(size):
+    params = yolov9.init_params(size, seed=0)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    out = yolov9.forward_raw(params, x, size)
+    n = sum((128 // s) ** 2 for s in (8, 16, 32))
+    assert out.shape == (1, n, 4 + yolov9.NUM_CLASSES)
