@@ -103,3 +103,23 @@ def test_batch_detector_bucketing():
     assert BatchDetector._bucket(3) == 4
     assert BatchDetector._bucket(8) == 8
     assert BatchDetector._bucket(9) == 16
+
+
+def test_cross_stream_batching(tmp_path):
+    """8 cameras with fresh frames detect in ONE batched call per tick."""
+    db = KVStore(tmp_path / "kv.db")
+    for i in range(8):
+        db.run_put("links", f"cam{i}", "synthetic://320x240")
+
+    calls = []
+
+    class RecordingDetector(ColorKeyDetector):
+        def detect_many(self, frames):
+            calls.append(len(frames))
+            return super().detect_many(frames)
+
+    n = NVR(db, tmp_path / "data", GlobalSettings(),
+            detector=RecordingDetector())
+    n.run(max_ticks=30, tick_sleep=0.02)
+    n.stop()
+    assert max(calls) == 8, f"never batched all 8 cams: {calls[:10]}"
