@@ -366,13 +366,15 @@ def sample_gumbel(logits, temperature, key):
     return jnp.argmax(logits / jnp.maximum(temperature, 1e-12) + g, -1)
 
 
-def make_step_fns(p: dict, cfg: TransformerConfig, use_pallas_decode: bool = False,
+def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                   interpret: bool = False):
-    """-> (prefill_fn, decode_fn), both jitted.
+    """-> (prefill_fn, decode_fn), both jitted, taking params explicitly
+    (closing over params would bake GBs of weights into the graph as
+    constants and stall compilation).
 
-    prefill(state, tokens[B,CHUNK], start_pos, n_real, temp, key)
+    prefill(params, state, tokens[B,CHUNK], start_pos, n_real, temp, key)
         -> (token [B], new_state)   (logits taken at n_real-1)
-    decode(state, token[B,1], start_pos, temp, key) -> (token [B], new_state)
+    decode(params, state, token[B,1], start_pos, temp, key) -> (token, state)
 
     use_pallas_decode: route standard-attention blocks through the prefix-
     aware Pallas decode kernel (ops/decode_attention) — HBM reads scale with
@@ -382,9 +384,9 @@ def make_step_fns(p: dict, cfg: TransformerConfig, use_pallas_decode: bool = Fal
                                          cfg.rope_theta))
 
     @jax.jit
-    def prefill(state, tokens, start_pos, n_real, temperature, key):
-        hidden, state = forward(p, cfg, state, tokens, start_pos, freqs)
-        logits = logits_at(p, cfg, hidden, n_real - 1)
+    def prefill(params, state, tokens, start_pos, n_real, temperature, key):
+        hidden, state = forward(params, cfg, state, tokens, start_pos, freqs)
+        logits = logits_at(params, cfg, hidden, n_real - 1)
         return sample_gumbel(logits, temperature, key), state
 
     attn_impl = None
@@ -401,10 +403,10 @@ def make_step_fns(p: dict, cfg: TransformerConfig, use_pallas_decode: bool = Fal
             return out[None, :, None]
 
     @jax.jit
-    def decode(state, token, start_pos, temperature, key):
-        hidden, state = forward(p, cfg, state, token, start_pos, freqs,
+    def decode(params, state, token, start_pos, temperature, key):
+        hidden, state = forward(params, cfg, state, token, start_pos, freqs,
                                 decode_attn=attn_impl)
-        logits = logits_at(p, cfg, hidden, jnp.int32(0))
+        logits = logits_at(params, cfg, hidden, jnp.int32(0))
         return sample_gumbel(logits, temperature, key), state
 
     return prefill, decode
@@ -609,7 +611,7 @@ class Transformer:
         self.params = params
         self.cfg = cfg
         self.state = init_state(cfg)
-        self.prefill_fn, self.decode_fn = make_step_fns(params, cfg)
+        self.prefill_fn, self.decode_fn = make_step_fns(cfg)
         self._cached_tokens: list[int] = []
         self._key = jax.random.PRNGKey(seed)
         self.chunk = 1 if cfg.ssm else CHUNK
@@ -662,14 +664,15 @@ class Transformer:
                 chunk = tokens[pos:pos + n] + [0] * (self.chunk - n)
                 tok = jnp.asarray([chunk], jnp.int32)
                 out_tok, self.state = self.prefill_fn(
-                    self.state, tok, cache_offset + pos, jnp.int32(n), temp,
-                    self._split_key())
+                    self.params, self.state, tok, cache_offset + pos,
+                    jnp.int32(n), temp, self._split_key())
                 pos += n
                 if pos < prompt_len:
                     continue
             else:
                 out_tok, self.state = self.decode_fn(
-                    self.state, jnp.asarray([[tokens[-1]]], jnp.int32),
+                    self.params, self.state,
+                    jnp.asarray([[tokens[-1]]], jnp.int32),
                     cache_offset + pos, temp, self._split_key())
                 pos += 1
             nxt = int(np.asarray(out_tok)[0])

@@ -116,9 +116,12 @@ class VisionTower:
         return x.reshape(gh * gw, -1), (gh, gw)
 
     def __call__(self, img):
+        return self.apply(self.p, img)
+
+    def apply(self, p, img):
         """float [H,W,3] RGB -> (merged image embeds [N/4, lang_dim],
-        deepstack features {vision_block_idx order: [N/4, lang_dim]})."""
-        p = self.p
+        deepstack features {vision_block_idx order: [N/4, lang_dim]}).
+        Takes params explicitly so jitted callers don't bake weights in."""
         rows, (gh, gw) = self.patchify(img)
         x = rows @ p["_patch_proj"] + p["v.patch_embd.bias"]
 
@@ -254,16 +257,18 @@ class Qwen3VL:
         self._suffix = tok.encode("<|vision_end|>\n<|im_end|>\n")
         self._freqs = jnp.asarray(llm_mod.precompute_freqs(
             lang.cfg.rope_dim, lang.cfg.max_context, lang.cfg.rope_theta))
-        self._image_prefill = jax.jit(self._image_prefill_impl)
+        import functools
+        self._image_prefill = functools.partial(
+            jax.jit(self._image_prefill_impl), self.lang.params, self.vision.p)
 
     # -- image prefill ------------------------------------------------------
 
-    def _image_prefill_impl(self, state, img, start_pos):
+    def _image_prefill_impl(self, p, vp, state, img, start_pos):
         """Vision tower + language prefill with image embeds spliced between
-        the vision markers and deepstack adds (qwen3vl.py:259-298)."""
+        the vision markers and deepstack adds (qwen3vl.py:259-298). Model
+        params (p: language, vp: vision) are jit arguments, not constants."""
         cfg = self.lang.cfg
-        p = self.lang.params
-        embeds, deep = self.vision(img)
+        embeds, deep = self.vision.apply(vp, img)
         pre = jnp.asarray([self._prefix], jnp.int32)
         suf = jnp.asarray([self._suffix], jnp.int32)
         h_pre = F.embedding(p["token_embd.weight"], pre).astype(jnp.float32)

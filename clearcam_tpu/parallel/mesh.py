@@ -16,6 +16,8 @@ layout: batch over `data`, wide parameters split over `model`.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,12 +107,12 @@ def sharded_llm_prefill(mesh: Mesh, params: dict, cfg):
         llm.precompute_freqs(cfg.rope_dim, cfg.max_context, cfg.rope_theta))
 
     @jax.jit
-    def prefill(state, tokens, start_pos, n_real, temperature, key):
-        hidden, state = llm.forward(params, cfg, state, tokens, start_pos, freqs)
-        logits = llm.logits_at(params, cfg, hidden, n_real - 1)
+    def prefill(params_, state, tokens, start_pos, n_real, temperature, key):
+        hidden, state = llm.forward(params_, cfg, state, tokens, start_pos, freqs)
+        logits = llm.logits_at(params_, cfg, hidden, n_real - 1)
         return llm.sample_gumbel(logits, temperature, key), state
 
-    return prefill
+    return functools.partial(prefill, params)
 
 
 # ---------------------------------------------------------------------------

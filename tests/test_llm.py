@@ -186,5 +186,5 @@ def test_pallas_decode_matches_xla():
 
     fast = llm.Transformer(params, cfg, seed=0)
     fast.prefill_fn, fast.decode_fn = llm.make_step_fns(
-        params, cfg, use_pallas_decode=True, interpret=True)
+        cfg, use_pallas_decode=True, interpret=True)
     assert greedy(fast, [1, 2, 3], n=3) == out_ref

@@ -63,8 +63,8 @@ def test_moe_llm_ep_sharding_matches_single(mesh):
     key = jax.random.PRNGKey(0)
 
     # single device reference
-    pre_ref, _ = llm.make_step_fns(params, cfg)
-    tok_ref, _ = pre_ref(llm.init_state(cfg), tokens, 0, jnp.int32(4),
+    pre_ref, _ = llm.make_step_fns(cfg)
+    tok_ref, _ = pre_ref(params, llm.init_state(cfg), tokens, 0, jnp.int32(4),
                          jnp.float32(0.0), key)
 
     sharded = pmesh.shard_llm_params(mesh, params)
