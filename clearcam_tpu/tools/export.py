@@ -58,6 +58,9 @@ def export_detector(out_path: str | Path, size: str = "t", res: int = 640,
             "output": "x1,y1,x2,y2,score,class rows"}
     with zipfile.ZipFile(out_path, "w") as z:
         z.writestr("program.stablehlo", blob)
+        # raw StableHLO MLIR for non-Python replayers (native/replayer consumes
+        # this through the PJRT C API, format "mlir")
+        z.writestr("program.mlir", exported.mlir_module())
         z.writestr("meta.json", json.dumps(meta))
     return meta
 
