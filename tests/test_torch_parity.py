@@ -217,3 +217,96 @@ def test_clip_text_tower_parity():
         ref = pooled @ t(pn["text_projection"])
         ref = (ref / ref.norm()).numpy()
     np.testing.assert_allclose(ours[0], ref, rtol=2e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# BlazeFace backbone + AdaFace block vs torch
+# ---------------------------------------------------------------------------
+
+def test_blazeface_forward_parity():
+    from clearcam_tpu.models import blazeface
+    p = blazeface.init_params(seed=9)
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 256, 256, 3)).astype(np.float32)
+
+    ours_r, ours_c = blazeface.forward(p, jnp.asarray(x))
+
+    def conv(pre, x, s=1, pad=0, groups=1):
+        return tF.conv2d(x, hwio_to_oihw(pn[pre + ".weight"]),
+                         t(pn[pre + ".bias"]), stride=s, padding=pad,
+                         groups=groups)
+
+    with torch.no_grad():
+        h = tF.pad(t(x).permute(0, 3, 1, 2), (1, 2, 1, 2))
+        h = tF.relu(conv("conv_tiny", h, s=2))
+        for i in range(31):
+            s_, cin, cout = blazeface._block_dims(i)
+            if s_ == 2:
+                b = tF.pad(h, (0, 2, 0, 2))
+                h2 = conv(f"backbone_tiny.{i}.conv0_tiny", b, s=2, groups=cin)
+                h = tF.max_pool2d(h, 2, 2)
+            else:
+                h2 = conv(f"backbone_tiny.{i}.conv0_tiny", h, pad=1, groups=cin)
+            h2 = conv(f"backbone_tiny.{i}.conv1_tiny", h2)
+            if cout > cin:
+                h = tF.pad(h, (0, 0, 0, 0, 0, cout - cin))
+            h = tF.relu(h + h2)
+        fin = tF.pad(h, (0, 2, 0, 2))
+        fin = conv("final.conv0_tiny", fin, s=2, groups=96)
+        fin = tF.relu(conv("final.conv1_tiny", fin))
+        c1 = conv("classifier_8_tiny", h).permute(0, 2, 3, 1).reshape(1, -1, 1)
+        c2 = conv("classifier_16_tiny", fin).permute(0, 2, 3, 1).reshape(1, -1, 1)
+        r1 = conv("regressor_8_tiny", h).permute(0, 2, 3, 1).reshape(1, -1, 16)
+        r2 = conv("regressor_16_tiny", fin).permute(0, 2, 3, 1).reshape(1, -1, 16)
+        ref_r = torch.cat([r1, r2], 1).numpy()
+        ref_c = torch.cat([c1, c2], 1).numpy()
+    # random unnormalized weights blow activations up to ~1e4 through 31
+    # residual ReLU blocks; conv accumulation order then costs ~1% relative.
+    # A layout/padding bug would mismatch everywhere at order-1 error.
+    np.testing.assert_allclose(np.asarray(ours_r), ref_r, rtol=3e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(ours_c), ref_c, rtol=3e-2, atol=1e-2)
+
+
+def test_adaface_block_parity():
+    from clearcam_tpu.models import adaface
+    p = adaface.init_params(seed=11, blocks=adaface.BLOCKS_MINI)
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    rng = np.random.default_rng(5)
+    faces = rng.integers(0, 255, (1, 112, 112, 3)).astype(np.uint8)
+    ours = np.asarray(adaface.embed(p, jnp.asarray(faces)))
+
+    def bn(pre, x):
+        return tF.batch_norm(x, t(pn[pre + ".running_mean"]),
+                             t(pn[pre + ".running_var"]),
+                             t(pn[pre + ".weight"]), t(pn[pre + ".bias"]),
+                             False, 0.0, 1e-5)
+
+    def prelu(x, w):
+        return tF.prelu(x, t(w))
+
+    with torch.no_grad():
+        x = (t(faces.astype(np.float32)).permute(0, 3, 1, 2) / 255 - 0.5) / 0.5
+        x = tF.conv2d(x, hwio_to_oihw(pn["conv0.weight"]), padding=1)
+        x = prelu(bn("bn0", x), pn["prelu_weight"])
+        for i, (cin, depth, stride) in enumerate(adaface.BLOCKS_MINI):
+            pre = f"body.{i}"
+            if depth == cin:
+                sc = tF.max_pool2d(x, 1, stride) if stride > 1 else x
+            else:
+                sc = tF.conv2d(x, hwio_to_oihw(pn[pre + ".shortcut_layer0.weight"]),
+                               stride=stride)
+                sc = bn(pre + ".shortcut_layer1", sc)
+            h = bn(pre + ".res_layer0", x)
+            h = tF.conv2d(h, hwio_to_oihw(pn[pre + ".conv_layer0.weight"]), padding=1)
+            h = prelu(bn(pre + ".res_layer1", h), pn[pre + ".prelu_weight"])
+            h = tF.conv2d(h, hwio_to_oihw(pn[pre + ".conv_layer1.weight"]),
+                          stride=stride, padding=1)
+            x = bn(pre + ".res_layer2", h) + sc
+        x = bn("bn", x)
+        x = x.flatten(1)                    # NCHW flatten = channel-major
+        x = tF.linear(x, t(pn["linear.weight"]), t(pn["linear.bias"]))
+        x = (x - t(pn["bn2.running_mean"])) / torch.sqrt(
+            t(pn["bn2.running_var"]) + 1e-5)
+        ref = (x / x.norm(dim=-1, keepdim=True)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
