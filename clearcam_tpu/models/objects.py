@@ -243,17 +243,24 @@ class ObjectFinder:
     # -- crop ingestion (NVR object queue) ----------------------------------------
 
     def ingest_crop(self, path: Path, img_rgb: np.ndarray, nvr=None):
-        """New saved crop: CLIP-embed into the day cache, run description
-        alerts, and (for person crops) extract + embed the face
-        (clearcam.py:1228-1241,1278-1307)."""
-        path = Path(path)
-        if self.clip_enabled:
-            emb = self.embed_images([img_rgb])[0]
-            append_day_cache(path.parent / "embeddings.pkl", str(path), emb)
-            if nvr is not None and nvr.settings.userID:
-                self._check_desc_alerts(path, emb, nvr)
-        if self.face_enabled and path.stem.endswith("_0"):   # person class
-            self._ingest_face(path, img_rgb)
+        self.ingest_crops([path], [img_rgb], nvr=nvr)
+
+    def ingest_crops(self, paths: list[Path], imgs_rgb: list[np.ndarray],
+                     nvr=None):
+        """New saved crops: ONE batched CLIP embed call for the whole set,
+        per-day cache appends, description alerts, and face extraction for
+        person crops (clearcam.py:1228-1241,1278-1307 embed one at a time)."""
+        paths = [Path(p) for p in paths]
+        if self.clip_enabled and paths:
+            embs = self.embed_images(imgs_rgb)
+            for path, emb in zip(paths, embs):
+                append_day_cache(path.parent / "embeddings.pkl", str(path), emb)
+                if nvr is not None and nvr.settings.userID:
+                    self._check_desc_alerts(path, emb, nvr)
+        if self.face_enabled:
+            for path, img in zip(paths, imgs_rgb):
+                if path.stem.endswith("_0"):   # person class
+                    self._ingest_face(path, img)
 
     def _ingest_face(self, path: Path, img_rgb: np.ndarray):
         face = self._face.extract_face(img_rgb)

@@ -681,19 +681,32 @@ class NVR:
 
     # -- CLIP/face embedding of saved crops ------------------------------------
 
+    CROP_BATCH = 16
+
     def _drain_object_queue(self):
+        """Embed up to CROP_BATCH saved crops in ONE batched device call per
+        tick (the reference embeds one crop per loop iteration,
+        clearcam.py:272-279)."""
         if not self.object_queue or self.object_finder is None:
             return
-        path = self.object_queue[0]
+        import cv2
+        batch_paths, batch_imgs = [], []
+        while self.object_queue and len(batch_paths) < self.CROP_BATCH:
+            path = self.object_queue.pop(0)
+            try:
+                img = cv2.imread(str(path))
+            except Exception:
+                img = None
+            if img is None:
+                continue
+            batch_paths.append(path)
+            batch_imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        if not batch_paths:
+            return
         try:
-            import cv2
-            img = cv2.imread(str(path))
-            if img is not None:
-                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                self.object_finder.ingest_crop(path, img, nvr=self)
+            self.object_finder.ingest_crops(batch_paths, batch_imgs, nvr=self)
         except Exception as e:  # noqa: BLE001
-            print(f"object queue error {path}: {e}")
-        del self.object_queue[0]
+            print(f"object queue error: {e}")
 
     # -- loop -------------------------------------------------------------------
 
