@@ -179,10 +179,19 @@ class ObjectFinder:
         return cv2.resize(img_rgb, (224, 224), interpolation=cv2.INTER_CUBIC)
 
     def embed_images(self, imgs_rgb: list[np.ndarray]) -> np.ndarray:
-        """Batch of RGB crops -> [N,768] normalized embeddings."""
+        """Batch of RGB crops -> [N,768] normalized embeddings. Batches are
+        zero-padded to powers of two to bound the number of compiled
+        programs (same bucketing as the detector)."""
         import jax.numpy as jnp
-        batch = np.stack([self.preprocess(i) for i in imgs_rgb])
-        return np.asarray(self._embed_jit(self._clip_params, jnp.asarray(batch)))
+        n = len(imgs_rgb)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        batch = np.zeros((bucket, 224, 224, 3), np.uint8)
+        for i, img in enumerate(imgs_rgb):
+            batch[i] = self.preprocess(img)
+        out = np.asarray(self._embed_jit(self._clip_params, jnp.asarray(batch)))
+        return out[:n]
 
     def embed_text(self, text: str) -> np.ndarray:
         import jax.numpy as jnp
