@@ -140,12 +140,19 @@ class NativeIngest:
     def register(self, cam_name: str, fd: int, shape: tuple[int, int, int]):
         from .native_loader import NativeBatcher
         g = self.groups.get(shape)
-        if g is None or len(g["names"]) >= self.GROUP_CAP:
+        if g is None:
             g = {"batcher": NativeBatcher(self.GROUP_CAP, shape), "names": []}
             self.groups[shape] = g
-        idx = len(g["names"])
+        # respawned cameras reuse their slot (the old reader thread stopped
+        # with its pipe); otherwise take the next free one
+        if cam_name in g["names"]:
+            idx = g["names"].index(cam_name)
+        elif len(g["names"]) < self.GROUP_CAP:
+            idx = len(g["names"])
+            g["names"].append(cam_name)
+        else:
+            raise RuntimeError(f"ingest group full ({self.GROUP_CAP})")
         g["batcher"].add_fd(idx, fd)
-        g["names"].append(cam_name)
         return shape, idx
 
     def snapshot_all(self) -> dict[str, tuple]:
@@ -279,6 +286,11 @@ class NVR:
         cam = self.cams.pop(name, None)
         if cam and cam.pump:
             cam.pump.stop()
+        elif cam and cam.source is not None:
+            try:
+                cam.source.close()   # native-ingest cams: EOF stops the reader
+            except Exception:
+                pass
 
     def refresh_cams(self):
         """Hot add / re-point from the links table (clearcam.py:255-268)."""

@@ -88,6 +88,7 @@ int cc_batcher_add_fd(void* h, int stream, int fd) {
   if (stream < 0 || stream >= (int)b->slots.size()) return 1;
   Slot& s = b->slots[stream];
   if (s.running.load()) return 2;
+  if (s.reader.joinable()) s.reader.join();  // slot reuse after EOF/respawn
   s.fd = fd;
   s.running.store(true);
   s.reader = std::thread(reader_loop, b, &s);

@@ -89,3 +89,36 @@ def test_batcher_fd_reader():
     assert batch[0, 0, 0, 0] == 3
     os.close(w)
     b.close()
+
+
+@pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
+                    reason="native build unavailable")
+def test_batcher_slot_reuse_after_eof():
+    """A stream whose pipe hit EOF can be re-attached to the same slot
+    (camera respawn path)."""
+    shape = (4, 4, 3)
+    n = int(np.prod(shape))
+    b = native_loader.NativeBatcher(1, shape)
+    r, w = os.pipe()
+    b.add_fd(0, r)
+    os.write(w, bytes([9]) * n)
+    os.close(w)                      # EOF stops the reader
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        _, seqs = b.snapshot()
+        if seqs[0] == 0:
+            break
+        time.sleep(0.01)
+    time.sleep(0.1)                  # let the reader exit
+    r2, w2 = os.pipe()
+    b.add_fd(0, r2)                  # reuse slot 0
+    os.write(w2, bytes([5]) * n)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        batch, seqs = b.snapshot()
+        if seqs[0] >= 1:
+            break
+        time.sleep(0.01)
+    assert seqs[0] >= 1 and batch[0, 0, 0, 0] == 5
+    os.close(w2)
+    b.close()
