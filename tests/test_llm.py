@@ -188,3 +188,19 @@ def test_pallas_decode_matches_xla():
     fast.prefill_fn, fast.decode_fn = llm.make_step_fns(
         cfg, use_pallas_decode=True, interpret=True)
     assert greedy(fast, [1, 2, 3], n=3) == out_ref
+
+
+def test_dequant_q4_k():
+    """Hand-built Q4_K block: uniform q=5 nibbles, scales=2/mins=1, d=1,
+    dmin=0.5 -> value = 1*2*5 - 0.5*1 = 9.5 everywhere."""
+    blk = np.zeros(144, np.uint8)
+    blk[0:2] = np.array([1.0], np.float16).view(np.uint8)     # d
+    blk[2:4] = np.array([0.5], np.float16).view(np.uint8)     # dmin
+    # k-quant 12-byte scale block: bytes 4-7 = sc[0..3] (6-bit), 8-11 =
+    # mn[0..3] (6-bit), 12-15 pack the low nibbles of sc[4..7] | mn[4..7]<<4
+    blk[4:8] = 2
+    blk[8:12] = 1
+    blk[12:16] = (2 & 0xF) | ((1 & 0xF) << 4)
+    blk[16:144] = 5 | (5 << 4)                 # all nibbles = 5
+    out = gguf.dequant(blk, 256, 12)
+    np.testing.assert_allclose(out, 9.5)
