@@ -175,6 +175,17 @@ def make_handler(ctx: AppContext):
             from ..runtime import metrics
             self._json(metrics.snapshot())
 
+        def _get_get_preds(self, q, cam):
+            """Latest tracked boxes for live overlays (the iOS app's
+            get-frames scrubbing metadata, FileServer.m:396)."""
+            if not cam or ctx.nvr is None or cam not in ctx.nvr.cams:
+                return self._json({"preds": [], "width": 0, "height": 0})
+            c = ctx.nvr.cams[cam]
+            h, w = (c.last_frame.shape[:2] if c.last_frame is not None
+                    else (0, 0))
+            self._json({"preds": np.asarray(c.last_preds).round(2).tolist(),
+                        "width": w, "height": h, "fps": round(c.fps, 2)})
+
         def _get_list_cameras(self, q, cam):
             cams = ctx.db.run_get("links", None)
             progs = ctx.db.run_get("analysis_prog", None)

@@ -215,3 +215,18 @@ def test_path_traversal_blocked(base, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as e:
             get(url + path, raw=True)
         assert e.value.code in (403, 404)
+
+
+def test_get_preds_overlay_endpoint(base):
+    url, ctx = base
+    assert get(f"{url}/get_preds?cam=nope") == {"preds": [], "width": 0,
+                                                "height": 0}
+    # with a live camera holding predictions
+    from clearcam_tpu.runtime.nvr import CamState
+    cam = CamState(name="ov", src="x")
+    cam.last_frame = np.zeros((240, 320, 3), np.uint8)
+    cam.last_preds = np.array([[1, 2, 3, 4, 0.9, 0.0, 7.0]])
+    ctx.nvr.cams["ov"] = cam
+    d = get(f"{url}/get_preds?cam=ov")
+    assert d["width"] == 320 and d["height"] == 240
+    assert d["preds"][0][6] == 7.0
