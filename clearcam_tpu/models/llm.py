@@ -383,11 +383,36 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
 
-    @jax.jit
-    def prefill(params, state, tokens, start_pos, n_real, temperature, key):
-        hidden, state = forward(params, cfg, state, tokens, start_pos, freqs)
-        logits = logits_at(params, cfg, hidden, n_real - 1)
-        return sample_gumbel(logits, temperature, key), state
+    if cfg.ssm is None:
+        @jax.jit
+        def prefill(params, state, tokens, start_pos, n_real, temperature, key):
+            hidden, state = forward(params, cfg, state, tokens, start_pos, freqs)
+            logits = logits_at(params, cfg, hidden, n_real - 1)
+            return sample_gumbel(logits, temperature, key), state
+    else:
+        # recurrent blocks only support T=1; scan the chunk inside ONE
+        # compiled program instead of the reference's per-token Python loop
+        # (model.py:398 forces chunk_size=1). Padded steps (t >= n_real) skip
+        # the state update so the SSM recurrence stays clean.
+        @jax.jit
+        def prefill(params, state, tokens, start_pos, n_real, temperature, key):
+            def step(carry, tok_t):
+                st, t = carry
+                def live(st):
+                    hidden, st2 = forward(params, cfg, st, tok_t[None],
+                                          start_pos + t, freqs)
+                    return st2, hidden[:, 0]
+                def dead(st):
+                    return st, jnp.zeros((tokens.shape[0], cfg.dim), jnp.float32)
+                st, h = jax.lax.cond(t < n_real, live, dead, st)
+                return (st, t + 1), h
+
+            (state, _), hiddens = jax.lax.scan(
+                step, (state, jnp.int32(0)), tokens.T)        # scan over T
+            hidden = jnp.take(hiddens, n_real - 1, axis=0)    # [B, D]
+            hidden = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
+            logits = F.linear(hidden, params["output.weight"])
+            return sample_gumbel(logits, temperature, key), state
 
     attn_impl = None
     if use_pallas_decode:
@@ -614,7 +639,7 @@ class Transformer:
         self.prefill_fn, self.decode_fn = make_step_fns(cfg)
         self._cached_tokens: list[int] = []
         self._key = jax.random.PRNGKey(seed)
-        self.chunk = 1 if cfg.ssm else CHUNK
+        self.chunk = CHUNK  # SSM configs scan the chunk internally (see prefill)
 
     @classmethod
     def from_gguf(cls, path: str | Path, max_context: int | None = None,

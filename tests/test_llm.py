@@ -83,9 +83,14 @@ def test_ssm_block():
     params = llm.init_params(cfg, seed=4)
     assert cfg.block_kind(0) == "ssm" and cfg.block_kind(1) == "attn"
     m = llm.Transformer(params, cfg, seed=0)
-    assert m.chunk == 1                  # recurrent blocks force T=1
     out = greedy(m, [1, 2, 3], n=3)
     assert len(out) == 3
+    # the scan prefill (full chunk in one program) must match explicit
+    # token-by-token prefill
+    ref = llm.Transformer(params, cfg, seed=0)
+    ref.chunk = 1
+    assert greedy(ref, [1, 2, 3, 4, 5], n=3) == greedy(
+        llm.Transformer(params, cfg, seed=0), [1, 2, 3, 4, 5], n=3)
     # prefix divergence resets recurrent state and still matches fresh run
     out2 = greedy(m, [9, 8, 7], n=2)
     fresh = llm.Transformer(params, cfg, seed=0)
