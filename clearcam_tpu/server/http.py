@@ -175,6 +175,23 @@ def make_handler(ctx: AppContext):
             from ..runtime import metrics
             self._json(metrics.snapshot())
 
+        def _get_profile(self, q, cam):
+            """Capture a JAX/XLA profiler trace for N seconds -> trace dir
+            (view with tensorboard/xprof). Deeper counterpart to /metrics;
+            the reference's profiling story is tinygrad DEBUG env flags."""
+            import time as _time
+            seconds = float(self._q(q, "seconds", "3"))
+            out_dir = ctx.base_dir / "profiles" / str(int(_time.time()))
+            out_dir.mkdir(parents=True, exist_ok=True)
+            try:
+                import jax
+                jax.profiler.start_trace(str(out_dir))
+                _time.sleep(min(seconds, 30.0))
+                jax.profiler.stop_trace()
+                self._json({"trace_dir": str(out_dir)})
+            except Exception as e:  # noqa: BLE001
+                self._json({"error": str(e)}, status=500)
+
         def _get_get_preds(self, q, cam):
             """Latest tracked boxes for live overlays (the iOS app's
             get-frames scrubbing metadata, FileServer.m:396)."""

@@ -230,3 +230,12 @@ def test_get_preds_overlay_endpoint(base):
     d = get(f"{url}/get_preds?cam=ov")
     assert d["width"] == 320 and d["height"] == 240
     assert d["preds"][0][6] == 7.0
+
+
+def test_profile_endpoint(base):
+    url, ctx = base
+    d = get(f"{url}/profile?seconds=0.2")
+    assert "trace_dir" in d or "error" in d
+    if "trace_dir" in d:
+        from pathlib import Path
+        assert Path(d["trace_dir"]).exists()
