@@ -310,3 +310,43 @@ def test_adaface_block_parity():
             t(pn["bn2.running_var"]) + 1e-5)
         ref = (x / x.norm(dim=-1, keepdim=True)).numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_clip_image_tower_parity():
+    p = clip.init_params(seed=5, img_blocks=2, txt_blocks=1)
+    rng = np.random.default_rng(6)
+    pixels = rng.integers(0, 255, (1, 224, 224, 3)).astype(np.uint8)
+    ours = np.asarray(clip.encode_image(p, jnp.asarray(pixels)))
+
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    with torch.no_grad():
+        x = (t(pixels.astype(np.float32)).permute(0, 3, 1, 2) / 255 - 0.5) / 0.5
+        x = tF.conv2d(x, hwio_to_oihw(pn["visual_conv1.weight"]), stride=14)
+        x = x.flatten(2).transpose(1, 2)                    # [1,256,1024]
+        cls = t(pn["class_embedding"]).expand(1, 1, -1)
+        x = torch.cat([cls, x], 1) + t(pn["positional_embedding"])
+        x = tF.layer_norm(x, (1024,), t(pn["ln_pre.weight"]), t(pn["ln_pre.bias"]))
+        for i in range(2):
+            pre = f"resblocks_img.{i}"
+            h = tF.layer_norm(x, (1024,), t(pn[pre + ".ln_1.weight"]),
+                              t(pn[pre + ".ln_1.bias"]))
+            attn, _ = torch.nn.functional.multi_head_attention_forward(
+                h.transpose(0, 1), h.transpose(0, 1), h.transpose(0, 1),
+                1024, 16, t(pn[pre + ".in_proj_weight"]),
+                t(pn[pre + ".in_proj_bias"]), None, None, False, 0.0,
+                t(pn[pre + ".out_proj_weight"]), t(pn[pre + ".out_proj_bias"]),
+                need_weights=False)
+            x = x + attn.transpose(0, 1)
+            h = tF.layer_norm(x, (1024,), t(pn[pre + ".ln_2.weight"]),
+                              t(pn[pre + ".ln_2.bias"]))
+            h = tF.linear(h, t(pn[pre + ".mlp_c_fc.weight"]),
+                          t(pn[pre + ".mlp_c_fc.bias"]))
+            h = tF.gelu(h)
+            h = tF.linear(h, t(pn[pre + ".mlp_c_proj.weight"]),
+                          t(pn[pre + ".mlp_c_proj.bias"]))
+            x = x + h
+        x = tF.layer_norm(x, (1024,), t(pn["ln_post.weight"]),
+                          t(pn["ln_post.bias"]))
+        emb = x[:, 0] @ t(pn["proj"])
+        ref = (emb / (emb.norm(dim=-1, keepdim=True) + 1e-8)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
