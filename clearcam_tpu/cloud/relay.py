@@ -30,7 +30,7 @@ from pathlib import Path
 from .crypto import encrypt_file
 from ..runtime.ingest import find_ffmpeg
 
-HOST = "www.clearcam.org"
+NOTIF_URL = "https://www.clearcam.org/send"
 API = "https://clearcam.org"
 MAX_CLIP_BYTES = 10 * 1024 * 1024
 
@@ -51,14 +51,11 @@ def send_notif(session_token: str, text: str | None = None,
                       body_text])
     body = "\r\n".join(parts).encode("utf-8")
     try:
-        conn = http.client.HTTPSConnection(HOST, timeout=15)
-        conn.request("POST", "/send", body, {
-            "Content-Type": f"multipart/form-data; boundary={boundary}",
-            "Content-Length": str(len(body))})
-        resp = conn.getresponse()
-        resp.read()
-        conn.close()
-        return 200 <= resp.status < 300
+        req = urllib.request.Request(NOTIF_URL, data=body, headers={
+            "Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=15) as resp:
+            resp.read()
+            return 200 <= resp.status < 300
     except Exception as e:  # noqa: BLE001
         print(f"send_notif error: {e}")
         return False
@@ -66,13 +63,17 @@ def send_notif(session_token: str, text: str | None = None,
 
 def put_presigned(file_path: Path, signed_url: str) -> bool:
     """PUT a file body to a presigned URL (clearcam.py:1195-1212)."""
+    file_path = Path(file_path)
     try:
         u = urllib.parse.urlparse(signed_url)
         conn_cls = http.client.HTTPSConnection if u.scheme == "https" else http.client.HTTPConnection
         conn = conn_cls(u.netloc, timeout=30)
         with open(file_path, "rb") as f:
-            conn.request("PUT", u.path + "?" + u.query, body=f,
-                         headers={"Content-Type": "application/octet-stream"})
+            # explicit Content-Length: py3.12 http.client otherwise streams
+            # file bodies chunked, which presigned S3/R2 PUTs reject
+            conn.request("PUT", u.path + "?" + u.query, body=f, headers={
+                "Content-Type": "application/octet-stream",
+                "Content-Length": str(file_path.stat().st_size)})
             resp = conn.getresponse()
         conn.close()
         return 200 <= resp.status < 300
