@@ -123,6 +123,8 @@ class ObjectFinder:
         self.face_enabled = False
         self.index = EmbeddingIndex()
         self.face_index = EmbeddingIndex()
+        self._file_cache: dict[str, tuple] = {}       # pkl path -> (mtime, embs)
+        self._face_file_cache: dict[str, tuple] = {}
         self._clip_params = None
         self._tok = None
         self._embed_jit = None
@@ -204,9 +206,13 @@ class ObjectFinder:
 
     def load_all_embeddings(self, face: bool = False):
         """Scan data/cameras/*/{objects|faces}/*/embeddings.pkl into the
-        stacked index (objects.py:392-422)."""
-        merged: dict[str, np.ndarray] = {}
+        stacked index (objects.py:392-422 re-reads every pkl per search; we
+        cache per-file contents keyed by mtime and only reload changed days).
+        """
         sub = "faces" if face else "objects"
+        file_cache = self._face_file_cache if face else self._file_cache
+        seen = set()
+        changed = False
         if self.base_dir.exists():
             for cam_dir in self.base_dir.iterdir():
                 root = cam_dir / sub
@@ -214,9 +220,24 @@ class ObjectFinder:
                     continue
                 for day_dir in root.iterdir():
                     cache = day_dir / "embeddings.pkl"
-                    if cache.exists():
-                        merged.update(read_day_cache(cache))
-        (self.face_index if face else self.index).rebuild(merged)
+                    if not cache.exists():
+                        continue
+                    key = str(cache)
+                    seen.add(key)
+                    mtime = cache.stat().st_mtime_ns
+                    entry = file_cache.get(key)
+                    if entry is None or entry[0] != mtime:
+                        file_cache[key] = (mtime, read_day_cache(cache))
+                        changed = True
+        for key in list(file_cache):
+            if key not in seen:
+                del file_cache[key]   # deleted day (storage cleanup)
+                changed = True
+        merged: dict[str, np.ndarray] = {}
+        for _, embs in file_cache.values():
+            merged.update(embs)
+        if changed or not (self.face_index if face else self.index).paths:
+            (self.face_index if face else self.index).rebuild(merged)
         return len(merged)
 
     # -- searches ---------------------------------------------------------------

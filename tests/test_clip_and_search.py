@@ -132,3 +132,40 @@ def test_object_finder_ingest_and_search(tmp_path):
     res = finder.search_image(buf.tobytes(), top_k=2)
     assert res and res[0][0].endswith("10_0_0.jpg")
     assert res[0][1] > res[1][1]
+
+
+def test_load_all_embeddings_incremental(tmp_path):
+    """Unchanged day caches are not re-read; new/changed days are."""
+    import pickle
+    base = tmp_path / "cameras"
+    finder = ObjectFinder(base_dir=base, weights_dir=tmp_path)
+    day1 = base / "cam1" / "objects" / "2026-08-15"
+    day1.mkdir(parents=True)
+    append_day_cache(day1 / "embeddings.pkl", "a.jpg", _unit([1, 0, 0]))
+    assert finder.load_all_embeddings() == 1
+
+    reads = []
+    orig = pickle.load
+
+    def counting_load(f):
+        reads.append(f.name)
+        return orig(f)
+
+    import clearcam_tpu.models.objects as objmod
+    old = objmod.pickle.load
+    objmod.pickle.load = counting_load
+    try:
+        assert finder.load_all_embeddings() == 1
+        assert reads == []               # mtime unchanged -> no re-read
+        day2 = base / "cam1" / "objects" / "2026-08-16"
+        day2.mkdir(parents=True)
+        append_day_cache(day2 / "embeddings.pkl", "b.jpg", _unit([0, 1, 0]))
+        assert finder.load_all_embeddings() == 2
+        assert any("2026-08-16" in r for r in reads)
+        assert not any("2026-08-15" in r for r in reads)
+    finally:
+        objmod.pickle.load = old
+    # deleted day drops out of the index
+    import shutil
+    shutil.rmtree(day2)
+    assert finder.load_all_embeddings() == 1
