@@ -47,7 +47,12 @@ def daily_restart(nvr, at=(0, 0)):
 
 
 def build_detector(settings, weights_dir: Path):
-    """YOLOv9 with published weights when present, random otherwise."""
+    """YOLOv9 with published weights when present, random otherwise.
+
+    Env knobs (the reference's HALF/DEV/BEAM equivalents, model.py:326-331,
+    README.md:81-82): CLEARCAM_DTYPE=bf16|f32 (default bf16).
+    """
+    import os
     from .runtime.nvr import BatchDetector
     from .models import yolov9
     import jax.numpy as jnp
@@ -60,8 +65,10 @@ def build_detector(settings, weights_dir: Path):
     else:
         print(f"weights not found at {path} — using random init (detections "
               "will be meaningless; drop the published safetensors there)")
+    dtype = jnp.float32 if os.environ.get("CLEARCAM_DTYPE") == "f32" \
+        else jnp.bfloat16
     return BatchDetector(settings.model_size, int(settings.model_res),
-                         params=params, compute_dtype=jnp.bfloat16)
+                         params=params, compute_dtype=dtype)
 
 
 def main(argv=None):
