@@ -119,15 +119,22 @@ def sharded_llm_prefill(mesh: Mesh, params: dict, cfg):
 # training step (dp x tp) — used by the multichip dryrun and for fine-tuning
 # ---------------------------------------------------------------------------
 
-def make_train_step(size: str = "t", lr: float = 1e-3):
-    """A full optimizer step on the YOLOv9 head output.
+def make_train_step(size: str = "t", lr: float = 1e-3, kind: str = "detect"):
+    """A full optimizer step on YOLOv9.
 
-    Distillation-style objective: match a target raw head tensor (e.g. from a
-    teacher or recorded reference outputs). Params may carry any NamedSharding
-    (tp over `model`); the batch rides `data`. XLA derives the collectives
-    (psum for grads across data, all-gathers for tp) from the shardings.
+    kind="detect": the real fine-tuning objective (TAL assignment + CIoU +
+    BCE, models/yolo_loss.py) — step(params, opt_state, frames, gt_boxes,
+    gt_cls). kind="distill": MSE against a target raw head tensor —
+    step(params, opt_state, frames, targets). Params may carry any
+    NamedSharding (tp over `model`); the batch rides `data`. XLA derives the
+    collectives (psum for grads across data, all-gathers for tp) from the
+    shardings.
     """
     from ..models import yolov9
+
+    if kind == "detect":
+        from ..models import yolo_loss
+        return yolo_loss.make_finetune_step(size, lr)
 
     opt = optax.sgd(lr)
 
