@@ -35,17 +35,20 @@ def test_sharded_detect_matches_single_device(mesh):
 
 def test_train_step_runs_with_tp(mesh):
     params = pmesh.shard_params_tp(mesh, yolov9.init_params("t", seed=0))
-    train_step, opt = pmesh.make_train_step("t")
+    train_step, opt = pmesh.make_train_step("t", kind="detect")
     opt_state = opt.init(params)
     dp = mesh.shape["data"]
     frames = jax.device_put(
         jnp.asarray(np.random.default_rng(0).uniform(0, 1, (dp, 64, 64, 3)),
                     jnp.float32),
         NamedSharding(mesh, P("data")))
-    n = sum((64 // s) ** 2 for s in yolov9.STRIDES)
-    targets = jax.device_put(jnp.zeros((dp, n, 84)), NamedSharding(mesh, P("data")))
+    gt_boxes = jax.device_put(
+        jnp.tile(jnp.asarray([[[12.0, 12.0, 44.0, 44.0]]]), (dp, 1, 1)),
+        NamedSharding(mesh, P("data")))
+    gt_cls = jax.device_put(jnp.zeros((dp, 1), jnp.int32),
+                            NamedSharding(mesh, P("data")))
     with mesh:
-        p2, _, loss = train_step(params, opt_state, frames, targets)
+        p2, _, loss = train_step(params, opt_state, frames, gt_boxes, gt_cls)
     assert np.isfinite(float(loss))
     # weights actually updated
     k = "model.0.conv.weight"
