@@ -152,6 +152,15 @@ def main(argv=None):
     if server:
         print(f"Serving at http://{lan_ip()}:{args.port}")
     threading.Thread(target=daily_restart, args=(nvr,), daemon=True).start()
+
+    import signal
+
+    def _graceful(signum, frame):
+        print(f"signal {signum}: shutting down")
+        nvr.running = False
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
     try:
         nvr.run()
     except KeyboardInterrupt:

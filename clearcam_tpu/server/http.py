@@ -376,11 +376,13 @@ def make_handler(ctx: AppContext):
             except ValueError:
                 start = None
             html = (WEB_DIR / "cameraview.html").read_text()
+            # values land inside JS string literals: JSON-escape them so a
+            # hostile camera/folder name cannot break out of the script
             for k, v in {
-                "{selected_dir}": selected_dir,
+                "{selected_dir}": json.dumps(selected_dir)[1:-1],
                 "{class_labels}": json.dumps(ctx.labels),
                 "{start_time}": str(start) if start is not None else "null",
-                "{cam_name}": cam,
+                "{cam_name}": json.dumps(cam)[1:-1],
             }.items():
                 html = html.replace(k, v)
             self._html(html)

@@ -239,3 +239,12 @@ def test_profile_endpoint(base):
     if "trace_dir" in d:
         from pathlib import Path
         assert Path(d["trace_dir"]).exists()
+
+
+def test_cameraview_escapes_hostile_cam_name(base):
+    url, _ = base
+    evil = '";alert(1);//'
+    html = get(f"{url}/?cam={urllib.parse.quote(evil)}", raw=True).decode()
+    # the quote inside the JS string literal must be backslash-escaped so the
+    # name cannot terminate the literal and inject script
+    assert 'const CAM="\\";alert(1);//";' in html
