@@ -142,10 +142,10 @@ def test_mixed_resolution_cameras(tmp_path):
 
     n = NVR(db, tmp_path / "data", GlobalSettings(), detector=Recording())
     n.run(max_ticks=40, tick_sleep=0.02)
+    cams = dict(n.cams)
     n.stop()
     flat = [s for call in shapes_seen for s in call]
     assert (360, 640, 3) in flat and (240, 320, 3) in flat
-    # all three cameras tracked their object
+    # every camera's tracker saw its object
     for cam in ("hd1", "hd2", "sd"):
-        assert n.cams[cam].counter.get_counts()[0].get(0, 0) >= 1 or True
-        assert len(n.cams[cam].tracker) >= 1
+        assert len(cams[cam].tracker) >= 1
