@@ -202,15 +202,21 @@ def export_and_upload(cam_name: str, thumbnail: Path, userID: str, key: str,
 
 def upload_live_segment(stream_dir: Path, signed_url: str, key: str) -> bool:
     """4-second low-res relay segment: export, encrypt, presigned PUT
-    (clearcam.py:548-554)."""
-    mp4 = Path("segment.mp4")
+    (clearcam.py:548-554). Work files live under the camera's own stream_dir
+    (the reference uses fixed CWD paths, clearcam.py:549 — with one relay
+    thread per camera every 4 s that cross-contaminates uploads between
+    cameras; per-camera paths fix that)."""
+    mp4 = Path(stream_dir) / "live_segment.mp4"
     if not export_clip(stream_dir, mp4, live=True):
         return False
-    aes = Path("segment.mp4.aes")
-    if not encrypt_file(mp4, aes, key):
-        return False
+    aes = Path(f"{mp4}.aes")
     try:
-        mp4.unlink()
-    except OSError:
-        pass
-    return put_presigned(aes, signed_url)
+        if not encrypt_file(mp4, aes, key):
+            return False
+        return put_presigned(aes, signed_url)
+    finally:
+        for p in (mp4, aes):
+            try:
+                p.unlink()
+            except OSError:
+                pass

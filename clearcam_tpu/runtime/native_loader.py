@@ -90,6 +90,8 @@ class NativeBatcher:
         lib.cc_batcher_snapshot.restype = ctypes.c_long
         lib.cc_batcher_snapshot.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                             ctypes.c_void_p]
+        lib.cc_batcher_remove.restype = ctypes.c_int
+        lib.cc_batcher_remove.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.cc_batcher_stop.argtypes = [ctypes.c_void_p]
         lib.cc_batcher_destroy.argtypes = [ctypes.c_void_p]
         self.n = n_streams
@@ -103,6 +105,11 @@ class NativeBatcher:
         rc = self.lib.cc_batcher_add_fd(self.h, stream, fd)
         if rc:
             raise RuntimeError(f"add_fd failed ({rc})")
+
+    def remove(self, stream: int):
+        """Stop the slot's reader and reset its seq so the slot can be reused
+        by a different camera (close the pipe's write side first)."""
+        self.lib.cc_batcher_remove(self.h, stream)
 
     def push(self, stream: int, frame: np.ndarray):
         frame = np.ascontiguousarray(frame, np.uint8)

@@ -59,7 +59,13 @@ class DeviceExecutor:
             return fn(*args)
         result: queue.Queue = queue.Queue(maxsize=1)
         self._q.put((fn, args, result))
-        out = result.get()
+        while True:
+            try:
+                out = result.get(timeout=0.5)
+                break
+            except queue.Empty:
+                if not self.loop_running:
+                    self.drain_one()  # loop exited mid-wait: self-service
         if isinstance(out, BaseException):
             raise out
         return out
@@ -74,6 +80,13 @@ class DeviceExecutor:
         except BaseException as e:  # noqa: BLE001
             result.put(e)
         return True
+
+    def shutdown(self):
+        """Unblock submitters still queued when the loop exits: run their
+        tasks inline-style so no HTTP thread hangs on result.get() forever."""
+        self.loop_running = False
+        while self.drain_one():
+            pass
 
 
 class BatchDetector:
@@ -135,25 +148,45 @@ class NativeIngest:
     GROUP_CAP = 32
 
     def __init__(self):
-        self.groups: dict[tuple, dict] = {}
+        self.groups: dict[tuple, dict] = {}  # shape -> {batcher, names[slot]}
 
     def register(self, cam_name: str, fd: int, shape: tuple[int, int, int]):
         from .native_loader import NativeBatcher
+        # a camera respawning at a different resolution moves groups: free its
+        # old slot first so repeated re-points never exhaust GROUP_CAP
+        for other_shape, og in self.groups.items():
+            if other_shape != shape and cam_name in og["names"]:
+                self._free_slot(og, og["names"].index(cam_name))
         g = self.groups.get(shape)
         if g is None:
             g = {"batcher": NativeBatcher(self.GROUP_CAP, shape), "names": []}
             self.groups[shape] = g
-        # respawned cameras reuse their slot (the old reader thread stopped
-        # with its pipe); otherwise take the next free one
-        if cam_name in g["names"]:
-            idx = g["names"].index(cam_name)
-        elif len(g["names"]) < self.GROUP_CAP:
-            idx = len(g["names"])
-            g["names"].append(cam_name)
+        names = g["names"]
+        if cam_name in names:
+            # same-shape respawn: reuse the slot (old reader stopped at EOF)
+            idx = names.index(cam_name)
+        elif None in names:
+            idx = names.index(None)  # reclaim a freed slot
+            names[idx] = cam_name
+        elif len(names) < self.GROUP_CAP:
+            idx = len(names)
+            names.append(cam_name)
         else:
             raise RuntimeError(f"ingest group full ({self.GROUP_CAP})")
         g["batcher"].add_fd(idx, fd)
         return shape, idx
+
+    def _free_slot(self, g: dict, idx: int):
+        g["names"][idx] = None
+        g["batcher"].remove(idx)
+
+    def remove(self, cam_name: str):
+        """Free the camera's slot (stop reader, reset seq) so it can be
+        reused — the reference tolerates unlimited re-points
+        (clearcam.py:255-268); so must we."""
+        for g in self.groups.values():
+            if cam_name in g["names"]:
+                self._free_slot(g, g["names"].index(cam_name))
 
     def snapshot_all(self) -> dict[str, tuple]:
         """-> {cam_name: (frame_view, seq)} for every registered camera."""
@@ -161,7 +194,8 @@ class NativeIngest:
         for g in self.groups.values():
             batch, seqs = g["batcher"].snapshot()
             for i, name in enumerate(g["names"]):
-                out[name] = (batch[i], int(seqs[i]))
+                if name is not None:
+                    out[name] = (batch[i], int(seqs[i]))
         return out
 
     def close(self):
@@ -291,6 +325,8 @@ class NVR:
                 cam.source.close()   # native-ingest cams: EOF stops the reader
             except Exception:
                 pass
+            if self.native_ingest is not None and getattr(cam, "native_key", None):
+                self.native_ingest.remove(name)  # reclaim the batcher slot
 
     def refresh_cams(self):
         """Hot add / re-point from the links table (clearcam.py:255-268)."""
@@ -739,7 +775,7 @@ class NVR:
                 if tick_sleep:
                     time.sleep(tick_sleep)
         finally:
-            self.executor.loop_running = False
+            self.executor.shutdown()
 
     def stop(self):
         self.running = False

@@ -45,18 +45,36 @@ WEB_DIR = Path(__file__).parent / "web"
 DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
+def safe_cam_name(name: str | None) -> str | None:
+    """Reject camera names that could escape the cameras dir (path traversal
+    via /add_camera + /delete_camera): no separators, no dot-dirs, non-empty."""
+    if (not name or "/" in name or "\\" in name or "\x00" in name
+            or name in (".", "..")):
+        return None
+    return name
+
+
 class OffloadSessions:
-    """Per-session last-frame store for the /diff sparse protocol."""
+    """Per-session last-frame store for the /diff sparse protocol.
+
+    LRU-capped: each full frame is ~1.2 MB and sessions are minted per
+    x-session-id (or per request when the header is absent), so an uncapped
+    dict is a memory leak under repeated /yolo POSTs."""
+
+    MAX_SESSIONS = 64
 
     def __init__(self, res: int = 640):
         self.res = res
-        self.frames: dict[str, np.ndarray] = {}
+        self.frames: dict[str, np.ndarray] = {}  # insertion order = LRU order
         self.lock = threading.Lock()
 
     def full(self, sid: str, body: bytes) -> np.ndarray:
         frame = np.frombuffer(body, np.uint8).copy()
         with self.lock:
+            self.frames.pop(sid, None)
             self.frames[sid] = frame
+            while len(self.frames) > self.MAX_SESSIONS:
+                self.frames.pop(next(iter(self.frames)))
         return frame
 
     def patch(self, sid: str, body: bytes) -> np.ndarray | None:
@@ -64,6 +82,8 @@ class OffloadSessions:
             frame = self.frames.get(sid)
             if frame is None:
                 return None
+            self.frames.pop(sid)
+            self.frames[sid] = frame  # refresh LRU position
             n = len(body) // 5
             rec = np.frombuffer(body[: n * 5], np.uint8).reshape(n, 5)
             idx = rec[:, :4].copy().view("<i4").reshape(-1)
@@ -220,9 +240,9 @@ def make_handler(ctx: AppContext):
             self._json(sorted(days, reverse=True))
 
         def _get_add_camera(self, q, cam):
-            name, src = self._q(q, "cam_name"), self._q(q, "src")
+            name, src = safe_cam_name(self._q(q, "cam_name")), self._q(q, "src")
             if not name or not src:
-                return self.send_error(400, "Missing cam_name or src")
+                return self.send_error(400, "Missing or invalid cam_name/src")
             ctx.db.run_put("links", name, src)
             self.send_response(302)
             self.send_header("Location", "/")
@@ -332,9 +352,9 @@ def make_handler(ctx: AppContext):
             self._json(out)
 
         def _get_delete_camera(self, q, cam):
-            name = self._q(q, "cam_name")
+            name = safe_cam_name(self._q(q, "cam_name"))
             if not name:
-                return self.send_error(400, "Missing cam_name parameter")
+                return self.send_error(400, "Missing or invalid cam_name")
             shutil.rmtree(self._cameras_dir() / name, ignore_errors=True)
             alerts = ctx.db.run_get("alerts", name)
             if isinstance(alerts, dict):

@@ -116,17 +116,39 @@ long cc_batcher_snapshot(void* h, uint8_t* out, long* seqs) {
       seqs[i] = -1;
       continue;
     }
-    // seqlock: retry if the writer laps us mid-copy
+    // seqlock: only accept when seq is unchanged across the copy. If the
+    // writer published seq+1 it may already be writing seq+2 into buf[seq&1]
+    // (the buffer we just copied), so ANY change — including a parity
+    // change — means the copy may be torn; re-read the newest buffer.
     for (;;) {
       std::memcpy(out + i * fb, s.buf[seq & 1].data(), fb);
       int64_t now = s.seq.load(std::memory_order_acquire);
-      if (now == seq || (now & 1) != (seq & 1)) break;
+      if (now == seq) break;
       seq = now;
     }
     seqs[i] = seq;
     fresh++;
   }
   return fresh;
+}
+
+int cc_batcher_remove(void* h, int stream) {
+  // Free a slot for reuse by a different camera: stop the reader (the caller
+  // should close the pipe's write side first so a blocked read() sees EOF),
+  // join it, and reset seq so a stale frame never shows up as the new
+  // camera's. Safe vs concurrent snapshot: a seq change mid-copy forces a
+  // re-read and seq=-1 is reported as empty on the next snapshot.
+  auto* b = static_cast<Batcher*>(h);
+  if (stream < 0 || stream >= (int)b->slots.size()) return 1;
+  Slot& s = b->slots[stream];
+  s.running.store(false, std::memory_order_relaxed);
+  if (s.fd >= 0) {
+    close(s.fd);
+    s.fd = -1;
+  }
+  if (s.reader.joinable()) s.reader.join();
+  s.seq.store(-1, std::memory_order_release);
+  return 0;
 }
 
 void cc_batcher_stop(void* h) {

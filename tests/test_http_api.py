@@ -217,6 +217,41 @@ def test_path_traversal_blocked(base, tmp_path):
         assert e.value.code in (403, 404)
 
 
+def test_camera_name_traversal_blocked(base):
+    """/delete_camera and /add_camera must reject names that escape the
+    cameras dir (round-1 advisor high finding: ?cam_name=../.. hit rmtree)."""
+    url, ctx = base
+    victim = ctx.base_dir / "precious"
+    victim.mkdir(parents=True, exist_ok=True)
+    (victim / "keep.txt").write_text("data")
+    for evil in ("..%2F..%2Fprecious", "..", ".", "a%2Fb", "%2e%2e%2fprecious"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{url}/delete_camera?cam_name={evil}")
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{url}/add_camera?cam_name={evil}&src=rtsp://x")
+        assert e.value.code == 400
+    assert (victim / "keep.txt").exists()
+
+
+def test_offload_sessions_lru_capped():
+    """OffloadSessions evicts oldest sessions instead of growing unbounded
+    (round-1 advisor low finding)."""
+    from clearcam_tpu.server.http import OffloadSessions
+
+    s = OffloadSessions()
+    body = bytes(10)
+    for i in range(OffloadSessions.MAX_SESSIONS + 20):
+        s.full(f"sid{i}", body)
+    assert len(s.frames) == OffloadSessions.MAX_SESSIONS
+    assert "sid0" not in s.frames          # oldest evicted
+    # patch refreshes LRU position
+    keep = f"sid{20}"
+    assert s.patch(keep, b"") is not None
+    s.full("newsid", body)
+    assert keep in s.frames
+
+
 def test_get_preds_overlay_endpoint(base):
     url, ctx = base
     assert get(f"{url}/get_preds?cam=nope") == {"preds": [], "width": 0,

@@ -122,3 +122,115 @@ def test_batcher_slot_reuse_after_eof():
     assert seqs[0] >= 1 and batch[0, 0, 0, 0] == 5
     os.close(w2)
     b.close()
+
+
+@pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
+                    reason="native build unavailable")
+def test_batcher_remove_frees_slot():
+    """cc_batcher_remove stops the reader, resets seq, and lets a different
+    camera take the slot without inheriting the old camera's last frame."""
+    shape = (4, 4, 3)
+    n = int(np.prod(shape))
+    b = native_loader.NativeBatcher(1, shape)
+    r, w = os.pipe()
+    b.add_fd(0, r)
+    os.write(w, bytes([9]) * n)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        _, seqs = b.snapshot()
+        if seqs[0] == 0:
+            break
+        time.sleep(0.01)
+    os.close(w)
+    b.remove(0)
+    _, seqs = b.snapshot()
+    assert seqs[0] == -1            # stale frame no longer visible
+    r2, w2 = os.pipe()
+    b.add_fd(0, r2)                 # new camera takes the freed slot
+    os.write(w2, bytes([3]) * n)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        batch, seqs = b.snapshot()
+        if seqs[0] >= 0:
+            break
+        time.sleep(0.01)
+    assert seqs[0] >= 0 and batch[0, 0, 0, 0] == 3
+    os.close(w2)
+    b.close()
+
+
+@pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
+                    reason="native build unavailable")
+def test_ingest_respawn_cycling_beyond_group_cap():
+    """100 register/remove cycles with changing shapes never exhaust
+    GROUP_CAP (the round-1 slot leak: reference tolerates unlimited
+    re-points, clearcam.py:255-268)."""
+    from clearcam_tpu.runtime.nvr import NativeIngest
+
+    ing = NativeIngest()
+    shapes = [(4, 4, 3), (4, 6, 3)]
+    writers = []
+    try:
+        for i in range(100):
+            shape = shapes[i % 2]   # alternate resolutions: cross-group moves
+            r, w = os.pipe()
+            writers.append(w)
+            key, idx = ing.register("cam_a", r, shape)
+            assert idx < NativeIngest.GROUP_CAP
+            os.write(w, bytes([i % 251 + 1]) * int(np.prod(shape)))
+            os.close(w)             # EOF so the next register can reuse
+            ing.remove("cam_a")
+        # after all cycles both groups have at most one occupied name entry
+        for g in ing.groups.values():
+            assert sum(1 for nm in g["names"] if nm is not None) == 0
+        # a fresh registration still works and lands in a reclaimed slot
+        r, w = os.pipe()
+        _, idx = ing.register("cam_b", r, shapes[0])
+        assert idx == 0
+        os.write(w, bytes([7]) * int(np.prod(shapes[0])))
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            snap = ing.snapshot_all()
+            if "cam_b" in snap and snap["cam_b"][1] >= 0:
+                break
+            time.sleep(0.01)
+        frame, seq = snap["cam_b"]
+        assert seq >= 0 and frame[0, 0, 0] == 7
+        os.close(w)
+    finally:
+        ing.close()
+
+
+@pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
+                    reason="native build unavailable")
+def test_batcher_snapshot_never_torn():
+    """Hammer a slot from a writer thread while snapshotting: every accepted
+    frame must be internally uniform (the seqlock torn-read fix)."""
+    import threading
+
+    shape = (32, 32, 3)
+    b = native_loader.NativeBatcher(1, shape)
+    stop = threading.Event()
+
+    def writer():
+        i = 0
+        buf = np.empty(shape, np.uint8)
+        while not stop.is_set():
+            buf.fill(i % 251)
+            b.push(0, buf)
+            i += 1
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 2
+        while time.time() < deadline:
+            batch, seqs = b.snapshot()
+            if seqs[0] < 0:
+                continue
+            flat = batch[0].reshape(-1)
+            assert (flat == flat[0]).all(), "torn snapshot"
+    finally:
+        stop.set()
+        t.join()
+        b.close()
