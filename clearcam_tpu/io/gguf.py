@@ -7,8 +7,10 @@ numpy (memory-mapped input, vectorized kernels) and the result is shipped to
 the TPU once — the reference instead lazily dequantizes with tensor ops.
 
 Supported ggml types: F32(0) F16(1) Q4_0(2) Q4_1(3) Q5_0(6) Q5_1(7) Q8_0(8)
-Q4_K(12) Q5_K(13) Q6_K(14) I8/I16/I32/I64(24-27) F64(28) BF16(30) MXFP4(39).
-(The IQ* lattice quants used by some exotic releases are not yet implemented.)
+Q4_K(12) Q5_K(13) Q6_K(14) IQ3_XXS(18) IQ3_S(21) IQ2_S(22) IQ4_XS(23)
+I8/I16/I32/I64(24-27) F64(28) BF16(30) MXFP4(39) Q1_0(41).
+The IQ3/IQ2 types additionally need the ggml lattice codebooks — see
+ggml_grids.py (pure data; extracted once with tools/extract_ggml_grids.py).
 """
 from __future__ import annotations
 
@@ -25,7 +27,9 @@ GGML_NATIVE = {0: np.float32, 1: np.float16, 24: np.int8, 25: np.int16,
                26: np.int32, 27: np.int64, 28: np.float64}
 # quant id -> (elements/block, bytes/block)
 GGML_QUANT = {2: (32, 18), 3: (32, 20), 6: (32, 22), 7: (32, 24), 8: (32, 34),
-              12: (256, 144), 13: (256, 176), 14: (256, 210), 39: (32, 17)}
+              12: (256, 144), 13: (256, 176), 14: (256, 210),
+              18: (256, 98), 21: (256, 110), 22: (256, 82), 23: (256, 136),
+              39: (32, 17), 41: (128, 18)}
 
 
 class _Reader:
@@ -144,6 +148,76 @@ def dequant(raw: np.ndarray, n: int, ggml_type: int) -> np.ndarray:
         d = _half(blocks[:, 208:210])
         return (d * q.reshape(-1, 256).astype(np.float32) * scales) \
             .astype(np.float32).reshape(-1)
+    if ggml_type == 18:  # IQ3_XXS: d + 64 grid bytes + 8 scale/sign words
+        # layout: d f16 | qs[64] (grid indices, 4 values each) | 8 uint32
+        # words, one per 32-elem sub-block: bits 28-31 scale, bits 0-27 =
+        # 4x 7-bit sign indices completed to 8 bits by even parity
+        # (behavior parity: reference gguf.py:73-82)
+        from .ggml_grids import KSIGNS, load_grids
+        grid = load_grids()["iq3xxs_grid"]                 # uint8 [256,4]
+        d = _half(blocks[:, :2])                           # [B,1]
+        sw = blocks[:, 66:98].copy().view("<u4")           # [B,8]
+        db = d * ((sw >> 28).astype(np.float32) + 0.5) * 0.5
+        sidx = (sw[..., None] >> np.array([0, 7, 14, 21], np.uint32)) & 0x7F
+        sbits = _bits(KSIGNS[sidx.astype(np.intp)][..., None])  # [B,8,4,8]
+        signs = 1.0 - 2.0 * sbits
+        vals = grid[blocks[:, 2:66].astype(np.intp)]       # [B,64,4]
+        vals = vals.reshape(-1, 8, 4, 8).astype(np.float32)
+        return (db[:, :, None, None] * vals * signs).astype(np.float32).reshape(-1)
+    if ggml_type == 21:  # IQ3_S: 9-bit grid indices, raw sign bytes
+        # layout: d f16 | qs[64] | qh[8] (9th index bits) | signs[32] |
+        # scales[4] (nibbles: sub-block scale = 1+2*nib)  (gguf.py:83-89)
+        from .ggml_grids import load_grids
+        grid = load_grids()["iq3s_grid"]                   # uint8 [512,4]
+        d = _half(blocks[:, :2])
+        sl = blocks[:, 106:110]
+        scales = 1.0 + 2.0 * np.stack([sl & 0xF, sl >> 4], -1) \
+            .reshape(-1, 8).astype(np.float32)
+        qh = _bits(blocks[:, 66:74]).astype(np.uint16)     # [B,64]
+        q = blocks[:, 2:66].astype(np.uint16) | (qh << 8)
+        signs = 1.0 - 2.0 * _bits(blocks[:, 74:106][..., None]) \
+            .reshape(-1, 8, 4, 8)
+        vals = grid[q.astype(np.intp)].reshape(-1, 8, 4, 8).astype(np.float32)
+        return (d[:, :, None, None] * scales[:, :, None, None] * vals * signs) \
+            .astype(np.float32).reshape(-1)
+    if ggml_type == 22:  # IQ2_S: 10-bit grid indices into the 8-lane grid
+        # layout: d f16 | qs[32] | signs[32] | qh[8] (2 high bits per index,
+        # LSB-first crumbs) | scales[8] (nibbles; 16 sub-scales of 16 elems)
+        # (gguf.py:90-96)
+        from .ggml_grids import load_grids
+        grid = load_grids()["iq2s_grid"]                   # uint8 [1024,8]
+        d = _half(blocks[:, :2])
+        sc = blocks[:, 74:82]
+        db = d * (np.stack([sc & 0xF, sc >> 4], -1).reshape(-1, 16)
+                  .astype(np.float32) + 0.5) * 0.25        # [B,16]
+        qh = blocks[:, 66:74]
+        crumbs = np.stack([qh & 3, (qh >> 2) & 3, (qh >> 4) & 3, qh >> 6], -1) \
+            .reshape(-1, 32).astype(np.uint16)
+        q = blocks[:, 2:34].astype(np.uint16) | (crumbs << 8)
+        signs = 1.0 - 2.0 * _bits(blocks[:, 34:66][..., None]) \
+            .reshape(-1, 16, 2, 8)
+        vals = grid[q.astype(np.intp)].reshape(-1, 16, 2, 8).astype(np.float32)
+        return (db[:, :, None, None] * vals * signs).astype(np.float32).reshape(-1)
+    if ggml_type == 23:  # IQ4_XS: 6-bit sub-scales + non-linear 4-bit codebook
+        # layout: d f16 | scales_h u16 (2 bits/sub-block) | scales_l[4]
+        # (nibbles) | qs[128]; value = d*(scale-32)*kvalues[q] (gguf.py:97-105)
+        from .ggml_grids import KVALUES_IQ4NL
+        d = _half(blocks[:, :2])                           # [B,1]
+        sh = blocks[:, 2:4].copy().view("<u2")             # [B,1]
+        sl = blocks[:, 4:8]
+        lo = np.stack([sl & 0xF, sl >> 4], -1).reshape(-1, 8).astype(np.int16)
+        hi = ((sh >> np.arange(0, 16, 2, dtype=np.uint16)[None, :]) & 0x3) \
+            .astype(np.int16)                              # [B,8]
+        scale = (lo | (hi << 4)).astype(np.float32) - 32.0
+        qs = blocks[:, 8:136].reshape(-1, 8, 16)
+        q = np.concatenate([qs & 0xF, qs >> 4], -1)        # [B,8,32]
+        vals = KVALUES_IQ4NL[q]
+        return (d[:, :, None] * scale[:, :, None] * vals) \
+            .astype(np.float32).reshape(-1)
+    if ggml_type == 41:  # Q1_0: binary +-d, 128 LSB-first bits (gguf.py:116-119)
+        d = _half(blocks[:, :2])
+        bits = _bits(blocks[:, 2:18]).astype(np.float32)   # [B,128]
+        return (d * (bits * 2.0 - 1.0)).astype(np.float32).reshape(-1)
     if ggml_type == 39:  # MXFP4: e8 scale + 32 fp4 codes
         e = blocks[:, 0].astype(np.uint32)
         small = np.array([0x00200000, 0x00400000], np.uint32)[np.minimum(e, 1)]

@@ -49,8 +49,8 @@ def decode_attention(q, k_cache, v_cache, pos, *, chunk: int = CHUNK,
         in_specs=[
             pl.BlockSpec((1, rep, d), lambda i, pos_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, rep, d), lambda i, pos_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
