@@ -46,15 +46,41 @@ def letterbox(frames, res: int, stride: int = 32, auto: bool = True,
 
     Matches the reference preprocess: bilinear (half-pixel) resize, zero pad,
     BGR->RGB channel flip, /255 (yolov9.py:375-379,390-404).
+
+    Performance: at an exact integer downscale k (1080p->640 is k=3) the
+    half-pixel bilinear kernel degenerates to a single pixel tap (odd k) or a
+    2x2 average (even k), so we slice the *raw uint8* frames instead of
+    gather-resizing a full-resolution float tensor — the resize was ~1/3 of
+    the whole detect step's time at batch 128. Channel flip and /255 are
+    linear, so hoisting them after the resize is exact.
     """
     b, h, w, c = frames.shape
     new_w, new_h, pl, pt, out_w, out_h, _ = letterbox_plan((h, w), res, stride, auto)
-    x = frames.astype(dtype)
+    kh = h // new_h if new_h and h % new_h == 0 else 0
+    kw = w // new_w if new_w and w % new_w == 0 else 0
+    if (new_h, new_w) == (h, w):
+        x = frames.astype(dtype)
+    elif kh == kw and kh > 1 and kh % 2 == 1:
+        # odd k: src_x = k*i + (k-1)/2 is integral -> strided slice
+        off = (kh - 1) // 2
+        x = frames[:, off::kh, off::kw, :].astype(dtype)
+    elif kh == kw and kh > 1:
+        # even k: src_x = k*i + (k-1)/2 is half-integral -> 2x2 average
+        lo, hi = kh // 2 - 1, kh // 2
+        x = (frames[:, lo::kh, lo::kw, :].astype(dtype)
+             + frames[:, lo::kh, hi::kw, :].astype(dtype)
+             + frames[:, hi::kh, lo::kw, :].astype(dtype)
+             + frames[:, hi::kh, hi::kw, :].astype(dtype)) * 0.25
+    else:
+        # antialias=False = plain half-pixel bilinear, the reference's
+        # Tensor.interpolate(mode='linear', align_corners=False) semantics
+        # (utils/helpers.py:127-131); jax's default antialias=True is a
+        # triangle-filtered downsample and does NOT match.
+        x = jimage.resize(frames.astype(dtype), (b, new_h, new_w, c),
+                          method="linear", antialias=False)
     if bgr_to_rgb:
         x = x[..., ::-1]
     x = x / 255.0
-    if (new_h, new_w) != (h, w):
-        x = jimage.resize(x, (b, new_h, new_w, c), method="linear")
     x = jnp.pad(x, ((0, 0), (pt, out_h - new_h - pt), (pl, out_w - new_w - pl), (0, 0)))
     return x
 

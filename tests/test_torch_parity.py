@@ -40,6 +40,26 @@ def test_conv_silu_parity():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("hw", [(1080, 1920), (720, 1280), (540, 960)])
+def test_letterbox_resize_parity(hw):
+    """letterbox must reproduce the reference's plain bilinear interpolate
+    (utils/helpers.py:127-131: mode='linear', align_corners=False, NO
+    antialias) — including the integer-downscale fast paths (1080p->640 is a
+    pure k=3 pixel tap, 720p->640 a k=2 2x2 average)."""
+    from clearcam_tpu.ops.image import letterbox, letterbox_plan
+    h, w = hw
+    rng = np.random.default_rng(3)
+    f = rng.integers(0, 255, (2, h, w, 3), np.uint8)
+    got = np.asarray(letterbox(jnp.asarray(f), 640))
+    new_w, new_h, pl, pt, ow, oh, _ = letterbox_plan((h, w), 640)
+    x = t(f[..., ::-1].astype(np.float32)).permute(0, 3, 1, 2) / 255.0
+    x = tF.interpolate(x, size=(new_h, new_w), mode="bilinear",
+                       align_corners=False)
+    ref = tF.pad(x, (pl, ow - new_w - pl, pt, oh - new_h - pt)) \
+        .permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 def test_pool_parity():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(1, 9, 9, 4)).astype(np.float32)
