@@ -6,9 +6,12 @@ and report the number of unique person track ids (its regression invariant is
 156 unique persons on MOT16-03 with YOLOv9-t @960). Optionally writes an
 annotated mp4.
 
+Also runs the RF-DETR detector (`--detector rfdetr`, reference
+run_mot.py:36-51: detr_to_yolo-remapped, invariant 157 unique persons).
+
 Usage:
     python -m clearcam_tpu.tools.mot video.mp4 --size t --res 960 \
-        [--out annotated.mp4] [--weights weights/]
+        [--detector yolo|rfdetr] [--out annotated.mp4] [--weights weights/]
 """
 from __future__ import annotations
 
@@ -21,12 +24,20 @@ import numpy as np
 def run_mot(video: str, detector=None, size: str = "t", res: int = 960,
             det_thresh: float = 0.25, out_path: str | None = None,
             weights_dir: str = "weights", max_frames: int | None = None,
-            person_class: int = 0):
+            person_class: int = 0, detector_kind: str = "yolo"):
     """-> (unique person count, per-frame track lists)."""
     import cv2
     from ..track.ocsort import OCSort
 
-    if detector is None:
+    if detector is None and detector_kind == "rfdetr":
+        from ..models.rfdetr import RFDETR
+        path = Path(weights_dir) / "rf-detr-nano.pth"
+        detector = (RFDETR.from_checkpoint(str(path)) if path.exists()
+                    else RFDETR("nano"))
+        if not path.exists():
+            print(f"weights not found at {path} — random init "
+                  "(counts will be meaningless)")
+    elif detector is None:
         from ..runtime.nvr import BatchDetector
         from ..models import yolov9
         from ..io import safetensors as st
@@ -74,11 +85,13 @@ def main(argv=None):
     ap.add_argument("--res", type=int, default=960)
     ap.add_argument("--out")
     ap.add_argument("--weights", default="weights")
+    ap.add_argument("--detector", default="yolo", choices=["yolo", "rfdetr"])
     ap.add_argument("--expect", type=int,
                     help="assert unique person count equals this")
     args = ap.parse_args(argv)
     count, _ = run_mot(args.video, size=args.size, res=args.res,
-                       out_path=args.out, weights_dir=args.weights)
+                       out_path=args.out, weights_dir=args.weights,
+                       detector_kind=args.detector)
     print(f"unique persons: {count}")
     if args.expect is not None:
         assert count == args.expect, f"expected {args.expect}, got {count}"

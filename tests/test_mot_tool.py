@@ -54,6 +54,20 @@ def test_unique_person_invariant(tmp_path):
     assert any(len(f) >= 2 for f in frames)  # overlapping presence tracked
 
 
+def test_rfdetr_detector_runs_clip(tmp_path):
+    """The RF-DETR forward plugs into the MOT pipeline end-to-end (reference
+    run_mot.py:36-51 exercises both detectors on the same clip)."""
+    from clearcam_tpu.models.rfdetr import RFDETR
+    from clearcam_tpu.tools.mot import run_mot
+    from tests.test_rfdetr import TINY
+
+    clip = tmp_path / "clip.mp4"
+    write_clip(clip, n_frames=6)
+    count, frames = run_mot(str(clip), detector=RFDETR(TINY),
+                            max_frames=6)
+    assert isinstance(count, int) and len(frames) == 6
+
+
 def test_annotated_output(tmp_path):
     import cv2
     from clearcam_tpu.tools.mot import run_mot
