@@ -33,19 +33,22 @@ RES = 640
 
 
 def synth_tracks(n_cams: int, n_ticks: int, n_obj: int = 8, seed: int = 0):
-    """Realistic moving-box detection streams: [tick][cam] -> [n_obj, 5]."""
+    """Realistic moving-box detection streams (bouncing, so tracks persist
+    instead of degenerating into constant respawn churn)."""
     rng = np.random.default_rng(seed)
-    pos = rng.uniform(100, 1700, (n_cams, n_obj, 2))
-    vel = rng.normal(0, 4, (n_cams, n_obj, 2))
+    pos = rng.uniform(200, 1500, (n_cams, n_obj, 2))
+    vel = rng.normal(0, 5, (n_cams, n_obj, 2))
     wh = rng.uniform(60, 200, (n_cams, n_obj, 2))
     out = []
     for _ in range(n_ticks):
         pos = pos + vel
-        x1y1 = np.clip(pos - wh / 2, 0, None)
-        x2y2 = np.minimum(pos + wh / 2, [1920, 1080])
+        for d, lim in ((0, 1920), (1, 1080)):
+            hit = (pos[..., d] < 60) | (pos[..., d] > lim - 60)
+            vel[..., d][hit] *= -1
+            pos[..., d] = np.clip(pos[..., d], 60, lim - 60)
         conf = np.full((n_cams, n_obj, 1), 0.8)
         cls = np.zeros((n_cams, n_obj, 1))          # person
-        out.append(np.concatenate([x1y1, x2y2, conf, cls], -1))
+        out.append(np.concatenate([pos - wh / 2, pos + wh / 2, conf, cls], -1))
     return out
 
 
@@ -63,21 +66,21 @@ def bench_detect(det, params, x, n_steps=20, reps=3):
 
 
 def bench_e2e(det, params, x, n_ticks=20):
-    """Overlapped tick loop: device detect + host per-stream OC-SORT."""
-    from clearcam_tpu.track.ocsort import OCSort
+    """Overlapped tick loop: device detect + host cross-camera OC-SORT
+    (the NVR tick's structure: one batched detect, one update_all)."""
+    from clearcam_tpu.track.multicam import MultiCamOCSort
 
     n = x.shape[0]
     dets = synth_tracks(n, n_ticks + 5)
-    trackers = [OCSort(det_thresh=0.3) for _ in range(n)]
-    for w in range(5):  # tracker warmup + compile already done by caller
-        for c in range(n):
-            trackers[c].update(dets[w][c], 0.3)
+    tracker = MultiCamOCSort(det_thresh=0.3)
+    for w in range(5):  # tracker warmup; detect already compiled by caller
+        tracker.update_all({c: dets[w][c] for c in range(n)}, 0.3)
     t0 = time.time()
     out = None
     for tick in range(n_ticks):
         out = det(params, x)              # async dispatch to device
-        for c in range(n):                # host tracking overlaps device work
-            trackers[c].update(dets[5 + tick][c], 0.3)
+        # host tracking overlaps the device work
+        tracker.update_all({c: dets[5 + tick][c] for c in range(n)}, 0.3)
     np.asarray(out)                       # drain the device queue once
     dt = time.time() - t0
     return n_ticks * n / dt

@@ -31,7 +31,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..track.ocsort import OCSort
+from ..track.multicam import MultiCamOCSort
 from ..utils.annotate import draw_predictions
 from ..utils.labels import COCO_LABELS
 from .counters import RollingClassCounter
@@ -212,7 +212,6 @@ class CamState:
     pump: FramePump | None = None
     source: object = None
     vod: bool = False
-    tracker: OCSort = None
     counter: RollingClassCounter = None
     alerts: dict = field(default_factory=dict)
     settings: dict | None = None
@@ -257,6 +256,9 @@ class NVR:
         self.notifier = notifier          # callable(userID, title, body)
         self.uploader = uploader          # callable(**kw) -> export_and_upload
         self.executor = DeviceExecutor()
+        # one cross-camera batched tracker (track/multicam.py): the per-camera
+        # OCSort loop was the e2e ceiling at 32+ streams
+        self.tracker = MultiCamOCSort(max_age=100)
         self.cams: dict[str, CamState] = {}
         self.classes = classes if classes is not None else set(DEFAULT_CLASSES)
         self.labels = labels or COCO_LABELS
@@ -286,7 +288,7 @@ class NVR:
 
     def init_cam(self, name: str, src: str):
         cam = CamState(name=name, src=src, vod=str(src).endswith(VOD_SUFFIXES))
-        cam.tracker = OCSort(max_age=100)
+        self.tracker.reset_cam(name)   # fresh track ids, like a new OCSort
         cam.counter = RollingClassCounter(cam_name=name, window_seconds=float("inf"))
         alerts = self.db.run_get("alerts", name)
         if not alerts:
@@ -386,9 +388,22 @@ class NVR:
                 metrics.count("detect_errors")
                 all_preds = [np.zeros((0, 6)) for _ in todo]
             with metrics.timer("track_step"):
-                for cam, preds in zip(todo, all_preds):
+                det_map = {c.name: p for c, p in zip(todo, all_preds)}
+                thr_map = {
+                    c.name: (c.settings.get("threshold")
+                             if c.settings and c.settings.get("threshold")
+                             else 0.5)
+                    for c in todo}
+                try:
+                    tracks_map = self.tracker.update_all(det_map, thr_map)
+                except Exception as e:  # noqa: BLE001
+                    print(f"tracker error: {e}")
+                    metrics.count("tracker_errors")
+                    tracks_map = {c.name: [] for c in todo}
+                for cam in todo:
                     try:
-                        cam.last_preds = self._postprocess(cam, preds)
+                        cam.last_preds = self._postprocess(
+                            cam, tracks_map[cam.name])
                     except Exception as e:  # noqa: BLE001
                         print(f"postprocess error {cam.name}: {e}")
                         metrics.count("postprocess_errors")
@@ -448,13 +463,10 @@ class NVR:
             return False
         return True
 
-    def _postprocess(self, cam: CamState, preds: np.ndarray) -> np.ndarray:
-        """Tracker + filters + counters (reference run_inference,
-        clearcam.py:580-623). Returns rows [x1,y1,x2,y2,score,cls,track_id]."""
-        thresh = 0.5
-        if cam.settings and cam.settings.get("threshold"):
-            thresh = cam.settings["threshold"]
-        tracks = cam.tracker.update(preds, thresh)
+    def _postprocess(self, cam: CamState, tracks: list) -> np.ndarray:
+        """Track filters + counters (reference run_inference,
+        clearcam.py:580-623); tracks come from the shared cross-camera
+        tracker. Returns rows [x1,y1,x2,y2,score,cls,track_id]."""
         tracks = [t for t in tracks
                   if self.classes is None or str(int(t.class_id)) in self.classes]
         out = []
@@ -723,7 +735,7 @@ class NVR:
         import shutil
         cam.source.close()
         cam.source = OpenCVSource(cam.src)
-        cam.tracker = OCSort(max_age=100)
+        self.tracker.reset_cam(cam.name)
         for sub in ("objects", "faces", "event_images"):
             shutil.rmtree(self.cam_dir(cam.name) / sub, ignore_errors=True)
 

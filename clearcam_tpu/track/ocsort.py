@@ -95,17 +95,22 @@ def _angle_cost(dets: np.ndarray, prev_obs: np.ndarray, velocities: np.ndarray,
     return cost * dets[:, 4:5]                                # scaled by det score
 
 
-def associate(dets, trk_boxes, iou_threshold, velocities, prev_obs, vdc_weight):
+def associate(dets, trk_boxes, iou_threshold, velocities, prev_obs, vdc_weight,
+              costs=None):
     """First-round association. Returns (matches [k,2], unmatched_dets,
     unmatched_trks) with reference semantics (association.py:54-110) including
     the shortcut: if IoU>threshold adjacency is already a perfect matching,
-    skip the assignment solve."""
+    skip the assignment solve. `costs=(iou, angle)` lets a caller supply
+    precomputed matrices (MultiCamOCSort batches them across cameras)."""
     n, m = len(dets), len(trk_boxes)
     if m == 0:
         return np.empty((0, 2), int), np.arange(n), np.empty((0,), int)
 
-    iou = iou_batch(dets, trk_boxes)
-    angle = _angle_cost(dets, prev_obs, velocities, vdc_weight)
+    if costs is not None:
+        iou, angle = costs
+    else:
+        iou = iou_batch(dets, trk_boxes)
+        angle = _angle_cost(dets, prev_obs, velocities, vdc_weight)
 
     if min(iou.shape) > 0:
         adj = (iou > iou_threshold).astype(np.int32)
@@ -116,17 +121,23 @@ def associate(dets, trk_boxes, iou_threshold, velocities, prev_obs, vdc_weight):
     else:
         matched = np.empty((0, 2), int)
 
-    um_dets = [d for d in range(n) if d not in matched[:, 0]]
-    um_trks = [t for t in range(m) if t not in matched[:, 1]]
-    matches = []
-    for r, c in matched:
-        if iou[r, c] < iou_threshold:
-            um_dets.append(r)
-            um_trks.append(c)
-        else:
-            matches.append((r, c))
-    matches = np.array(matches, int).reshape(-1, 2)
-    return matches, np.array(um_dets, int), np.array(um_trks, int)
+    # vectorized split, preserving the reference's ordering exactly:
+    # ascending never-matched indices first, then below-threshold pairs in
+    # matched order (spawn ids and greedy tie-breaks depend on this order)
+    um_d_mask = np.ones(n, bool)
+    um_t_mask = np.ones(m, bool)
+    if len(matched):
+        um_d_mask[matched[:, 0]] = False
+        um_t_mask[matched[:, 1]] = False
+        good = iou[matched[:, 0], matched[:, 1]] >= iou_threshold
+        matches = matched[good].reshape(-1, 2)
+        um_dets = np.concatenate([np.where(um_d_mask)[0], matched[~good, 0]])
+        um_trks = np.concatenate([np.where(um_t_mask)[0], matched[~good, 1]])
+    else:
+        matches = np.empty((0, 2), int)
+        um_dets = np.where(um_d_mask)[0]
+        um_trks = np.where(um_t_mask)[0]
+    return matches, um_dets.astype(int), um_trks.astype(int)
 
 
 # ---------------------------------------------------------------------------
@@ -171,22 +182,30 @@ class OCSort:
 
     # -- slot management -----------------------------------------------------
 
-    def _spawn(self, det: np.ndarray, cls: float, score: float):
-        self.kf.add(bbox_to_z(det[:4]))
-        self.ids = np.append(self.ids, self.next_id)
-        self.next_id += 1
-        self.age = np.append(self.age, 0)
-        self.tsu = np.append(self.tsu, 0)
-        self.hits = np.append(self.hits, 0)
-        self.hit_streak = np.append(self.hit_streak, 0)
-        self.last_obs = np.concatenate([self.last_obs, np.full((1, 5), -1.0)])
-        self.velocity = np.concatenate([self.velocity, np.zeros((1, 2))])
-        self.avg_vel = np.concatenate([self.avg_vel, np.zeros((1, 2))])
-        self.speed = np.append(self.speed, 0.0)
-        self.class_id = np.append(self.class_id, cls)
-        self.score = np.append(self.score, score)
-        self.obs_hist.append({})
-        self.class_votes.append({cls: 1.0})
+    def _spawn_many(self, dets: np.ndarray, cls: np.ndarray, scores: np.ndarray):
+        """Batch-spawn k tracks with one concatenate per SoA column (a
+        per-track np.append chain was a profiler hotspot at NVR scale)."""
+        k = len(dets)
+        if k == 0:
+            return
+        self.kf.add_many(bbox_to_z(dets[:, :4]))
+        self.ids = np.concatenate([self.ids, np.arange(self.next_id,
+                                                       self.next_id + k)])
+        self.next_id += k
+        zk = np.zeros(k)
+        self.age = np.concatenate([self.age, zk])
+        self.tsu = np.concatenate([self.tsu, zk])
+        self.hits = np.concatenate([self.hits, zk])
+        self.hit_streak = np.concatenate([self.hit_streak, zk])
+        self.last_obs = np.concatenate([self.last_obs, np.full((k, 5), -1.0)])
+        self.velocity = np.concatenate([self.velocity, np.zeros((k, 2))])
+        self.avg_vel = np.concatenate([self.avg_vel, np.zeros((k, 2))])
+        self.speed = np.concatenate([self.speed, zk])
+        self.class_id = np.concatenate([self.class_id, np.asarray(cls, float)])
+        self.score = np.concatenate([self.score, np.asarray(scores, float)])
+        for c in np.asarray(cls, float):
+            self.obs_hist.append({})
+            self.class_votes.append({c: 1.0})
 
     def _kill(self, i: int):
         self.kf.remove(i)
@@ -196,12 +215,15 @@ class OCSort:
         del self.obs_hist[i]
         del self.class_votes[i]
 
+    _NO_OBS = np.full(5, -1.0)
+    _NO_OBS.setflags(write=False)
+
     def _k_previous_obs(self, i: int) -> np.ndarray:
         """Observation delta_t frames back (or nearest newer / latest);
         [-1]*5 when never observed (ocsort.py:11-19)."""
         hist = self.obs_hist[i]
         if not hist:
-            return np.full(5, -1.0)
+            return self._NO_OBS
         for dt in range(self.delta_t, 0, -1):
             if self.age[i] - dt in hist:
                 return hist[self.age[i] - dt]
@@ -209,10 +231,14 @@ class OCSort:
 
     # -- observed update -------------------------------------------------------
 
-    def _observe(self, i: int, det5: np.ndarray, score: float, cls: float):
-        """Track i matched to detection det5 (xyxy+score): velocity estimate
-        from delta_t-back observation, class vote, KF update with OCR
-        unfreeze when coming back from occlusion (ocsort.py:104-141)."""
+    def _observe(self, i: int, det5: np.ndarray, score: float, cls: float,
+                 z_new: np.ndarray):
+        """Track i matched to detection det5 (xyxy+score, z_new = its
+        measurement): velocity estimate from delta_t-back observation, class
+        vote, OCR unfreeze when coming back from occlusion
+        (ocsort.py:104-141). The caller applies ONE batched KF update for all
+        matches (per-row updates are independent, and the per-call overhead
+        dominated the NVR tick at 32+ cameras)."""
         votes = self.class_votes[i]
         votes[cls] = votes.get(cls, 0.0) + score
         self.class_id[i] = max(votes, key=votes.get)
@@ -232,7 +258,6 @@ class OCSort:
             self.avg_vel[i] = self.avg_vel[i] + np.array([dy, dx]) / float(self.age[i])
             self.speed[i] = abs(self.avg_vel[i][0]) + abs(self.avg_vel[i][1])
 
-        z_new = bbox_to_z(det5[:4])
         if not self.kf.observed[i] and self.kf.has_saved[i]:
             # re-observation after a gap: replay virtual trajectory
             z_prev = bbox_to_z(self.last_obs[i][:4])
@@ -247,7 +272,17 @@ class OCSort:
         self.tsu[i] = 0
         self.hits[i] += 1
         self.hit_streak[i] += 1
-        self.kf.update_batch(np.array([i]), z_new[None])
+
+    def _observe_many(self, pairs):
+        """pairs: iterable of (track_idx, det5, score, cls); one batched
+        measurement conversion + one batched KF update for the whole set."""
+        if not pairs:
+            return
+        idxs = np.fromiter((t for t, *_ in pairs), int, len(pairs))
+        zs = bbox_to_z(np.stack([det5[:4] for _, det5, _, _ in pairs]))
+        for j, (t, det5, score, cls) in enumerate(pairs):
+            self._observe(t, det5, score, cls, zs[j])
+        self.kf.update_batch(idxs, zs)
 
     # -- per-frame step --------------------------------------------------------
 
@@ -285,21 +320,23 @@ class OCSort:
         # 2. first association: IoU + velocity-direction cost
         matched, um_dets, um_trks = associate(
             dets, trk_boxes, self.iou_threshold, self.velocity, prev_obs, self.inertia)
-        for d, t in matched:
-            self._observe(t, dets[d], scores_high := dets[d, 4], cls_high[d])
+        self._observe_many([(t, dets[d], dets[d, 4], cls_high[d])
+                            for d, t in matched])
 
         # 3. BYTE pass: low-score dets vs still-unmatched tracks (ocsort.py:234-252)
         if self.use_byte and len(dets_second) and len(um_trks):
             iou = iou_batch(dets_second, trk_boxes[um_trks])
             if iou.max() > self.iou_threshold:
                 rematch = greedy_assignment(-iou)
-                drop = []
+                drop, obs = [], []
                 for r, c in rematch:
                     if iou[r, c] < self.iou_threshold:
                         continue
                     t = um_trks[c]
-                    self._observe(t, dets_second[r], dets_second[r, 4], cls_second[r])
+                    obs.append((t, dets_second[r], dets_second[r, 4],
+                                cls_second[r]))
                     drop.append(t)
+                self._observe_many(obs)
                 um_trks = np.setdiff1d(um_trks, np.array(drop))
 
         # 4. OCR pass: unmatched dets vs last observations (ocsort.py:254-276)
@@ -307,23 +344,24 @@ class OCSort:
             iou = iou_batch(dets[um_dets], self.last_obs[um_trks])
             if iou.max() > self.iou_threshold:
                 rematch = greedy_assignment(-iou)
-                drop_d, drop_t = [], []
+                drop_d, drop_t, obs = [], [], []
                 for r, c in rematch:
                     if iou[r, c] < self.iou_threshold:
                         continue
                     d, t = um_dets[r], um_trks[c]
-                    self._observe(t, dets[d], dets[d, 4], cls_high[d])
+                    obs.append((t, dets[d], dets[d, 4], cls_high[d]))
                     drop_d.append(d)
                     drop_t.append(t)
+                self._observe_many(obs)
                 um_dets = np.setdiff1d(um_dets, np.array(drop_d))
                 um_trks = np.setdiff1d(um_trks, np.array(drop_t))
 
         # 5. freeze unmatched tracks (reference update(None))
         self.kf.freeze(np.asarray(um_trks, int))
 
-        # 6. spawn new tracks
-        for d in um_dets:
-            self._spawn(dets[d], cls_high[d], dets[d, 4])
+        # 6. spawn new tracks (batched)
+        um_dets = np.asarray(um_dets, int)
+        self._spawn_many(dets[um_dets], cls_high[um_dets], dets[um_dets, 4])
 
         # 7. emit + reap (ocsort.py:288-309); reference emits newest-first
         out: list[Track] = []

@@ -146,6 +146,6 @@ def test_mixed_resolution_cameras(tmp_path):
     n.stop()
     flat = [s for call in shapes_seen for s in call]
     assert (360, 640, 3) in flat and (240, 320, 3) in flat
-    # every camera's tracker saw its object
+    # the shared cross-camera tracker saw every camera's object
     for cam in ("hd1", "hd2", "sd"):
-        assert len(cams[cam].tracker) >= 1
+        assert n.tracker.next_id.get(n.tracker._cam_ids[cam], 0) >= 1
