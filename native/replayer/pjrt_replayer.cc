@@ -8,13 +8,17 @@
 // Python, no model code.
 //
 // Usage:
-//   pjrt_replayer probe [plugin.so]            # load plugin, list devices
-//   pjrt_replayer run program.mlir N_IN_BYTES  # compile + run on zero input
+//   pjrt_replayer probe [plugin.so] [key=value ...]
+//   pjrt_replayer run program.mlir N_IN_BYTES [plugin.so] [key=value ...]
+//     compile + execute on a zeroed uint8 input; writes every output
+//     buffer's raw bytes to replayer_out<i>.bin for comparison against the
+//     framework's own execution.
 //
-// Build: make -C native  (target: build/pjrt_replayer)
-// The sandbox this is developed in reaches its TPU through a relay that only
-// speaks JAX's axon plugin, so `run` is exercised on real v5e hosts; `probe`
-// degrades gracefully everywhere.
+// key=value pairs become PJRT_NamedValues for PJRT_Client_Create (all-digit
+// values are sent as int64) — e.g. the axon relay plugin needs
+// remote_compile/topology/session_id; libtpu.so needs none.
+//
+// Build: make -C native replayer  (target: build/pjrt_replayer)
 
 #include <dlfcn.h>
 
@@ -76,16 +80,57 @@ static std::string default_compile_options() {
   return std::string(reinterpret_cast<const char*>(raw), sizeof(raw));
 }
 
+// "key=value" CLI pairs -> PJRT_NamedValues (all-digit value => int64).
+// `keys`/`vals` own the strings; they must outlive the returned vector.
+static std::vector<PJRT_NamedValue> parse_named_values(
+    int argc, char** argv, int start, std::vector<std::string>* keys,
+    std::vector<std::string>* vals) {
+  for (int i = start; i < argc; i++) {
+    const char* eq = strchr(argv[i], '=');
+    if (!eq) continue;
+    keys->emplace_back(argv[i], eq - argv[i]);
+    vals->emplace_back(eq + 1);
+  }
+  std::vector<PJRT_NamedValue> out(keys->size());
+  for (size_t i = 0; i < keys->size(); i++) {
+    PJRT_NamedValue& nv = out[i];
+    memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = (*keys)[i].c_str();
+    nv.name_size = (*keys)[i].size();
+    const std::string& v = (*vals)[i];
+    bool all_digits = !v.empty() && v.find_first_not_of("0123456789") == std::string::npos;
+    if (all_digits) {
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = atoll(v.c_str());
+      nv.value_size = 1;
+    } else {
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = v.c_str();
+      nv.value_size = v.size();
+    }
+  }
+  return out;
+}
+
 int main(int argc, char** argv) {
   if (argc < 2) {
-    fprintf(stderr, "usage: %s probe [plugin.so] | run <program.mlir> <in_bytes> [plugin.so]\n",
+    fprintf(stderr,
+            "usage: %s probe [plugin.so] [k=v ...] | "
+            "run <program.mlir> <in_bytes> [plugin.so] [k=v ...]\n",
             argv[0]);
     return 2;
   }
   std::string mode = argv[1];
   const char* plugin = "libtpu.so";
-  if (mode == "probe" && argc > 2) plugin = argv[2];
-  if (mode == "run" && argc > 4) plugin = argv[4];
+  int opt_start = argc;
+  if (mode == "probe") {
+    if (argc > 2) plugin = argv[2];
+    opt_start = 3;
+  } else if (mode == "run") {
+    if (argc > 4) plugin = argv[4];
+    opt_start = 5;
+  }
 
   const PJRT_Api* api = load_api(plugin);
   if (!api) return 1;
@@ -99,9 +144,15 @@ int main(int argc, char** argv) {
     CHECK_OK(api, api->PJRT_Plugin_Initialize(&args));
   }
 
+  std::vector<std::string> opt_keys, opt_vals;
+  std::vector<PJRT_NamedValue> create_opts =
+      parse_named_values(argc, argv, opt_start, &opt_keys, &opt_vals);
+
   PJRT_Client_Create_Args cargs;
   memset(&cargs, 0, sizeof(cargs));
   cargs.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cargs.create_options = create_opts.data();
+  cargs.num_options = create_opts.size();
   CHECK_OK(api, api->PJRT_Client_Create(&cargs));
   PJRT_Client* client = cargs.client;
 
@@ -124,7 +175,21 @@ int main(int argc, char** argv) {
   }
   std::string mlir((std::istreambuf_iterator<char>(f)),
                    std::istreambuf_iterator<char>());
-  long in_bytes = atol(argv[3]);
+  // arg 3: input byte count (zero-filled) OR a file whose bytes are the input
+  long in_bytes;
+  std::vector<uint8_t> input_data;
+  {
+    std::ifstream inf(argv[3], std::ios::binary);
+    if (inf) {
+      input_data.assign((std::istreambuf_iterator<char>(inf)),
+                        std::istreambuf_iterator<char>());
+      in_bytes = input_data.size();
+      printf("input: %ld bytes from %s\n", in_bytes, argv[3]);
+    } else {
+      in_bytes = atol(argv[3]);
+      input_data.assign(in_bytes, 0);
+    }
+  }
 
   PJRT_Program program;
   memset(&program, 0, sizeof(program));
@@ -147,8 +212,8 @@ int main(int argc, char** argv) {
   printf("compiled %s (%zu bytes mlir)\n", argv[2], mlir.size());
   PJRT_LoadedExecutable* exe = comp.executable;
 
-  // input: zeroed uint8 frame buffer on device 0
-  std::vector<uint8_t> host_in(in_bytes, 0);
+  // input: uint8 buffer on device 0
+  std::vector<uint8_t>& host_in = input_data;
   std::vector<int64_t> dims = {in_bytes};
   PJRT_Client_BufferFromHostBuffer_Args b;
   memset(&b, 0, sizeof(b));
@@ -195,6 +260,35 @@ int main(int argc, char** argv) {
   ex.num_args = 1;
   ex.output_lists = out_list;
   CHECK_OK(api, api->PJRT_LoadedExecutable_Execute(&ex));
-  printf("executed: output buffer %p\n", static_cast<void*>(out[0]));
+
+  // read every output back and dump raw bytes for host-side comparison
+  for (size_t i = 0; i < out.size() && out[i]; i++) {
+    PJRT_Buffer_ToHostBuffer_Args th;
+    memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = out[i];
+    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));  // query size
+    std::vector<uint8_t> host_out(th.dst_size);
+    th.dst = host_out.data();
+    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));
+    if (th.event) {
+      PJRT_Event_Await_Args ev;
+      memset(&ev, 0, sizeof(ev));
+      ev.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      ev.event = th.event;
+      CHECK_OK(api, api->PJRT_Event_Await(&ev));
+      PJRT_Event_Destroy_Args ed;
+      memset(&ed, 0, sizeof(ed));
+      ed.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      ed.event = th.event;
+      api->PJRT_Event_Destroy(&ed);
+    }
+    char name[64];
+    snprintf(name, sizeof(name), "replayer_out%zu.bin", i);
+    std::ofstream of(name, std::ios::binary);
+    of.write(reinterpret_cast<const char*>(host_out.data()), host_out.size());
+    printf("output %zu: %zu bytes -> %s\n", i, host_out.size(), name);
+  }
+  printf("executed ok\n");
   return 0;
 }

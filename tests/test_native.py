@@ -201,6 +201,50 @@ def test_ingest_respawn_cycling_beyond_group_cap():
         ing.close()
 
 
+REPLAYER = native_loader.NATIVE_DIR / "build" / "pjrt_replayer"
+AXON_PLUGIN = "/opt/axon/libaxon_pjrt.so"
+
+
+@pytest.mark.skipif(
+    not (REPLAYER.exists() and os.path.exists(AXON_PLUGIN)
+         and os.environ.get("CLEARCAM_REPLAYER_TPU_TEST")),
+    reason="needs built replayer + axon plugin + CLEARCAM_REPLAYER_TPU_TEST=1 "
+           "(claims a TPU session; run explicitly, see tools/replayer_check.sh)")
+def test_pjrt_replayer_run_numeric_parity(tmp_path):
+    """The C++ replayer compiles an exported program through the PJRT C API
+    on the real TPU and its output matches JAX's (Yolo.m:26-196 equivalent)."""
+    import subprocess
+    import sys
+
+    gen = subprocess.run(
+        [sys.executable, "-c", (
+            "import os; os.environ['JAX_PLATFORMS']='cpu';"
+            "import numpy as np, jax, jax.numpy as jnp;"
+            "jax.config.update('jax_platforms','cpu');"
+            "from jax import export as jexport;"
+            "fn=lambda x: jnp.cumsum(x.astype(jnp.float32))*0.5;"
+            "e=jexport.export(jax.jit(fn))(jax.ShapeDtypeStruct((16,),jnp.uint8));"
+            f"open(r'{tmp_path}/p.mlir','w').write(e.mlir_module());"
+            f"np.arange(16,dtype=np.uint8).tofile(r'{tmp_path}/in.bin');"
+            "np.save(r'%s/ref.npy', np.asarray(fn(jnp.arange(16,dtype=jnp.uint8))))"
+            % tmp_path)],
+        capture_output=True, text=True)
+    assert gen.returncode == 0, gen.stderr
+    env = dict(os.environ, AXON_POOL_SVC_OVERRIDE="127.0.0.1",
+               AXON_LOOPBACK_RELAY="1", TPU_WORKER_HOSTNAMES="localhost")
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [str(REPLAYER), "run", "p.mlir", "in.bin", AXON_PLUGIN,
+         "remote_compile=1", "local_only=0", "priority=0",
+         "topology=v5e:1x1x1", "n_slices=1", "rank=4294967295",
+         f"session_id=replayer-pytest-{os.getpid()}"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stdout + r.stderr
+    got = np.fromfile(tmp_path / "replayer_out0.bin", np.float32)
+    ref = np.load(tmp_path / "ref.npy")
+    np.testing.assert_allclose(got, ref)
+
+
 @pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
                     reason="native build unavailable")
 def test_batcher_snapshot_never_torn():
