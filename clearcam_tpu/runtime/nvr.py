@@ -423,7 +423,10 @@ class NVR:
         # shared-device queued work (search/embed requests from HTTP threads)
         self.executor.drain_one()
         self._drain_object_queue()
-        self._advance_summary()
+        if getattr(self, "_pending_summary", None) is not None:
+            from . import metrics
+            with metrics.timer("summary_step"):
+                self._advance_summary()
 
     def _next_frame(self, cam: CamState):
         if cam.vod:
