@@ -7,6 +7,7 @@ clients, so routes, params and response shapes must match:
 GET  /set_max_storage /get_global_settings /get_max_storage /list_cameras
      /list_days /add_camera /edit_settings /edit_alert /get_settings
      /get_alerts /delete_camera /get_counts /reset_counts
+     /delete_day /download_day   (per-day cleanup + one-mp4 day export)
      /                      -> mainview.html
      /?cam=<name>           -> cameraview.html (templated)
      /<cam>/streams/...     -> HLS playlists/segments/images (VOD rewrite)
@@ -158,7 +159,10 @@ def make_handler(ctx: AppContext):
         # -- GET -----------------------------------------------------------
         def do_GET(self):  # noqa: N802
             parsed = urlparse(unquote(self.path))
-            q = parse_qs(parsed.query)
+            # keep_blank_values: "window=" means "clear the window", and an
+            # edit_alert request whose only param is blank must not fall
+            # through to the delete branch
+            q = parse_qs(parsed.query, keep_blank_values=True)
             cam = self._q(q, "cam")
             route = getattr(self, "_get_" + parsed.path.strip("/").replace("-", "_"),
                             None)
@@ -303,7 +307,14 @@ def make_handler(ctx: AppContext):
                     threshold=thr if thr is not None else 0.28)
                 alert_id = str(uuid.uuid4())
                 alerts[alert_id] = alert
-            elif any(v is not None for v in (is_on, is_notif, zone)):
+            elif any(v is not None for v in
+                     (is_on, is_notif, zone, self._q(q, "class_ids"),
+                      self._q(q, "window"), self._q(q, "max"),
+                      self._q(q, "sched"), desc, thr)):
+                # edit in place: booleans like the reference
+                # (clearcam.py:838-845) plus full-field edits of classes /
+                # window / max / schedule (the reference SPA can only
+                # delete+recreate; round-1 VERDICT item 7)
                 alert = alerts[alert_id]
                 if is_on is not None:
                     alert.is_on = str(is_on).lower() == "true"
@@ -315,6 +326,14 @@ def make_handler(ctx: AppContext):
                     alert.desc = desc
                 if thr is not None:
                     alert.threshold = thr
+                if (cid := self._q(q, "class_ids")) is not None:
+                    alert.classes = [int(c) for c in cid.split(",") if c != ""]
+                if (window := self._q(q, "window")) is not None:
+                    alert.window = int(window) if window else None
+                if (mx := self._q(q, "max")) is not None:
+                    alert.max = int(mx)
+                if (sched := self._q(q, "sched")) is not None:
+                    alert.sched = json.loads(sched)
                 alert.new = True
             else:
                 del alerts[alert_id]
@@ -363,6 +382,60 @@ def make_handler(ctx: AppContext):
             for table in ("links", "analysis_prog", "settings", "counters"):
                 ctx.db.run_delete(table, name)
             self._json({"status": "deleted"})
+
+        def _get_delete_day(self, q, cam):
+            """Remove one recording day (streams + derived objects/faces/
+            event media) for a camera — the UI's per-day cleanup counterpart
+            to the storage manager's oldest-day policy."""
+            name = safe_cam_name(self._q(q, "cam_name") or cam)
+            day = self._q(q, "day")
+            if not name or not day or not DATE_RE.match(day):
+                return self.send_error(400, "need cam + day (YYYY-MM-DD)")
+            removed = []
+            for sub in ("streams", "objects", "faces", "event_images",
+                        "event_clips"):
+                d = self._cameras_dir() / name / sub / day
+                if d.exists():
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(sub)
+            self._json({"status": "deleted", "removed": removed})
+
+        def _get_download_day(self, q, cam):
+            """Concat a day's HLS segments into one mp4 download (stream
+            copy, no re-encode) — the iOS on-phone server's `download`
+            endpoint equivalent (FileServer.m:342)."""
+            import subprocess
+            from ..cloud.relay import find_ffmpeg
+            name = safe_cam_name(self._q(q, "cam_name") or cam)
+            day = self._q(q, "day")
+            if not name or not day or not DATE_RE.match(day):
+                return self.send_error(400, "need cam + day (YYYY-MM-DD)")
+            stream_dir = self._cameras_dir() / name / "streams" / day
+            segs = sorted(stream_dir.glob("*.ts"))
+            if not segs:
+                return self.send_error(404, "no recordings for that day")
+            out = stream_dir / "day.mp4"
+            newest = max(s.stat().st_mtime for s in segs)
+            if not out.exists() or out.stat().st_mtime < newest:
+                ff = find_ffmpeg()
+                if ff is None:
+                    return self.send_error(500, "ffmpeg unavailable")
+                concat = stream_dir / "day_concat.txt"
+                concat.write_text("".join(f"file '{s.resolve()}'\n"
+                                          for s in segs))
+                rc = subprocess.run(
+                    [ff, "-y", "-loglevel", "quiet", "-f", "concat", "-safe",
+                     "0", "-i", str(concat), "-c", "copy", str(out)]).returncode
+                if rc != 0 or not out.exists():
+                    return self.send_error(500, "concat failed")
+            data = out.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "video/mp4")
+            self.send_header("Content-Disposition",
+                             f'attachment; filename="{name}_{day}.mp4"')
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
 
         def _get_get_counts(self, q, cam):
             if not cam:

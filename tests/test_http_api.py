@@ -217,6 +217,74 @@ def test_path_traversal_blocked(base, tmp_path):
         assert e.value.code in (403, 404)
 
 
+def test_alert_full_field_edit(base):
+    """Editing an existing alert's classes/window/max/schedule in place
+    (beyond the reference server, which only toggles booleans —
+    clearcam.py:838-845)."""
+    url, ctx = base
+    sched = urllib.parse.quote(json.dumps([[0, 86400]] + [True] * 7))
+    get(f"{url}/edit_alert?cam=c1&max=2&class_ids=0,2&sched={sched}")
+    a = get(f"{url}/get_alerts?cam=c1")[0]
+    assert a["classes"] == [0, 2] and a["max"] == 2
+    new_sched = json.dumps([[3600, 7200], True, False, True, True, True,
+                            False, False])
+    get(f"{url}/edit_alert?cam=c1&id={a['id']}&class_ids=1,7&max=5"
+        f"&window=120&sched={urllib.parse.quote(new_sched)}")
+    b = get(f"{url}/get_alerts?cam=c1")[0]
+    assert b["id"] == a["id"]
+    assert b["classes"] == [1, 7] and b["max"] == 5 and b["window"] == 120
+    assert b["sched"][0] == [3600, 7200] and b["sched"][2] is False
+    # clearing the window falls back to auto
+    get(f"{url}/edit_alert?cam=c1&id={a['id']}&window=")
+    assert get(f"{url}/get_alerts?cam=c1")[0]["window"] is None
+
+
+def _make_day(ctx, cam="dcam", day="2026-08-16", with_video=False):
+    base_dir = ctx.base_dir / "cameras" / cam
+    (base_dir / "streams" / day).mkdir(parents=True, exist_ok=True)
+    (base_dir / "objects" / day).mkdir(parents=True, exist_ok=True)
+    (base_dir / "objects" / day / "1.jpg").write_bytes(b"x")
+    if with_video:
+        import subprocess
+        from clearcam_tpu.runtime.ingest import find_ffmpeg
+        ff = find_ffmpeg()
+        if ff is None:
+            pytest.skip("ffmpeg unavailable")
+        for i in range(2):
+            subprocess.run(
+                [ff, "-y", "-loglevel", "quiet", "-f", "lavfi", "-i",
+                 f"color=c=red:s=64x64:d=0.4:r=10", "-c:v", "libx264",
+                 "-pix_fmt", "yuv420p", "-f", "mpegts",
+                 str(base_dir / "streams" / day / f"seg{i}.ts")], check=True)
+    else:
+        (base_dir / "streams" / day / "seg0.ts").write_bytes(b"notreal")
+    return base_dir
+
+
+def test_delete_day(base):
+    url, ctx = base
+    d = _make_day(ctx)
+    get(f"{url}/delete_day?cam=dcam&day=2026-08-16")
+    assert not (d / "streams" / "2026-08-16").exists()
+    assert not (d / "objects" / "2026-08-16").exists()
+    # invalid day / cam rejected
+    for bad in ("/delete_day?cam=dcam&day=..", "/delete_day?cam=..&day=2026-08-16",
+                "/delete_day?cam=dcam"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(url + bad)
+        assert e.value.code == 400
+
+
+def test_download_day(base):
+    url, ctx = base
+    _make_day(ctx, with_video=True)
+    data = get(f"{url}/download_day?cam=dcam&day=2026-08-16", raw=True)
+    assert len(data) > 1000 and b"ftyp" in data[:64]   # mp4 container magic
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(f"{url}/download_day?cam=dcam&day=1999-01-01", raw=True)
+    assert e.value.code == 404
+
+
 def test_camera_name_traversal_blocked(base):
     """/delete_camera and /add_camera must reject names that escape the
     cameras dir (round-1 advisor high finding: ?cam_name=../.. hit rmtree)."""
