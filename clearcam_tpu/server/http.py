@@ -105,6 +105,8 @@ class AppContext:
         self.settings = settings or GlobalSettings()
         self.labels = labels or COCO_LABELS
         self.offload = OffloadSessions()
+        from ..cloud.federation import FederationRegistry
+        self.federation = FederationRegistry()
         self.offload_detect = offload_detect  # callable(frame_hw3_rgb) -> rows
         self.on_settings_change = on_settings_change
         stored = db.run_get("max_storage", None)
@@ -164,8 +166,8 @@ def make_handler(ctx: AppContext):
             # through to the delete branch
             q = parse_qs(parsed.query, keep_blank_values=True)
             cam = self._q(q, "cam")
-            route = getattr(self, "_get_" + parsed.path.strip("/").replace("-", "_"),
-                            None)
+            route = getattr(self, "_get_" + parsed.path.strip("/")
+                            .replace("-", "_").replace("/", "_"), None)
             try:
                 if parsed.path == "/":
                     return self._page(q, cam)
@@ -437,6 +439,16 @@ def make_handler(ctx: AppContext):
             self.end_headers()
             self.wfile.write(data)
 
+        def _get_federation_cameras(self, q, cam):
+            """Merged inventory: this host's cameras + every live peer's,
+            with absolute URLs (media is fetched from the owning host)."""
+            out = []
+            links = ctx.db.run_get("links", None) or {}
+            for name in links:
+                out.append({"host": "", "cam": name, "url": f"/?cam={name}"})
+            out += ctx.federation.cameras()
+            self._json(out)
+
         def _get_get_counts(self, q, cam):
             if not cam:
                 return self.send_error(400, "Missing cam parameter")
@@ -545,6 +557,8 @@ def make_handler(ctx: AppContext):
                     return self._post_event_thumbs()
                 if parsed.path in ("/yolo", "/diff"):
                     return self._post_offload(parsed.path == "/diff")
+                if parsed.path == "/federation/register":
+                    return self._post_federation_register()
                 self.send_error(404)
             except BrokenPipeError:
                 pass
@@ -557,6 +571,18 @@ def make_handler(ctx: AppContext):
         def _body(self) -> bytes:
             length = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(length)
+
+        def _post_federation_register(self):
+            """Peer NVR host announces itself + its camera list
+            (cloud/federation.py; the DCN service-level federation)."""
+            data = json.loads(self._body().decode())
+            host, cameras = data.get("host"), data.get("cameras", [])
+            if not isinstance(host, str) or not host.startswith(("http://",
+                                                                 "https://")):
+                return self.send_error(400, "host must be an http(s) URL")
+            ctx.federation.register(host, [c for c in cameras
+                                           if isinstance(c, str)])
+            self._json({"status": "ok"})
 
         def _post_edit_settings(self):
             data = json.loads(self._body().decode())
