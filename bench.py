@@ -104,6 +104,27 @@ def main():
     detect_fps = bench_detect(det, params, x)
     e2e_fps = bench_e2e(det, params, x)
 
+    # p50 single-frame latency (BASELINE target <15 ms), two views:
+    #  - device_step_ms_b1: sustained batch-1 step time (queue-drain) — what
+    #    a PCIe-attached host would see per frame, plus ~1 ms of DMA.
+    #  - p50_incl_tunnel_ms: full dispatch+readback round trip here; in this
+    #    environment it is dominated by the axon relay RTT (CLAUDE.md), an
+    #    artifact a real v5e host does not have.
+    x1 = jax.device_put(frames[:1])
+    np.asarray(det(params, x1))
+    t0 = time.time()
+    out = None
+    for _ in range(30):
+        out = det(params, x1)
+    np.asarray(out)
+    device_step_ms = (time.time() - t0) / 30 * 1e3
+    lats = []
+    for _ in range(15):
+        t0 = time.time()
+        np.asarray(det(params, x1))
+        lats.append(time.time() - t0)
+    p50_ms = sorted(lats)[len(lats) // 2] * 1e3
+
     streams = detect_fps / 30.0
     print(json.dumps({
         "metric": "1080p_streams_per_chip_yolov9t640_30fps",
@@ -115,6 +136,8 @@ def main():
             "detect_fps": round(detect_fps),
             "e2e_detect_track_fps": round(e2e_fps),
             "e2e_detect_track_streams": round(e2e_fps / 30.0, 2),
+            "device_step_ms_b1": round(device_step_ms, 2),
+            "p50_incl_tunnel_ms": round(p50_ms, 2),
         },
     }))
 

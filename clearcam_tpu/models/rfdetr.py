@@ -399,11 +399,14 @@ def decoder_forward(p, memory_map, refs, tgt, cfg: RFDETRConfig):
         pos = F.linear_p(p, "ref_point_head.1", jax.nn.relu(
             F.linear_p(p, "ref_point_head.0",
                        sine_box_embed(refs, c.d_model // 2))))
-        # self-attention over queries (content + box positional embedding)
+        # self-attention over queries: q/k carry the box positional
+        # embedding, v is the bare content (DETR convention)
         qk = tgt + pos
         inp = F.linear_p(p, pre + ".self_attn.in_proj", qk)
         qq, kk, _ = jnp.split(inp, 3, -1)
-        vv = F.linear_p(p, pre + ".self_attn.in_proj", tgt)[..., 2 * c.d_model:]
+        w_in = p[pre + ".self_attn.in_proj.weight"]
+        b_in = p[pre + ".self_attn.in_proj.bias"]
+        vv = F.linear(tgt, w_in[2 * c.d_model:], b_in[2 * c.d_model:])
         heads = c.sa_heads
         sa = F.merge_heads(F.mha(F.split_heads(qq, heads),
                                  F.split_heads(kk, heads),

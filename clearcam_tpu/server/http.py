@@ -430,14 +430,14 @@ def make_handler(ctx: AppContext):
                      "0", "-i", str(concat), "-c", "copy", str(out)]).returncode
                 if rc != 0 or not out.exists():
                     return self.send_error(500, "concat failed")
-            data = out.read_bytes()
             self.send_response(200)
             self.send_header("Content-Type", "video/mp4")
             self.send_header("Content-Disposition",
                              f'attachment; filename="{name}_{day}.mp4"')
-            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Content-Length", str(out.stat().st_size))
             self.end_headers()
-            self.wfile.write(data)
+            with open(out, "rb") as f:   # stream: a day can be gigabytes
+                shutil.copyfileobj(f, self.wfile, 1 << 20)
 
         def _get_federation_cameras(self, q, cam):
             """Merged inventory: this host's cameras + every live peer's,
