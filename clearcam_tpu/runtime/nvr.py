@@ -143,64 +143,80 @@ class NativeIngest:
     """Groups live ffmpeg cameras by resolution onto native batchers
     (native/ingest): pipe fds are consumed by C++ reader threads and the NVR
     tick materializes each group's batch with one snapshot call — no
-    per-frame Python copies (replaces FramePump for FfmpegSource cams)."""
+    per-frame Python copies (replaces FramePump for FfmpegSource cams).
 
-    GROUP_CAP = 32
+    Each resolution group is PAGED: a new PAGE_CAP-slot batcher is allocated
+    when the group fills, so camera count per resolution is unbounded while
+    frame memory (2 buffers/slot) is only allocated in page-sized steps."""
+
+    PAGE_CAP = 32
 
     def __init__(self):
-        self.groups: dict[tuple, dict] = {}  # shape -> {batcher, names[slot]}
+        self.groups: dict[tuple, list[dict]] = {}  # shape -> [page, ...]
+
+    def _pages(self, shape):
+        return self.groups.setdefault(shape, [])
 
     def register(self, cam_name: str, fd: int, shape: tuple[int, int, int]):
         from .native_loader import NativeBatcher
         # a camera respawning at a different resolution moves groups: free its
-        # old slot first so repeated re-points never exhaust GROUP_CAP
-        for other_shape, og in self.groups.items():
-            if other_shape != shape and cam_name in og["names"]:
-                self._free_slot(og, og["names"].index(cam_name))
-        g = self.groups.get(shape)
-        if g is None:
-            g = {"batcher": NativeBatcher(self.GROUP_CAP, shape), "names": []}
-            self.groups[shape] = g
-        names = g["names"]
-        if cam_name in names:
-            # same-shape respawn: reuse the slot (old reader stopped at EOF)
-            idx = names.index(cam_name)
-        elif None in names:
-            idx = names.index(None)  # reclaim a freed slot
-            names[idx] = cam_name
-        elif len(names) < self.GROUP_CAP:
-            idx = len(names)
+        # old slot first so repeated re-points never leak slots
+        for other_shape, pages in self.groups.items():
+            if other_shape != shape:
+                for pg in pages:
+                    if cam_name in pg["names"]:
+                        self._free_slot(pg, pg["names"].index(cam_name))
+        page = idx = None
+        for pg in self._pages(shape):
+            names = pg["names"]
+            if cam_name in names:       # same-shape respawn: reuse the slot
+                page, idx = pg, names.index(cam_name)
+                break
+            if idx is None and None in names:
+                page, idx = pg, names.index(None)
+            elif idx is None and len(names) < self.PAGE_CAP:
+                page, idx = pg, len(names)
+        if page is None:
+            page = {"batcher": NativeBatcher(self.PAGE_CAP, shape),
+                    "names": []}
+            self._pages(shape).append(page)
+            idx = 0
+        names = page["names"]
+        if idx == len(names):
             names.append(cam_name)
         else:
-            raise RuntimeError(f"ingest group full ({self.GROUP_CAP})")
-        g["batcher"].add_fd(idx, fd)
+            names[idx] = cam_name
+        page["batcher"].add_fd(idx, fd)
         return shape, idx
 
-    def _free_slot(self, g: dict, idx: int):
-        g["names"][idx] = None
-        g["batcher"].remove(idx)
+    def _free_slot(self, page: dict, idx: int):
+        page["names"][idx] = None
+        page["batcher"].remove(idx)
 
     def remove(self, cam_name: str):
         """Free the camera's slot (stop reader, reset seq) so it can be
         reused — the reference tolerates unlimited re-points
         (clearcam.py:255-268); so must we."""
-        for g in self.groups.values():
-            if cam_name in g["names"]:
-                self._free_slot(g, g["names"].index(cam_name))
+        for pages in self.groups.values():
+            for pg in pages:
+                if cam_name in pg["names"]:
+                    self._free_slot(pg, pg["names"].index(cam_name))
 
     def snapshot_all(self) -> dict[str, tuple]:
         """-> {cam_name: (frame_view, seq)} for every registered camera."""
         out = {}
-        for g in self.groups.values():
-            batch, seqs = g["batcher"].snapshot()
-            for i, name in enumerate(g["names"]):
-                if name is not None:
-                    out[name] = (batch[i], int(seqs[i]))
+        for pages in self.groups.values():
+            for pg in pages:
+                batch, seqs = pg["batcher"].snapshot()
+                for i, name in enumerate(pg["names"]):
+                    if name is not None:
+                        out[name] = (batch[i], int(seqs[i]))
         return out
 
     def close(self):
-        for g in self.groups.values():
-            g["batcher"].close()
+        for pages in self.groups.values():
+            for pg in pages:
+                pg["batcher"].close()
         self.groups.clear()
 
 

@@ -425,9 +425,13 @@ def make_handler(ctx: AppContext):
                 concat = stream_dir / "day_concat.txt"
                 concat.write_text("".join(f"file '{s.resolve()}'\n"
                                           for s in segs))
-                rc = subprocess.run(
-                    [ff, "-y", "-loglevel", "quiet", "-f", "concat", "-safe",
-                     "0", "-i", str(concat), "-c", "copy", str(out)]).returncode
+                try:
+                    rc = subprocess.run(
+                        [ff, "-y", "-loglevel", "quiet", "-f", "concat",
+                         "-safe", "0", "-i", str(concat), "-c", "copy",
+                         str(out)], timeout=300).returncode
+                except subprocess.TimeoutExpired:
+                    rc = -1
                 if rc != 0 or not out.exists():
                     return self.send_error(500, "concat failed")
             self.send_response(200)

@@ -176,13 +176,14 @@ def test_ingest_respawn_cycling_beyond_group_cap():
             r, w = os.pipe()
             writers.append(w)
             key, idx = ing.register("cam_a", r, shape)
-            assert idx < NativeIngest.GROUP_CAP
+            assert idx < NativeIngest.PAGE_CAP
             os.write(w, bytes([i % 251 + 1]) * int(np.prod(shape)))
             os.close(w)             # EOF so the next register can reuse
             ing.remove("cam_a")
-        # after all cycles both groups have at most one occupied name entry
-        for g in ing.groups.values():
-            assert sum(1 for nm in g["names"] if nm is not None) == 0
+        # after all cycles every page is fully freed and only one page exists
+        for pages in ing.groups.values():
+            assert len(pages) == 1
+            assert sum(1 for nm in pages[0]["names"] if nm is not None) == 0
         # a fresh registration still works and lands in a reclaimed slot
         r, w = os.pipe()
         _, idx = ing.register("cam_b", r, shapes[0])
@@ -243,6 +244,45 @@ def test_pjrt_replayer_run_numeric_parity(tmp_path):
     got = np.fromfile(tmp_path / "replayer_out0.bin", np.float32)
     ref = np.load(tmp_path / "ref.npy")
     np.testing.assert_allclose(got, ref)
+
+
+@pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
+                    reason="native build unavailable")
+def test_ingest_pages_beyond_cap():
+    """More same-resolution cameras than one page: the group grows by
+    allocating another batcher page instead of raising (the 130-stream
+    bench claim needs >32 cameras of one resolution)."""
+    from clearcam_tpu.runtime.nvr import NativeIngest
+
+    ing = NativeIngest()
+    shape = (4, 4, 3)
+    n = int(np.prod(shape))
+    writers = []
+    try:
+        for i in range(NativeIngest.PAGE_CAP + 3):
+            r, w = os.pipe()
+            writers.append(w)
+            ing.register(f"cam{i:03d}", r, shape)
+            os.write(w, bytes([i % 251 + 1]) * n)
+        assert len(ing.groups[shape]) == 2
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            snap = ing.snapshot_all()
+            if len(snap) == NativeIngest.PAGE_CAP + 3 and \
+                    all(seq >= 0 for _, seq in snap.values()):
+                break
+            time.sleep(0.01)
+        assert len(snap) == NativeIngest.PAGE_CAP + 3
+        for i in range(NativeIngest.PAGE_CAP + 3):
+            frame, seq = snap[f"cam{i:03d}"]
+            assert seq >= 0 and frame[0, 0, 0] == i % 251 + 1
+    finally:
+        for w in writers:
+            try:
+                os.close(w)
+            except OSError:
+                pass
+        ing.close()
 
 
 @pytest.mark.skipif(native_loader.load_lib("ccingest") is None,

@@ -125,6 +125,29 @@ def test_cross_stream_batching(tmp_path):
     assert max(calls) == 8, f"never batched all 8 cams: {calls[:10]}"
 
 
+def test_32_camera_scale(tmp_path):
+    """One NVR, 32 cameras, many ticks: every camera tracks its object
+    through the shared cross-camera tracker, no slot/track leaks, counts
+    accumulate per camera (BASELINE's 32-stream shape, host-side)."""
+    db = KVStore(tmp_path / "kv.db")
+    for i in range(32):
+        db.run_put("links", f"cam{i:02d}", "synthetic://320x240")
+    n = NVR(db, tmp_path / "data", GlobalSettings(),
+            detector=ColorKeyDetector())
+    n.run(max_ticks=50, tick_sleep=0.0)
+    assert len(n.cams) == 32
+    tracked = [name for name in n.cams
+               if n.tracker.next_id.get(n.tracker._cam_ids.get(name), 0) >= 1]
+    assert len(tracked) == 32, f"only {len(tracked)} cameras tracked"
+    # shared tracker holds a bounded number of tracks (stale ones persist
+    # up to the reference's 600-tick reap window, so bound loosely)
+    assert len(n.tracker) <= 32 * 8
+    counts = [n.cams[f"cam{i:02d}"].counter.get_counts() for i in range(4)]
+    assert all(c for c in counts)
+    n.stop()
+    assert len(n.cams) == 0
+
+
 def test_mixed_resolution_cameras(tmp_path):
     """Cameras with different resolutions coexist: same-shape frames share a
     batched call, distinct shapes get their own (BatchDetector groups)."""
