@@ -585,7 +585,8 @@ def make_handler(ctx: AppContext):
                                                                  "https://")):
                 return self.send_error(400, "host must be an http(s) URL")
             ctx.federation.register(host, [c for c in cameras
-                                           if isinstance(c, str)])
+                                           if isinstance(c, str)
+                                           and safe_cam_name(c)])
             self._json({"status": "ok"})
 
         def _post_edit_settings(self):
