@@ -1,5 +1,7 @@
 """LLM runtime: chunked-prefill/cache correctness across block types, GGUF
 roundtrip + dequant kernels."""
+import os
+
 import numpy as np
 import pytest
 
@@ -178,6 +180,45 @@ def test_config_from_gguf_qwen3():
     cfg = llm.config_from_gguf(kv, sd, max_context=64)
     assert cfg.num_blocks == 2 and cfg.head_dim == 8 and cfg.qk_norm == 8
     assert cfg.max_context == 64
+
+
+@pytest.mark.skipif(
+    not (os.path.exists("/root/.axon_site")
+         and os.environ.get("CLEARCAM_PALLAS_TPU_TEST")),
+    reason="real-TPU Pallas check: set CLEARCAM_PALLAS_TPU_TEST=1 (claims a "
+           "TPU session; verified passing 2026-08-16)")
+def test_pallas_decode_matches_xla_on_tpu():
+    """The decode kernel compiled for the REAL TPU (not interpret mode)
+    produces the same greedy tokens as the XLA full-cache path."""
+    import subprocess
+    import sys
+
+    code = (
+        "from clearcam_tpu.models import llm\n"
+        "cfg = llm.TransformerConfig(num_blocks=2, dim=256, hidden_dim=512,"
+        " n_heads=4, n_kv_heads=2, norm_eps=1e-5, vocab_size=512,"
+        " head_dim=128, rope_theta=1e4, rope_dim=128, v_head_dim=128,"
+        " max_context=512)\n"
+        "params = llm.init_params(cfg, seed=5)\n"
+        "def greedy(t):\n"
+        "    out = []\n"
+        "    for tok in t.generate([1,2,3,4], temperature=0.0, max_new=8):\n"
+        "        out.append(int(tok))\n"
+        "        if len(out) >= 8: break\n"
+        "    return out\n"
+        "ref = llm.Transformer(params, cfg, seed=0)\n"
+        "fast = llm.Transformer(params, cfg, seed=0)\n"
+        "fast.prefill_fn, fast.decode_fn = llm.make_step_fns("
+        "cfg, use_pallas_decode=True)\n"
+        "assert greedy(ref) == greedy(fast)\n"
+        "print('PALLAS OK')\n")
+    env = dict(os.environ,
+               PYTHONPATH="/root/repo:/root/.axon_site")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=580)
+    assert r.returncode == 0 and "PALLAS OK" in r.stdout, r.stdout + r.stderr
 
 
 def test_pallas_decode_matches_xla():
