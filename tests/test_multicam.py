@@ -84,6 +84,31 @@ def test_multicam_late_join_and_absent_cameras():
             tracks_equal(out[1], ref1.update(per_cam[1], 0.3))
 
 
+@pytest.mark.parametrize("name", ["a", "b", "byte"])
+def test_multicam_golden_fixture_parity(name):
+    """The reference-recorded golden fixtures (bit-parity vs the reference
+    tracker) also hold through MultiCamOCSort — run THREE copies of the
+    fixture as three concurrent cameras to exercise the cross-camera
+    batching, all must match the recording."""
+    from pathlib import Path
+    data = np.load(Path(__file__).parent / "fixtures" / "ocsort_golden.npz")
+    n = int(data[f"{name}_nframes"])
+    use_byte = bool(data[f"{name}_use_byte"])
+    trk = MultiCamOCSort(max_age=30, use_byte=use_byte)
+    for i in range(n):
+        dets = data[f"{name}_in_{i}"]
+        golden = data[f"{name}_out_{i}"]
+        outs = trk.update_all({c: dets for c in range(3)}, 0.25)
+        for c in range(3):
+            got = np.array([
+                [*t.tlwh, t.score, t.class_id, t.track_id, t.tracklet_len,
+                 t.speed] for t in outs[c]], np.float64).reshape(-1, 9)
+            assert got.shape == golden.shape, f"cam {c} frame {i}"
+            if golden.size:
+                np.testing.assert_allclose(got, golden, rtol=1e-5, atol=1e-8,
+                                           err_msg=f"cam {c} frame {i}")
+
+
 def test_multicam_empty_frames_and_death():
     multi = MultiCamOCSort(max_age=2)
     ref = OCSort(max_age=2)
