@@ -1,0 +1,62 @@
+"""Fine-tune CLI: YOLO-format dataset loading (letterbox + box remap),
+training-loss descent on a synthetic dataset, and published-layout
+checkpoint roundtrip through YOLOv9.from_safetensors."""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from clearcam_tpu.tools import finetune
+
+
+def make_dataset(root, n=6, size=96):
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 40, (size, size, 3), np.uint8)
+        # one bright box; YOLO-normalized label
+        cx, cy, w, h = 0.5, 0.5, 0.4, 0.3
+        x1, y1 = int((cx - w / 2) * size), int((cy - h / 2) * size)
+        x2, y2 = int((cx + w / 2) * size), int((cy + h / 2) * size)
+        img[y1:y2, x1:x2] = (240, 180, 40)
+        cv2.imwrite(str(root / "images" / f"im{i}.jpg"), img[:, :, ::-1])
+        (root / "labels" / f"im{i}.txt").write_text(f"0 {cx} {cy} {w} {h}\n")
+    return root
+
+
+def test_dataset_loader_letterbox_and_boxes(tmp_path):
+    root = make_dataset(tmp_path, n=3, size=96)
+    imgs, boxes, clss = finetune.load_dataset(root, res=64)
+    assert imgs.shape == (3, 64, 64, 3) and imgs.dtype == np.float32
+    assert 0.0 <= imgs.min() and imgs.max() <= 1.0
+    # square source: scale 64/96, no offset; box = (0.3..0.7)x(0.35..0.65)*96*r
+    r = 64 / 96
+    np.testing.assert_allclose(
+        boxes[0, 0],
+        [0.3 * 96 * r, 0.35 * 96 * r, 0.7 * 96 * r, 0.65 * 96 * r],
+        atol=1e-3)
+    assert clss[0, 0] == 0 and clss[0, 1] == -1
+
+
+def test_train_descends_and_checkpoint_roundtrips(tmp_path):
+    root = make_dataset(tmp_path / "ds", n=4, size=96)
+    out = tmp_path / "ft.safetensors"
+    losses = finetune.train(str(root), size="t", res=64, batch=4, steps=14,
+                            lr=3e-4, clip_norm=1.0, out=str(out), log_every=6)
+    assert losses[-1] < losses[0], f"no descent: {losses[0]} -> {losses[-1]}"
+    # published-layout checkpoint loads back through the standard loader
+    from clearcam_tpu.models.yolov9 import YOLOv9
+    m = YOLOv9.from_safetensors(out, size="t", res=64)
+    frame = np.zeros((96, 96, 3), np.uint8)
+    rows = np.asarray(m(frame))
+    assert rows.shape[1] == 6 and np.isfinite(rows).all()
+
+
+def test_train_with_mesh(tmp_path):
+    """dp x tp sharded fine-tune over the 8-virtual-device mesh."""
+    root = make_dataset(tmp_path / "ds", n=4, size=96)
+    out = tmp_path / "ft.safetensors"
+    losses = finetune.train(str(root), size="t", res=64, batch=8, steps=4,
+                            lr=1e-3, out=str(out), use_mesh=True)
+    assert np.isfinite(losses).all()
