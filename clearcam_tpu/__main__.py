@@ -8,6 +8,7 @@ daily-restart scheduler, and runs the NVR loop forever.
 from __future__ import annotations
 
 import argparse
+import os
 import socket
 import threading
 import time
@@ -77,6 +78,9 @@ def main(argv=None):
     ap.add_argument("--data", type=Path, default=Path("data"))
     ap.add_argument("--weights", type=Path, default=Path("weights"))
     ap.add_argument("--cam_name", default="my_camera")
+    ap.add_argument("--api-token", default=os.environ.get("CLEARCAM_API_TOKEN"),
+                    help="require this token (x-api-token header or ?token=) "
+                         "on every HTTP request")
     ap.add_argument("--no-detector", action="store_true",
                     help="run the server without a TPU detector (UI/API only)")
     args = ap.parse_args(argv)
@@ -145,7 +149,8 @@ def main(argv=None):
 
     ctx = AppContext(db, args.data, nvr=nvr, object_finder=object_finder,
                      settings=settings, offload_detect=offload_detect,
-                     on_settings_change=on_settings_change)
+                     on_settings_change=on_settings_change,
+                     api_token=args.api_token)
     storage.max_gb = ctx.max_gb
     storage.start()
     server = serve(ctx, port=args.port)

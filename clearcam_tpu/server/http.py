@@ -97,7 +97,12 @@ class AppContext:
 
     def __init__(self, db, base_dir: Path, nvr=None, object_finder=None,
                  settings: GlobalSettings | None = None, max_gb: float = 256.0,
-                 labels=None, offload_detect=None, on_settings_change=None):
+                 labels=None, offload_detect=None, on_settings_change=None,
+                 api_token: str | None = None):
+        # optional shared-secret auth (beyond the reference, which serves an
+        # unauthenticated API): when set, every request must carry the token
+        # in an x-api-token header or ?token= query parameter
+        self.api_token = api_token
         self.db = db
         self.base_dir = Path(base_dir)
         self.nvr = nvr
@@ -159,7 +164,21 @@ def make_handler(ctx: AppContext):
             return ctx.base_dir / "cameras"
 
         # -- GET -----------------------------------------------------------
+        def _authorized(self) -> bool:
+            if not ctx.api_token:
+                return True
+            import hmac
+            q = parse_qs(urlparse(self.path).query)
+            supplied = self.headers.get("x-api-token") \
+                or (q.get("token") or [""])[0]
+            if hmac.compare_digest(supplied or "", ctx.api_token):
+                return True
+            self.send_error(401, "missing or invalid api token")
+            return False
+
         def do_GET(self):  # noqa: N802
+            if not self._authorized():
+                return
             parsed = urlparse(unquote(self.path))
             # keep_blank_values: "window=" means "clear the window", and an
             # edit_alert request whose only param is blank must not fall
@@ -551,6 +570,8 @@ def make_handler(ctx: AppContext):
 
         # -- POST ------------------------------------------------------------
         def do_POST(self):  # noqa: N802
+            if not self._authorized():
+                return
             parsed = urlparse(self.path)
             try:
                 if parsed.path == "/edit_settings":

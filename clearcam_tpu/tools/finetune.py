@@ -84,7 +84,7 @@ def save_published(params: dict, path: str | Path) -> None:
 
 def train(dataset: str, size: str = "t", res: int = 640, batch: int = 8,
           steps: int = 500, lr: float = 1e-4, clip_norm: float = 1.0,
-          init: str | None = None,
+          remat: bool = False, init: str | None = None,
           out: str = "yolov9-finetuned.safetensors", use_mesh: bool = False,
           seed: int = 0, log_every: int = 20):
     import jax
@@ -103,7 +103,8 @@ def train(dataset: str, size: str = "t", res: int = 640, batch: int = 8,
     else:
         params = yolov9.init_params(size, seed=seed)
 
-    step_fn, opt = make_finetune_step(size, lr=lr, clip_norm=clip_norm)
+    step_fn, opt = make_finetune_step(size, lr=lr, clip_norm=clip_norm,
+                                      remat=remat)
     if use_mesh:
         from ..parallel import mesh as pmesh
         mesh = pmesh.make_mesh()
@@ -136,13 +137,16 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--clip-norm", type=float, default=1.0)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize activations (jax.checkpoint): larger "
+                         "batch x res per chip for ~1 extra forward of FLOPs")
     ap.add_argument("--init", help="published safetensors to start from")
     ap.add_argument("--out", default="yolov9-finetuned.safetensors")
     ap.add_argument("--mesh", action="store_true",
                     help="shard dp x tp over the local device mesh")
     args = ap.parse_args(argv)
     train(args.dataset, args.size, args.res, args.batch, args.steps, args.lr,
-          args.clip_norm, args.init, args.out, args.mesh)
+          args.clip_norm, args.remat, args.init, args.out, args.mesh)
 
 
 if __name__ == "__main__":

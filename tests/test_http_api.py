@@ -285,6 +285,36 @@ def test_download_day(base):
     assert e.value.code == 404
 
 
+def test_api_token_auth(tmp_path):
+    """Optional shared-secret auth (beyond the reference's open API): with a
+    token configured every route requires it via header or ?token=."""
+    db = KVStore(tmp_path / "kv.db")
+    ctx = AppContext(db, tmp_path / "data", settings=GlobalSettings(),
+                     api_token="s3cret")
+    server = serve(ctx, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{url}/list_cameras")
+        assert e.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{url}/list_cameras?token=wrong")
+        assert e.value.code == 401
+        assert get(f"{url}/list_cameras?token=s3cret") == {}
+        req = urllib.request.Request(f"{url}/list_cameras",
+                                     headers={"x-api-token": "s3cret"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        # POST routes are covered too
+        req = urllib.request.Request(f"{url}/event_thumbs", data=b"{}",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 401
+    finally:
+        server.shutdown()
+
+
 def test_camera_name_traversal_blocked(base):
     """/delete_camera and /add_camera must reject names that escape the
     cameras dir (round-1 advisor high finding: ?cam_name=../.. hit rmtree)."""
