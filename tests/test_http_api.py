@@ -285,6 +285,41 @@ def test_download_day(base):
     assert e.value.code == 404
 
 
+def test_concurrent_request_hammer(base):
+    """20 threads x mixed read/write routes: no 500s, consistent state
+    afterwards (the reference's only concurrency test is a db hammer —
+    this covers the HTTP layer + registry + alerts too)."""
+    import threading
+
+    url, ctx = base
+    errors = []
+
+    def worker(i):
+        try:
+            for j in range(10):
+                get(f"{url}/add_camera?cam_name=h{i}&src=rtsp://x{j}",
+                    raw=True)   # 302 -> HTML main page
+                get(f"{url}/list_cameras")
+                get(f"{url}/get_counts?cam=h{i}")
+                get(f"{url}/edit_settings?cam=h{i}&threshold=0.{j+1}")
+                get(f"{url}/get_settings?cam=h{i}")
+                post(f"{url}/federation/register",
+                     json.dumps({"host": f"http://10.0.0.{i}:8080",
+                                 "cameras": [f"c{j}"]}).encode())
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{i}: {e}")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(20)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    cams = get(f"{url}/list_cameras")
+    assert all(f"h{i}" in cams for i in range(20))
+    assert len(ctx.federation.peers) == 20
+
+
 def test_api_token_auth(tmp_path):
     """Optional shared-secret auth (beyond the reference's open API): with a
     token configured every route requires it via header or ?token=."""
