@@ -65,7 +65,11 @@ class FederationPeer:
 
 
 class FederationRegistry:
-    """Primary-side peer table (held on AppContext)."""
+    """Primary-side peer table (held on AppContext). Bounded: stale peers are
+    evicted on read, and registration evicts the oldest peer at the cap so a
+    hostile/looping client can't grow the table without bound."""
+
+    MAX_PEERS = 256
 
     def __init__(self, stale_s: float = STALE_S):
         self.peers: dict[str, dict] = {}
@@ -74,8 +78,11 @@ class FederationRegistry:
 
     def register(self, host: str, cameras: list[str]):
         with self.lock:
-            self.peers[host] = {"cameras": list(cameras),
+            self.peers[host] = {"cameras": list(cameras[:512]),
                                 "last_seen": time.time()}
+            while len(self.peers) > self.MAX_PEERS:
+                oldest = min(self.peers, key=lambda h: self.peers[h]["last_seen"])
+                del self.peers[oldest]
 
     def cameras(self) -> list[dict]:
         now = time.time()

@@ -566,6 +566,14 @@ class NVR:
         cam.warmup += 1
         if cam.warmup <= 10:
             return
+        # prune crop-throttle state of tracks idle >1h (the reference's
+        # pred_occs only resets at the daily restart, clearcam.py:237).
+        # Live cams only: VOD occurrences are in media time, not wall time.
+        if not cam.vod and now - getattr(cam, "_occ_pruned", 0.0) > 600:
+            cam._occ_pruned = now
+            for tid in [t for t, occ in cam.pred_occs.items()
+                        if now - occ[-1] > 3600]:
+                del cam.pred_occs[tid]
         # hourly preview snapshot (clearcam.py:466-469)
         if cam.last_frame is not None and (
                 cam.last_preview is None or now - cam.last_preview >= 3600):
