@@ -76,13 +76,19 @@ class NativeBatcher:
     ffmpeg rawvideo stdout) to a native reader thread.
     """
 
-    def __init__(self, n_streams: int, frame_shape: tuple[int, int, int]):
+    def __init__(self, n_streams: int, frame_shape: tuple[int, int, int],
+                 downsample: int = 1):
+        """downsample k (odd): readers consume full frames but publish
+        [H/k, W/k, C] center-tap decimated frames (the exact odd-integer
+        bilinear fast path) — k^2 less host memcpy and PCIe traffic."""
         lib = load_lib("ccingest")
         if lib is None:
             raise RuntimeError("native ingest library unavailable")
         self.lib = lib
         lib.cc_batcher_create.restype = ctypes.c_void_p
         lib.cc_batcher_create.argtypes = [ctypes.c_int, ctypes.c_long]
+        lib.cc_batcher_create2.restype = ctypes.c_void_p
+        lib.cc_batcher_create2.argtypes = [ctypes.c_int] * 5
         lib.cc_batcher_add_fd.restype = ctypes.c_int
         lib.cc_batcher_add_fd.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
         lib.cc_batcher_push.restype = ctypes.c_int
@@ -95,10 +101,22 @@ class NativeBatcher:
         lib.cc_batcher_stop.argtypes = [ctypes.c_void_p]
         lib.cc_batcher_destroy.argtypes = [ctypes.c_void_p]
         self.n = n_streams
-        self.shape = frame_shape
-        self.frame_bytes = int(np.prod(frame_shape))
-        self.h = lib.cc_batcher_create(n_streams, self.frame_bytes)
-        self.batch = np.zeros((n_streams, *frame_shape), np.uint8)
+        self.downsample = downsample
+        fh, fw, fc = frame_shape
+        if downsample > 1:
+            if downsample % 2 == 0 or fh % downsample or fw % downsample:
+                raise ValueError(
+                    f"downsample {downsample} must be odd and divide "
+                    f"{fh}x{fw}")
+            self.shape = (fh // downsample, fw // downsample, fc)
+            self.h = lib.cc_batcher_create2(n_streams, fh, fw, fc, downsample)
+        else:
+            self.shape = frame_shape
+            self.h = lib.cc_batcher_create(n_streams, int(np.prod(frame_shape)))
+        if not self.h:
+            raise RuntimeError("cc_batcher_create failed")
+        self.frame_bytes = int(np.prod(frame_shape))  # input (full-res) bytes
+        self.batch = np.zeros((n_streams, *self.shape), np.uint8)
         self.seqs = np.zeros(n_streams, np.int64)
 
     def add_fd(self, stream: int, fd: int):

@@ -147,12 +147,26 @@ class NativeIngest:
 
     Each resolution group is PAGED: a new PAGE_CAP-slot batcher is allocated
     when the group fills, so camera count per resolution is unbounded while
-    frame memory (2 buffers/slot) is only allocated in page-sized steps."""
+    frame memory (2 buffers/slot) is only allocated in page-sized steps.
+
+    downsample k (odd, CLEARCAM_INGEST_DOWNSAMPLE): the C++ readers decimate
+    frames with the exact center-tap the on-device letterbox would apply at
+    an exact odd ratio — k^2 less host memcpy + host->device traffic (a
+    128-stream 1080p deployment is otherwise PCIe-bound). Applied per group
+    when the resolution divides evenly; crops/previews are then k-times
+    smaller (quality trade, so opt-in)."""
 
     PAGE_CAP = 32
 
-    def __init__(self):
+    def __init__(self, downsample: int = 1):
+        self.downsample = downsample
         self.groups: dict[tuple, list[dict]] = {}  # shape -> [page, ...]
+
+    def _group_downsample(self, shape) -> int:
+        k = self.downsample
+        if k > 1 and k % 2 == 1 and shape[0] % k == 0 and shape[1] % k == 0:
+            return k
+        return 1
 
     def _pages(self, shape):
         return self.groups.setdefault(shape, [])
@@ -177,7 +191,8 @@ class NativeIngest:
             elif idx is None and len(names) < self.PAGE_CAP:
                 page, idx = pg, len(names)
         if page is None:
-            page = {"batcher": NativeBatcher(self.PAGE_CAP, shape),
+            page = {"batcher": NativeBatcher(self.PAGE_CAP, shape,
+                                             self._group_downsample(shape)),
                     "names": []}
             self._pages(shape).append(page)
             idx = 0
@@ -286,7 +301,9 @@ class NVR:
             try:
                 from .native_loader import load_lib
                 if load_lib("ccingest") is not None:
-                    self.native_ingest = NativeIngest()
+                    import os as _os
+                    self.native_ingest = NativeIngest(downsample=int(
+                        _os.environ.get("CLEARCAM_INGEST_DOWNSAMPLE", "1")))
             except Exception:
                 self.native_ingest = None
         self._native_frames: dict[str, tuple] = {}

@@ -9,15 +9,24 @@
 //
 // ABI (ctypes, clearcam_tpu/runtime/native_loader.py):
 //   void* cc_batcher_create(int n_streams, long frame_bytes);
+//   void* cc_batcher_create2(int n_streams, int h, int w, int c, int k);
 //   int   cc_batcher_add_fd(void* h, int stream, int fd);   // reader thread
 //   int   cc_batcher_push(void* h, int stream, const uint8_t* data);
 //   long  cc_batcher_snapshot(void* h, uint8_t* out, long* seqs);
+//   int   cc_batcher_remove(void* h, int stream);
 //   void  cc_batcher_stop(void* h);
 //   void  cc_batcher_destroy(void* h);
 //
 // snapshot copies every stream's newest frame into out[stream] and writes its
 // sequence number (monotonic per stream; -1 = no frame yet); returns the
 // number of streams that have ever produced a frame.
+//
+// create2 with k>1 (odd) decimates during ingest: readers consume full
+// h*w*c frames but publish [h/k, w/k, c] frames using the center pixel tap
+// at offset (k-1)/2 — exactly the half-pixel bilinear downscale at an exact
+// odd integer ratio (ops/image.letterbox's fast path). At NVR scale this
+// cuts host memcpy AND host->device PCIe traffic by k^2 (a 128-stream
+// 1080p@30 deployment is otherwise host-link-bound: ~24 GB/s of raw frames).
 //
 // Build: g++ -O3 -std=c++17 -pthread -shared -fPIC -o libccingest.so batcher.cc
 
@@ -33,6 +42,7 @@ namespace {
 
 struct Slot {
   std::vector<uint8_t> buf[2];
+  std::vector<uint8_t> staging;  // full-res frame when decimating (k > 1)
   std::atomic<int64_t> seq{-1};  // seq % 2 selects the readable buffer
   std::thread reader;
   std::atomic<bool> running{false};
@@ -40,17 +50,33 @@ struct Slot {
 };
 
 struct Batcher {
-  long frame_bytes;
+  long frame_bytes;      // published (possibly decimated) frame size
+  long in_bytes;         // bytes consumed from the pipe per frame
+  int h = 0, w = 0, c = 0, k = 1;
   std::vector<Slot> slots;
   std::atomic<bool> alive{true};
 };
 
+// center-tap decimation: out[y][x] = in[y*k + off][x*k + off]
+void decimate(const Batcher* b, const uint8_t* in, uint8_t* out) {
+  const int off = (b->k - 1) / 2;
+  const int oh = b->h / b->k, ow = b->w / b->k, c = b->c, k = b->k;
+  const long in_row = (long)b->w * c;
+  for (int y = 0; y < oh; y++) {
+    const uint8_t* src = in + (long)(y * k + off) * in_row + (long)off * c;
+    uint8_t* dst = out + (long)y * ow * c;
+    for (int x = 0; x < ow; x++) {
+      memcpy(dst + (long)x * c, src + (long)x * k * c, c);
+    }
+  }
+}
+
 void reader_loop(Batcher* b, Slot* s) {
-  const long need = b->frame_bytes;
+  const long need = b->in_bytes;
   while (s->running.load(std::memory_order_relaxed) &&
          b->alive.load(std::memory_order_relaxed)) {
     int64_t next = s->seq.load(std::memory_order_relaxed) + 1;
-    uint8_t* dst = s->buf[next & 1].data();
+    uint8_t* dst = (b->k > 1) ? s->staging.data() : s->buf[next & 1].data();
     long got = 0;
     while (got < need) {
       ssize_t r = read(s->fd, dst + got, need - got);
@@ -64,6 +90,7 @@ void reader_loop(Batcher* b, Slot* s) {
       }
       got += r;
     }
+    if (b->k > 1) decimate(b, s->staging.data(), s->buf[next & 1].data());
     s->seq.store(next, std::memory_order_release);
   }
 }
@@ -75,10 +102,29 @@ extern "C" {
 void* cc_batcher_create(int n_streams, long frame_bytes) {
   auto* b = new Batcher();
   b->frame_bytes = frame_bytes;
+  b->in_bytes = frame_bytes;
   b->slots = std::vector<Slot>(n_streams);
   for (auto& s : b->slots) {
     s.buf[0].resize(frame_bytes);
     s.buf[1].resize(frame_bytes);
+  }
+  return b;
+}
+
+void* cc_batcher_create2(int n_streams, int h, int w, int c, int k) {
+  if (k < 1 || k % 2 == 0 || h % k || w % k) return nullptr;
+  auto* b = new Batcher();
+  b->h = h;
+  b->w = w;
+  b->c = c;
+  b->k = k;
+  b->in_bytes = (long)h * w * c;
+  b->frame_bytes = b->in_bytes / ((long)k * k);
+  b->slots = std::vector<Slot>(n_streams);
+  for (auto& s : b->slots) {
+    s.buf[0].resize(b->frame_bytes);
+    s.buf[1].resize(b->frame_bytes);
+    if (k > 1) s.staging.resize(b->in_bytes);
   }
   return b;
 }
@@ -96,11 +142,16 @@ int cc_batcher_add_fd(void* h, int stream, int fd) {
 }
 
 int cc_batcher_push(void* h, int stream, const uint8_t* data) {
+  // `data` is always a FULL-resolution frame (in_bytes); decimated if k > 1
   auto* b = static_cast<Batcher*>(h);
   if (stream < 0 || stream >= (int)b->slots.size()) return 1;
   Slot& s = b->slots[stream];
   int64_t next = s.seq.load(std::memory_order_relaxed) + 1;
-  std::memcpy(s.buf[next & 1].data(), data, b->frame_bytes);
+  if (b->k > 1) {
+    decimate(b, data, s.buf[next & 1].data());
+  } else {
+    std::memcpy(s.buf[next & 1].data(), data, b->frame_bytes);
+  }
   s.seq.store(next, std::memory_order_release);
   return 0;
 }

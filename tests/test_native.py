@@ -248,6 +248,44 @@ def test_pjrt_replayer_run_numeric_parity(tmp_path):
 
 @pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
                     reason="native build unavailable")
+def test_batcher_ingest_downsample():
+    """k=3 decimation in the C++ reader equals the letterbox fast path's
+    center pixel tap (frames published at [H/3, W/3, 3]) — via both push
+    and the pipe-reader path."""
+    rng = np.random.default_rng(0)
+    full = rng.integers(0, 255, (9, 12, 3), np.uint8)
+    expect = full[1::3, 1::3, :]                 # offset (k-1)/2 = 1, step 3
+
+    b = native_loader.NativeBatcher(1, (9, 12, 3), downsample=3)
+    assert b.shape == (3, 4, 3)
+    b.push(0, full)
+    batch, seqs = b.snapshot()
+    assert seqs[0] == 0
+    np.testing.assert_array_equal(batch[0], expect)
+    b.close()
+
+    b = native_loader.NativeBatcher(1, (9, 12, 3), downsample=3)
+    r, w = os.pipe()
+    b.add_fd(0, r)
+    os.write(w, full.tobytes())
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        batch, seqs = b.snapshot()
+        if seqs[0] >= 0:
+            break
+        time.sleep(0.01)
+    np.testing.assert_array_equal(batch[0], expect)
+    os.close(w)
+    b.close()
+    # invalid factors rejected (even k, non-divisible dims)
+    with pytest.raises(ValueError):
+        native_loader.NativeBatcher(1, (8, 12, 3), downsample=2)
+    with pytest.raises(ValueError):
+        native_loader.NativeBatcher(1, (10, 12, 3), downsample=3)
+
+
+@pytest.mark.skipif(native_loader.load_lib("ccingest") is None,
+                    reason="native build unavailable")
 def test_ingest_pages_beyond_cap():
     """More same-resolution cameras than one page: the group grows by
     allocating another batcher page instead of raising (the 130-stream
