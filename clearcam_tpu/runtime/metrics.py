@@ -72,6 +72,33 @@ class Metrics:
         return out
 
 
+def to_prometheus(snap: dict) -> str:
+    """Render a snapshot() dict in the Prometheus text exposition format
+    (metric names prefixed `clearcam_`, dots -> labels where sensible)."""
+    def name_of(k: str) -> tuple[str, str]:
+        # "fps.gate" -> ("fps", '{camera="gate"}')
+        if "." in k:
+            base, label = k.split(".", 1)
+            return base, f'{{camera="{label}"}}'
+        return k, ""
+
+    lines = [f"clearcam_uptime_seconds {snap['uptime_s']}"]
+    for k, t in snap.get("timers", {}).items():
+        base, lbl = name_of(k)
+        lines.append(f"clearcam_{base}_ewma_ms{lbl} {t['ewma_ms']}")
+        lines.append(f"clearcam_{base}_total_seconds{lbl} {t['total_s']}")
+        lines.append(f"clearcam_{base}_count{lbl} {t['count']}")
+        if "rate_hz" in t:
+            lines.append(f"clearcam_{base}_rate_hz{lbl} {t['rate_hz']}")
+    for k, v in snap.get("counters", {}).items():
+        base, lbl = name_of(k)
+        lines.append(f"clearcam_{base}_total{lbl} {v}")
+    for k, v in snap.get("gauges", {}).items():
+        base, lbl = name_of(k)
+        lines.append(f"clearcam_{base}{lbl} {v}")
+    return "\n".join(lines) + "\n"
+
+
 # process-wide default registry
 default = Metrics()
 timer = default.timer

@@ -218,7 +218,18 @@ def make_handler(ctx: AppContext):
 
         def _get_metrics(self, q, cam):
             from ..runtime import metrics
-            self._json(metrics.snapshot())
+            snap = metrics.snapshot()
+            if self._q(q, "format") == "prometheus" \
+                    or "text/plain" in (self.headers.get("Accept") or ""):
+                body = metrics.to_prometheus(snap).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self._json(snap)
 
         def _get_profile(self, q, cam):
             """Capture a JAX/XLA profiler trace for N seconds -> trace dir

@@ -285,6 +285,19 @@ def test_download_day(base):
     assert e.value.code == 404
 
 
+def test_metrics_prometheus_format(base):
+    url, ctx = base
+    from clearcam_tpu.runtime import metrics
+    metrics.gauge("fps.gate", 29.9)
+    metrics.count("frames", 3)
+    body = get(f"{url}/metrics?format=prometheus", raw=True).decode()
+    assert "clearcam_uptime_seconds" in body
+    assert 'clearcam_fps{camera="gate"} 29.9' in body
+    assert "clearcam_frames_total 3" in body or "clearcam_frames_total" in body
+    # JSON stays default
+    assert "uptime_s" in get(f"{url}/metrics")
+
+
 def test_concurrent_request_hammer(base):
     """20 threads x mixed read/write routes: no 500s, consistent state
     afterwards (the reference's only concurrency test is a db hammer —

@@ -109,6 +109,21 @@ def test_multicam_golden_fixture_parity(name):
                                            err_msg=f"cam {c} frame {i}")
 
 
+def test_multicam_per_camera_thresholds():
+    """det_thresh as a dict applies each camera's own threshold (the NVR's
+    per-camera zone settings, clearcam.py:585)."""
+    multi = MultiCamOCSort(max_age=8)
+    refs = {c: OCSort(max_age=8) for c in ("strict", "loose")}
+    rows = np.array([[100, 100, 200, 200, 0.45, 0.0]])   # mid-confidence
+    for _ in range(6):
+        out = multi.update_all({"strict": rows, "loose": rows},
+                               {"strict": 0.6, "loose": 0.3})
+        tracks_equal(out["strict"], refs["strict"].update(rows, 0.6))
+        tracks_equal(out["loose"], refs["loose"].update(rows, 0.3))
+    assert multi.next_id.get(multi._cam_ids["loose"], 0) >= 1
+    assert multi.next_id.get(multi._cam_ids["strict"], 0) == 0
+
+
 def test_multicam_empty_frames_and_death():
     multi = MultiCamOCSort(max_age=2)
     ref = OCSort(max_age=2)
