@@ -86,7 +86,8 @@ def train(dataset: str, size: str = "t", res: int = 640, batch: int = 8,
           steps: int = 500, lr: float = 1e-4, clip_norm: float = 1.0,
           remat: bool = False, init: str | None = None,
           out: str = "yolov9-finetuned.safetensors", use_mesh: bool = False,
-          seed: int = 0, log_every: int = 20):
+          seed: int = 0, log_every: int = 20, ckpt_dir: str | None = None,
+          ckpt_every: int = 100):
     import jax
     import jax.numpy as jnp
     from ..models import yolov9
@@ -112,9 +113,37 @@ def train(dataset: str, size: str = "t", res: int = 640, batch: int = 8,
         print(f"mesh: {dict(mesh.shape)}")
     opt_state = opt.init(params)
 
-    rng = np.random.default_rng(seed)
+    # checkpoint/resume (orbax): params + optimizer state + step counter
+    start_step = 0
+    ckptr = None
+    if ckpt_dir:
+        import orbax.checkpoint as ocp
+        ckpt_path = Path(ckpt_dir).resolve() / "state"
+        ckptr = ocp.StandardCheckpointer()
+        if ckpt_path.exists():
+            template = {"params": params, "opt_state": opt.init(params),
+                        "step": jnp.asarray(0)}
+            restored = ckptr.restore(str(ckpt_path), template)
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_step = int(restored["step"])
+            print(f"resumed from {ckpt_path} at step {start_step}")
+
+    def save_ckpt(step_no):
+        if ckptr is None:
+            return
+        tmp = Path(ckpt_dir).resolve() / "state.new"
+        import shutil as _sh
+        _sh.rmtree(tmp, ignore_errors=True)
+        ckptr.save(str(tmp), {"params": params, "opt_state": opt_state,
+                              "step": jnp.asarray(step_no)})
+        ckptr.wait_until_finished()
+        final = Path(ckpt_dir).resolve() / "state"
+        _sh.rmtree(final, ignore_errors=True)
+        tmp.rename(final)
+
+    rng = np.random.default_rng(seed + start_step)
     losses = []
-    for it in range(steps):
+    for it in range(start_step, steps):
         idx = rng.integers(0, n, batch)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(imgs[idx]),
@@ -122,6 +151,9 @@ def train(dataset: str, size: str = "t", res: int = 640, batch: int = 8,
         losses.append(float(loss))
         if it % log_every == 0 or it == steps - 1:
             print(f"step {it:5d}  loss {losses[-1]:.4f}")
+        if ckpt_every and ckptr is not None and (it + 1) % ckpt_every == 0:
+            save_ckpt(it + 1)
+    save_ckpt(steps)
     host_params = jax.tree.map(np.asarray, params)
     save_published(host_params, out)
     print(f"saved {out}")
@@ -144,9 +176,14 @@ def main(argv=None):
     ap.add_argument("--out", default="yolov9-finetuned.safetensors")
     ap.add_argument("--mesh", action="store_true",
                     help="shard dp x tp over the local device mesh")
+    ap.add_argument("--ckpt-dir",
+                    help="orbax checkpoint dir: save params+optimizer+step "
+                         "every --ckpt-every steps, auto-resume if present")
+    ap.add_argument("--ckpt-every", type=int, default=100)
     args = ap.parse_args(argv)
     train(args.dataset, args.size, args.res, args.batch, args.steps, args.lr,
-          args.clip_norm, args.remat, args.init, args.out, args.mesh)
+          args.clip_norm, args.remat, args.init, args.out, args.mesh,
+          ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":

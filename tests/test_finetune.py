@@ -53,6 +53,24 @@ def test_train_descends_and_checkpoint_roundtrips(tmp_path):
     assert rows.shape[1] == 6 and np.isfinite(rows).all()
 
 
+def test_checkpoint_resume(tmp_path):
+    """Interrupt-and-resume: train 6 steps with checkpointing every 3, then
+    a second invocation resumes from step 6 and continues to 9 with the
+    optimizer state intact (orbax params+opt_state+step)."""
+    root = make_dataset(tmp_path / "ds", n=4, size=96)
+    ck = tmp_path / "ck"
+    losses1 = finetune.train(str(root), size="t", res=64, batch=4, steps=6,
+                             lr=3e-4, out=str(tmp_path / "a.safetensors"),
+                             log_every=3, ckpt_dir=str(ck), ckpt_every=3)
+    assert (ck / "state").exists()
+    losses2 = finetune.train(str(root), size="t", res=64, batch=4, steps=9,
+                             lr=3e-4, out=str(tmp_path / "b.safetensors"),
+                             log_every=3, ckpt_dir=str(ck), ckpt_every=3)
+    assert len(losses1) == 6 and len(losses2) == 3   # resumed at step 6
+    # resumed run continues the descent rather than restarting cold
+    assert losses2[0] < losses1[0]
+
+
 def test_train_with_mesh(tmp_path):
     """dp x tp sharded fine-tune over the 8-virtual-device mesh."""
     root = make_dataset(tmp_path / "ds", n=4, size=96)
