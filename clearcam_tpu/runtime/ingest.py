@@ -13,6 +13,7 @@ match the reference (5 consecutive short reads -> respawn, clearcam.py:407-413).
 """
 from __future__ import annotations
 
+import os
 import re
 import shutil
 import subprocess
@@ -194,7 +195,9 @@ class FfmpegSource(FrameSource):
     MAX_FAILS = 5
 
     def __init__(self, src: str, record_dir: Path, width: int | None = None,
-                 height: int | None = None, warmup_s: float = 15.0):
+                 height: int | None = None, warmup_s: float | None = None):
+        if warmup_s is None:
+            warmup_s = float(os.environ.get("CLEARCAM_INGEST_WARMUP", "15"))
         self.src = src
         self.record_dir = Path(record_dir)
         self.record_dir.mkdir(parents=True, exist_ok=True)
