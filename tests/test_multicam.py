@@ -55,9 +55,10 @@ def tracks_equal(a, b):
 
 
 @pytest.mark.parametrize("use_byte", [False, True])
-def test_multicam_matches_per_camera_ocsort(use_byte):
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_multicam_matches_per_camera_ocsort(use_byte, seed):
     n_cams = 6
-    frames = make_streams(n_cams=n_cams)
+    frames = make_streams(n_cams=n_cams, seed=seed)
     ref = [OCSort(max_age=8, use_byte=use_byte) for _ in range(n_cams)]
     multi = MultiCamOCSort(max_age=8, use_byte=use_byte)
     for per_cam in frames:
