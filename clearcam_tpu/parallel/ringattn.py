@@ -36,6 +36,10 @@ def ring_attention_shard(q, k, v, axis_name: str, causal: bool = True,
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     b, tl, h, d = q.shape
+    if k.shape[2] != h:                      # GQA: repeat kv heads
+        rep = h // k.shape[2]
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
     if scale is None:
         scale = 1.0 / (d ** 0.5)
     qf = q.astype(jnp.float32) * scale

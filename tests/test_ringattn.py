@@ -56,6 +56,22 @@ def test_ring_long_context_scales():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_ring_gqa_heads():
+    """Grouped-query layout (fewer KV heads) matches repeated-head full
+    attention — drop-in for the LLM's GQA blocks."""
+    rng = np.random.default_rng(3)
+    b, t, h, kvh, d = 1, 64, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, t, kvh, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, kvh, d)).astype(np.float32))
+    mesh = make_mesh()
+    with mesh:
+        out = np.asarray(ring_prefill(mesh, "data")(q, k, v))
+    ref = np.asarray(reference_attention(
+        q, jnp.repeat(k, h // kvh, 2), jnp.repeat(v, h // kvh, 2)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_first_token_and_shard_boundaries():
     """Token 0 attends only to itself; tokens at shard boundaries see exactly
     their causal prefix (off-by-one around the ring would break these)."""
