@@ -99,30 +99,34 @@ def main(argv=None):
 
     detector = None if args.no_detector else build_detector(settings, args.weights)
 
+    # always constructed (towers load lazily on init_*) so enabling CLIP or
+    # faces later via /edit_settings works without a restart
     object_finder = None
-    if settings.use_clip or settings.use_face:
-        try:
-            from .models.objects import ObjectFinder
-            object_finder = ObjectFinder(base_dir=args.data / "cameras",
-                                         weights_dir=args.weights)
-            if settings.use_clip:
-                object_finder.init_clip()
-            if settings.use_face:
-                object_finder.init_face()
-        except Exception as e:  # noqa: BLE001
-            print(f"object finder unavailable: {e}")
+    try:
+        from .models.objects import ObjectFinder
+        object_finder = ObjectFinder(base_dir=args.data / "cameras",
+                                     weights_dir=args.weights)
+        if settings.use_clip:
+            object_finder.init_clip()
+        if settings.use_face:
+            object_finder.init_face()
+    except Exception as e:  # noqa: BLE001
+        print(f"object finder unavailable: {e}")
 
-    qwen = None
-    if settings.use_qwen and settings.key:
+    def build_qwen(s):
         try:
             from .models.qwen3vl import Qwen3VL
-            qwen = Qwen3VL(size=f"{settings.qwen_size}B", res=(544, 960),
-                           weights_dir=args.weights)
+            q = Qwen3VL(size=f"{s.qwen_size}B", res=(544, 960),
+                        weights_dir=args.weights)
             print("prewarming Qwen")
-            qwen.prewarm()
+            q.prewarm()
             print("DONE")
+            return q
         except Exception as e:  # noqa: BLE001
             print(f"qwen unavailable: {e}")
+            return None
+
+    qwen = build_qwen(settings) if settings.use_qwen and settings.key else None
 
     nvr = NVR(db, args.data, settings, detector=detector,
               object_finder=object_finder, qwen=qwen)
@@ -137,7 +141,11 @@ def main(argv=None):
         return detector.detect_many([img_rgb[..., ::-1]])[0]  # expects BGR
 
     def on_settings_change(new):
+        """Rebuild models live on /edit_settings (reference set_settings,
+        clearcam.py:1243-1276): CLIP/face toggles, detector size/res, and the
+        Qwen summary model on/off or size change."""
         nonlocal detector
+        old = nvr.settings
         nvr.settings = new
         if object_finder is not None:
             (object_finder.init_clip if new.use_clip else object_finder.turn_off_clip)()
@@ -146,6 +154,12 @@ def main(argv=None):
                                      or int(new.model_res) != detector.res):
             detector = build_detector(new, args.weights)
             nvr.detector = detector
+        want_qwen = new.use_qwen and new.key
+        if want_qwen and (nvr.qwen is None
+                          or new.qwen_size != old.qwen_size):
+            nvr.qwen = build_qwen(new)
+        elif not want_qwen:
+            nvr.qwen = None
 
     ctx = AppContext(db, args.data, nvr=nvr, object_finder=object_finder,
                      settings=settings, offload_detect=offload_detect,

@@ -199,7 +199,12 @@ def make_handler(ctx: AppContext):
                 pass
             except Exception as e:  # noqa: BLE001
                 try:
-                    self.send_error(500, str(e))
+                    # ascii-sanitize: send_error writes the message into a
+                    # latin-1 header line; a non-ASCII exception message
+                    # (e.g. an em-dash) would otherwise kill the connection
+                    # with no response at all
+                    self.send_error(500, str(e).encode(
+                        "ascii", "replace").decode())
                 except Exception:
                     pass
 
@@ -600,7 +605,12 @@ def make_handler(ctx: AppContext):
                 pass
             except Exception as e:  # noqa: BLE001
                 try:
-                    self.send_error(500, str(e))
+                    # ascii-sanitize: send_error writes the message into a
+                    # latin-1 header line; a non-ASCII exception message
+                    # (e.g. an em-dash) would otherwise kill the connection
+                    # with no response at all
+                    self.send_error(500, str(e).encode(
+                        "ascii", "replace").decode())
                 except Exception:
                     pass
 

@@ -285,6 +285,23 @@ def test_download_day(base):
     assert e.value.code == 404
 
 
+def test_error_with_non_ascii_message_returns_500(base):
+    """Exceptions whose message contains non-ASCII (em-dashes in our error
+    strings) must surface as a clean 500, not a dropped connection:
+    send_error writes the message into a latin-1 header line."""
+    url, ctx = base
+
+    def boom(*a, **k):
+        raise RuntimeError("broken — см. log")
+    ctx.db.run_get, orig = boom, ctx.db.run_get
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{url}/get_alerts?cam=c1")
+        assert e.value.code == 500
+    finally:
+        ctx.db.run_get = orig
+
+
 def test_metrics_prometheus_format(base):
     url, ctx = base
     from clearcam_tpu.runtime import metrics
