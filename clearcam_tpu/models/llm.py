@@ -17,8 +17,7 @@ built from iota comparisons (no data-dependent shapes).
 """
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from pathlib import Path
 
 import numpy as np

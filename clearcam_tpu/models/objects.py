@@ -136,7 +136,6 @@ class ObjectFinder:
     def init_clip(self, params=None):
         if self.clip_enabled:
             return
-        import functools
         import jax
         from . import clip as clip_model
         from ..utils.tokenizer import CLIPTokenizer
