@@ -87,7 +87,7 @@ def ring_prefill(mesh: Mesh, axis: str = "data", causal: bool = True):
     """-> jitted fn(q, k, v) with the SEQUENCE dim sharded over `axis`:
     inputs/outputs [B, T, H, D] as global arrays, attention computed with
     O(T/n) memory per chip and ppermute ring communication."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis, None, None)
     body = functools.partial(ring_attention_shard, axis_name=axis,
