@@ -101,3 +101,19 @@ def make_sharded_prefill(mesh: Mesh, cfg, axis: str = "data"):
         return fn(params, tokens)
 
     return run
+
+
+def materialize_state(cfg, kvs, batch: int = 1, dtype=jnp.float32) -> list:
+    """Sharded prefill K/V -> the standard decode cache pytree
+    (llm.init_state layout, [B, KvH, max_context, D]): gather each layer's
+    sequence-sharded K/V (jnp.asarray pulls the global array) and write it at
+    positions [0, T). The usual single-chip decode loop continues from
+    start_pos=T."""
+    state = llm.init_state(cfg, batch, dtype)
+    for i, (k, v) in enumerate(kvs):
+        t = k.shape[1]
+        state[i]["k"] = state[i]["k"].at[:, :, :t].set(
+            jnp.asarray(k).astype(dtype).transpose(0, 2, 1, 3))
+        state[i]["v"] = state[i]["v"].at[:, :, :t].set(
+            jnp.asarray(v).astype(dtype).transpose(0, 2, 1, 3))
+    return state

@@ -73,6 +73,46 @@ def test_sharded_prefill_same_next_token():
     assert tok == ref_tok
 
 
+def test_sharded_prefill_then_standard_decode():
+    """Full long-prompt generation loop: sequence-parallel prefill ->
+    materialize the decode cache -> the ordinary single-chip decode produces
+    the SAME greedy continuation as an all-single-device run."""
+    from clearcam_tpu.parallel.long_prefill import materialize_state
+
+    cfg = tiny_cfg()
+    params = llm.init_params(cfg, seed=7)
+    rng = np.random.default_rng(8)
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 32)), jnp.int32)
+    freqs = jnp.asarray(llm.precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                             cfg.rope_theta))
+
+    def decode_n(state, first_tok, start, n=4):
+        toks = [int(first_tok)]
+        for j in range(n - 1):
+            hidden, state = llm.forward(
+                params, cfg, state, jnp.asarray([[toks[-1]]], jnp.int32),
+                start + j, freqs)
+            logits = llm.logits_at(params, cfg, hidden, 0)
+            toks.append(int(jnp.argmax(logits, -1)[0]))
+        return toks
+
+    # reference: single-device prefill + decode
+    st = llm.init_state(cfg, 1)
+    hidden, st = llm.forward(params, cfg, st, prompt, 0, freqs)
+    t0 = int(jnp.argmax(llm.logits_at(params, cfg, hidden, 31), -1)[0])
+    ref = decode_n(st, t0, 32)
+
+    # sequence-parallel prefill + materialized cache + same decode loop
+    mesh = make_mesh()
+    with mesh:
+        hidden_sp, kvs = make_sharded_prefill(mesh, cfg)(params, prompt)
+    st_sp = materialize_state(cfg, kvs, batch=1)
+    t0_sp = int(jnp.argmax(
+        llm.logits_at(params, cfg, jnp.asarray(hidden_sp), 31), -1)[0])
+    got = decode_n(st_sp, t0_sp, 32)
+    assert got == ref, (got, ref)
+
+
 def test_rejects_recurrent_stacks():
     cfg = tiny_cfg(ssm=llm.SSMConfig(conv_kernel=4, state_size=8,
                                      group_count=2, time_step_rank=4,
