@@ -242,8 +242,14 @@ def make_handler(ctx: AppContext):
             the reference's profiling story is tinygrad DEBUG env flags."""
             import time as _time
             seconds = float(self._q(q, "seconds", "3"))
-            out_dir = ctx.base_dir / "profiles" / str(int(_time.time()))
+            profiles = ctx.base_dir / "profiles"
+            out_dir = profiles / str(int(_time.time()))
             out_dir.mkdir(parents=True, exist_ok=True)
+            # keep only the 5 newest trace dirs (traces are tens of MB)
+            old = sorted((d for d in profiles.iterdir() if d.is_dir()),
+                         key=lambda d: d.name)[:-5]
+            for d in old:
+                shutil.rmtree(d, ignore_errors=True)
             try:
                 import jax
                 jax.profiler.start_trace(str(out_dir))
