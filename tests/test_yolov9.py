@@ -82,6 +82,56 @@ def test_postprocess_confidence_cutoff():
     assert scores[1] == 0.0
 
 
+def test_nms_matches_naive_reference_randomized():
+    """Property test: the batched triu-IoU NMS keeps exactly the boxes a
+    naive sequential greedy NMS keeps, per class, over random scenes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from clearcam_tpu.ops.nms import yolo_postprocess
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n, nc = 80, 4
+        cx = rng.uniform(50, 600, n)
+        cy = rng.uniform(50, 400, n)
+        w = rng.uniform(20, 120, n)
+        h = rng.uniform(20, 120, n)
+        probs = rng.uniform(0, 0.9, (n, nc)).astype(np.float32)
+        raw = np.concatenate([np.stack([cx, cy, w, h], 1), probs],
+                             1)[None].astype(np.float32)
+        out = np.asarray(yolo_postprocess(jnp.asarray(raw), 300, 0.25, 0.45))[0]
+        kept = {(round(float(r[0]), 2), round(float(r[1]), 2), int(r[5]))
+                for r in out if r[4] > 0}
+
+        # naive sequential oracle with the SAME semantics as the reference's
+        # dense triu mask (yolov9.py:439-458): a box is suppressed if it
+        # overlaps ANY higher-ranked same-class box, kept or not
+        def iou(a, b):
+            x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+            x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+            inter = max(0, x2 - x1) * max(0, y2 - y1)
+            ua = (a[2]-a[0])*(a[3]-a[1]) + (b[2]-b[0])*(b[3]-b[1]) - inter
+            return inter / ua if ua > 0 else 0.0
+        expect = set()
+        conf = probs.max(1).astype(np.float64)
+        cls = probs.argmax(1)
+        boxes = np.stack([cx - w/2, cy - h/2, cx + w/2, cy + h/2], 1)
+        order = np.argsort(-conf)
+        rank = {int(i): r for r, i in enumerate(order)}
+        for i in range(n):
+            if conf[i] < 0.25:
+                continue
+            suppressed = any(
+                cls[j] == cls[i] and rank[j] < rank[i]
+                and iou(boxes[i], boxes[j]) > 0.45
+                for j in range(n) if conf[j] >= 0.25)
+            if not suppressed:
+                expect.add((round(float(np.float32(boxes[i][0])), 2),
+                            round(float(np.float32(boxes[i][1])), 2),
+                            int(cls[i])))
+        assert kept == expect, f"trial {trial}: {kept ^ expect}"
+
+
 def test_state_dict_roundtrip():
     # convert_state_dict normalizes tinygrad `.list.` names and OIHW layout
     sd = {
