@@ -627,14 +627,41 @@ def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.float32) -> dic
 # host-side generator
 # ---------------------------------------------------------------------------
 
+def quantize_params_int8(p: dict, min_dim: int = 256) -> dict:
+    """Weight-only int8 quantization of every large dense matmul weight.
+
+    Replaces 2D ``*.weight`` arrays (both dims >= min_dim) with QuantLinear
+    pytrees that F.linear dispatches to the Pallas dequant-in-VMEM kernel —
+    halving decode HBM traffic vs bf16. Skipped: ``token_embd.weight``
+    (consumed by gather, not matmul), 1D norms/biases, 3D MoE expert and MLA
+    projection tensors, and small matrices (routers, SSM gates) where
+    quantization saves nothing and costs accuracy.
+
+    Beyond-reference capability: the reference dequantizes GGUF tensors to
+    float at load (utils/gguf.py:55-156) and serves fp16 matmuls.
+    """
+    from ..ops.quant_matmul import quantize_int8
+    out = {}
+    for k, v in p.items():
+        if (k.endswith(".weight") and k != "token_embd.weight"
+                and getattr(v, "ndim", 0) == 2 and min(v.shape) >= min_dim):
+            out[k] = quantize_int8(v)
+        else:
+            out[k] = v
+    return out
+
+
 class Transformer:
     """Stateful wrapper: chunked prefill + decode loop + prefix-cache reuse
     (reference Transformer.generate, model.py:393-417)."""
 
-    def __init__(self, params: dict, cfg: TransformerConfig, seed: int = 0):
+    def __init__(self, params: dict, cfg: TransformerConfig, seed: int = 0,
+                 state_dtype=jnp.float32):
+        """state_dtype=bfloat16 halves decode KV-cache HBM traffic (the
+        dominant term at long context) at ~1e-2 logit tolerance."""
         self.params = params
         self.cfg = cfg
-        self.state = init_state(cfg)
+        self.state = init_state(cfg, dtype=state_dtype)
         self.prefill_fn, self.decode_fn = make_step_fns(cfg)
         self._cached_tokens: list[int] = []
         self._key = jax.random.PRNGKey(seed)
@@ -642,12 +669,21 @@ class Transformer:
 
     @classmethod
     def from_gguf(cls, path: str | Path, max_context: int | None = None,
-                  dtype=jnp.bfloat16, seed: int = 0):
+                  dtype=jnp.bfloat16, seed: int = 0, quantize: bool = False):
+        """quantize=True re-quantizes the dense matmul weights to int8 at
+        rest in HBM (see quantize_params_int8) after the GGUF dequant."""
         from ..io import gguf
         kv, sd = gguf.load(path)
         cfg = config_from_gguf(kv, sd, max_context)
         params = convert_state_dict(sd, kv, dtype)
+        if quantize:
+            params = quantize_params_int8(params)
         return cls(params, cfg, seed), kv
+
+    def quantize_int8(self):
+        """Switch this instance to the int8 weight-only serving path."""
+        self.params = quantize_params_int8(self.params)
+        return self
 
     def _split_key(self):
         self._key, sub = jax.random.split(self._key)

@@ -119,7 +119,14 @@ def prelu(x, weight):
 
 
 def linear(x, w, b=None):
-    """x @ w.T + b with torch-style (out, in) weight, f32 MXU accumulation."""
+    """x @ w.T + b with torch-style (out, in) weight, f32 MXU accumulation.
+
+    Accepts a QuantLinear (weight-only int8) in place of a dense weight —
+    params dicts can hold either and every call site stays unchanged.
+    """
+    from ..ops.quant_matmul import QuantLinear, quant_linear
+    if isinstance(w, QuantLinear):
+        return quant_linear(x, w, b)
     y = jnp.matmul(x, w.T, preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b

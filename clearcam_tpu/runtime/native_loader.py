@@ -66,6 +66,37 @@ def aes_cbc(key32: bytes, iv16: bytes, data: bytes, encrypt: bool) -> bytes | No
 
 
 # ---------------------------------------------------------------------------
+# tracker association (native/track/assoc.c)
+# ---------------------------------------------------------------------------
+
+def track_lib() -> ctypes.CDLL | None:
+    lib = load_lib("cctrack")
+    if lib is not None and not hasattr(lib, "_cc_ready"):
+        lib.cc_greedy_scan.restype = ctypes.c_int
+        lib.cc_greedy_scan.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.c_void_p]
+        lib._cc_ready = True
+    return lib
+
+
+def greedy_scan(order: np.ndarray, rows: int, cols: int) -> np.ndarray | None:
+    """Greedy matching scan over pre-sorted flat indices; None when the
+    native library is unavailable (caller falls back to the Python loop)."""
+    lib = track_lib()
+    if lib is None:
+        return None
+    order = np.ascontiguousarray(order, np.int64)
+    out = np.empty((min(rows, cols), 2), np.int32)
+    n = lib.cc_greedy_scan(order.ctypes.data_as(ctypes.c_void_p),
+                           len(order), rows, cols,
+                           out.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        return None
+    return out[:n].astype(int)
+
+
+# ---------------------------------------------------------------------------
 # frame batcher (native/ingest/batcher.cc)
 # ---------------------------------------------------------------------------
 

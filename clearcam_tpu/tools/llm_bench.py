@@ -1,0 +1,106 @@
+"""LLM serving micro-benchmark: prefill + decode tok/s on the current device.
+
+Builds a Qwen3-2B-class dense transformer with random weights (published
+checkpoints aren't downloadable in the build sandbox; throughput depends on
+shapes, not values) and measures:
+
+  * chunked prefill tok/s at a given context length
+  * decode tok/s for the bf16 path
+  * decode tok/s for the weight-only int8 path (ops/quant_matmul) and/or
+    the Pallas prefix-aware decode attention (ops/decode_attention)
+
+Timing uses queue-drain (issue N steps, materialize the last) so the axon
+tunnel's async dispatch doesn't hide or inflate device time — see
+CLAUDE.md "Environment gotchas".
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python -m clearcam_tpu.tools.llm_bench \
+        [--blocks 28] [--ctx 2048] [--steps 64] [--modes bf16,int8,int8+pallas]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llm
+
+
+def qwen3_2b_cfg(blocks: int, ctx: int) -> llm.TransformerConfig:
+    """Qwen3-1.7B/2B-class dense shapes (llama.cpp qwen3 conventions)."""
+    return llm.TransformerConfig(
+        num_blocks=blocks, dim=2048, hidden_dim=6144, n_heads=16,
+        n_kv_heads=8, norm_eps=1e-6, vocab_size=151936, head_dim=128,
+        rope_theta=1e6, rope_dim=128, v_head_dim=128, max_context=ctx,
+        qk_norm=128)
+
+
+def bench_mode(cfg, params, mode: str, ctx: int, steps: int) -> dict:
+    """mode: '+'-joined flags — bf16|int8 (weights), kv16 (bf16 KV cache),
+    pallas (prefix-aware decode attention)."""
+    flags = set(mode.split("+"))
+    prefill, decode = llm.make_step_fns(cfg, use_pallas_decode="pallas" in flags)
+    if "int8" in flags:
+        params = llm.quantize_params_int8(params)
+    state = llm.init_state(cfg, dtype=jnp.bfloat16 if "kv16" in flags
+                           else jnp.float32)
+    key = jax.random.PRNGKey(0)
+    temp = jnp.float32(0.0)
+    chunk = llm.CHUNK
+    toks = jnp.zeros((1, chunk), jnp.int32)
+
+    # --- prefill: fill ctx-64 positions in CHUNK-sized steps -------------
+    n_chunks = max(1, (ctx - 64) // chunk)
+    tok, state = prefill(params, state, toks, 0, jnp.int32(chunk), temp, key)
+    np.asarray(tok)  # compile + sync
+    state0 = state
+    t0 = time.perf_counter()
+    for i in range(1, n_chunks):
+        tok, state = prefill(params, state, toks, i * chunk,
+                             jnp.int32(chunk), temp, key)
+    np.asarray(tok)
+    dt = time.perf_counter() - t0
+    prefill_tps = (n_chunks - 1) * chunk / dt if n_chunks > 1 else float("nan")
+
+    # --- decode: steps single-token steps at the live position -----------
+    pos = n_chunks * chunk
+    one = jnp.zeros((1, 1), jnp.int32)
+    tok, state = decode(params, state0, one, pos, temp, key)
+    np.asarray(tok)  # compile + sync
+    t0 = time.perf_counter()
+    st = state0
+    for i in range(steps):
+        tok, st = decode(params, st, one, pos + i, temp, key)
+    np.asarray(tok)
+    dt = time.perf_counter() - t0
+    return {"mode": mode, "prefill_tok_s": round(prefill_tps, 1),
+            "decode_tok_s": round(steps / dt, 1)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=28)
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--modes", default="bf16,int8,int8+kv16")
+    args = ap.parse_args(argv)
+
+    cfg = qwen3_2b_cfg(args.blocks, args.ctx)
+    params = llm.init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    print(f"# {args.blocks} blocks, {n_params/1e9:.2f}B params, "
+          f"ctx {args.ctx}, backend {jax.default_backend()}")
+    results = []
+    for mode in args.modes.split(","):
+        r = bench_mode(cfg, params, mode.strip(), args.ctx, args.steps)
+        results.append(r)
+        print(json.dumps(r))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -372,21 +372,26 @@ class MultiCamOCSort:
                 emit |= (self.tsu < 1) & (self.cam == cam)
         cand = np.flatnonzero(emit)
         cand = cand[np.isin(self.cam[cand], cams)]
+        cand = cand[::-1]                        # newest slot first
         boxes = np.where(self.last_obs[cand].sum(1)[:, None] >= 0,
                          self.last_obs[cand, :4],
                          z_to_bbox(self.kf.x[cand])) if len(cand) \
             else np.zeros((0, 4))
+        # one vectorized pass builds every output field; the per-track loop
+        # only wraps rows into Track objects (at 128 cams the old per-track
+        # np.array/float() conversions dominated the tick)
+        tlwh = np.empty((len(cand), 4))
+        tlwh[:, :2] = boxes[:, :2]
+        tlwh[:, 2:] = boxes[:, 2:] - boxes[:, :2]
+        scalars = np.stack([self.score[cand], self.class_id[cand],
+                            self.ids[cand] + 1, self.age[cand],
+                            self.speed[cand]], 1).tolist() if len(cand) else []
         by_cam: dict = {cam: [] for cam in cams}
-        for j in range(len(cand) - 1, -1, -1):   # newest slot first
-            i = cand[j]
-            b = boxes[j]
-            by_cam[int(self.cam[i])].append(Track(
-                tlwh=np.array([b[0], b[1], b[2] - b[0], b[3] - b[1]]),
-                score=float(self.score[i]),
-                class_id=float(self.class_id[i]),
-                track_id=float(self.ids[i] + 1),
-                tracklet_len=float(self.age[i]),
-                speed=float(self.speed[i])))
+        for j, ci in enumerate(self.cam[cand].tolist()):
+            s = scalars[j]
+            by_cam[ci].append(Track(tlwh=tlwh[j], score=s[0], class_id=s[1],
+                                    track_id=s[2], tracklet_len=s[3],
+                                    speed=s[4]))
         out.update(by_cam)
         dead = (self.tsu > self.max_age) & ((self.speed > 2) | (self.tsu > 600))
         self._kill_many(np.where(dead)[0])

@@ -60,11 +60,19 @@ def iou_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def greedy_assignment(cost: np.ndarray) -> np.ndarray:
     """Greedy min-cost matching: scan cost cells in ascending order, take a
     pair when both row and col are free (reference linear_assignment,
-    association.py:32-52 — same row-major tie-breaking via flat argsort)."""
+    association.py:32-52 — same row-major tie-breaking via flat argsort).
+
+    The argsort stays in numpy (its tie order is part of output parity); the
+    scan loop runs in C when native/track/assoc.c is built, Python otherwise.
+    """
     if cost.size == 0:
         return np.empty((0, 2), dtype=int)
     rows, cols = cost.shape
     order = np.argsort(cost, axis=None)
+    from ..runtime.native_loader import greedy_scan
+    native = greedy_scan(order, rows, cols)
+    if native is not None:
+        return native.reshape(-1, 2)
     row_used = np.zeros(rows, bool)
     col_used = np.zeros(cols, bool)
     out = []
