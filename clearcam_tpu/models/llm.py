@@ -188,11 +188,21 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     if decode_attn is not None and t == 1:
         out = decode_attn(q, ck, cv, start_pos)
     else:
+        # grouped-query einsum: no jnp.repeat (which materializes a rep-x
+        # cache copy in HBM — at ctx 2048 that WAS the decode bottleneck)
+        # and no f32 upcast of the cache (reads ride the cache dtype; the
+        # MXU still accumulates f32 via preferred_element_type)
         rep = nh // nkv
-        kk = jnp.repeat(ck, rep, axis=1).astype(jnp.float32)
-        vv = jnp.repeat(cv, rep, axis=1).astype(jnp.float32)
-        mask = _attn_mask(start_pos, t, cfg.max_context)
-        out = F.mha(q.astype(jnp.float32), kk, vv, mask=mask)
+        scale = cfg.head_dim ** -0.5
+        qg = (q.astype(jnp.float32) * scale).reshape(b, nkv, rep, t, hd) \
+            .astype(ck.dtype)
+        scores = jnp.einsum("bgrtd,bgsd->bgrts", qg, ck,
+                            preferred_element_type=jnp.float32)
+        mask = _attn_mask(start_pos, t, cfg.max_context)       # [1,1,T,S]
+        probs = jax.nn.softmax(scores + mask[:, :, None], -1)
+        out = jnp.einsum("bgrts,bgsd->bgrtd", probs.astype(cv.dtype), cv,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, nh, t, hd)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
     if gate is not None:
         out = out * jax.nn.sigmoid(gate)
@@ -627,25 +637,38 @@ def init_params(cfg: TransformerConfig, seed: int = 0, dtype=jnp.float32) -> dic
 # host-side generator
 # ---------------------------------------------------------------------------
 
+def quantize_params_int4(p: dict, min_dim: int = 256) -> dict:
+    """Packed int4 (group-128 scales) variant of quantize_params_int8 —
+    4x less weight HBM per decoded token; MoE expert stacks stay int8."""
+    from ..ops.quant_matmul import QuantLinear, quantize_int4
+    out = quantize_params_int8(p, min_dim)
+    return {k: (quantize_int4(p[k]) if isinstance(v, QuantLinear) else v)
+            for k, v in out.items()}
+
+
 def quantize_params_int8(p: dict, min_dim: int = 256) -> dict:
     """Weight-only int8 quantization of every large dense matmul weight.
 
     Replaces 2D ``*.weight`` arrays (both dims >= min_dim) with QuantLinear
-    pytrees that F.linear dispatches to the Pallas dequant-in-VMEM kernel —
-    halving decode HBM traffic vs bf16. Skipped: ``token_embd.weight``
-    (consumed by gather, not matmul), 1D norms/biases, 3D MoE expert and MLA
-    projection tensors, and small matrices (routers, SSM gates) where
-    quantization saves nothing and costs accuracy.
+    pytrees that F.linear dispatches to the Pallas dequant-in-VMEM kernel,
+    and 3D ``*_exps.weight`` MoE stacks with QuantExpert (the per-token
+    expert gather reads int8 rows) — halving decode HBM traffic vs bf16.
+    Skipped: ``token_embd.weight`` (consumed by gather, not matmul), 1D
+    norms/biases, MLA 3D projections, and small matrices (routers, SSM
+    gates) where quantization saves nothing and costs accuracy.
 
     Beyond-reference capability: the reference dequantizes GGUF tensors to
     float at load (utils/gguf.py:55-156) and serves fp16 matmuls.
     """
-    from ..ops.quant_matmul import quantize_int8
+    from ..ops.quant_matmul import quantize_experts_int8, quantize_int8
     out = {}
     for k, v in p.items():
         if (k.endswith(".weight") and k != "token_embd.weight"
                 and getattr(v, "ndim", 0) == 2 and min(v.shape) >= min_dim):
             out[k] = quantize_int8(v)
+        elif k.endswith("_exps.weight") and getattr(v, "ndim", 0) == 3:
+            # MoE expert stacks: the per-token gather then reads int8 rows
+            out[k] = quantize_experts_int8(v)
         else:
             out[k] = v
     return out

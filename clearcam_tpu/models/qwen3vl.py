@@ -241,8 +241,16 @@ class Qwen3VL:
         self.max_context = MAX_CONTEXT
         weights_dir = Path(weights_dir)
         if lang is None:
+            import os
             path = weights_dir / f"Qwen3VL-{size}-Instruct-F16.gguf"
             lang, kv = llm_mod.Transformer.from_gguf(path, self.max_context)
+            # serve the language model quantized at rest in HBM (decode is
+            # HBM-bound; see ops/quant_matmul): CLEARCAM_LLM_QUANT=int8|int4
+            quant = os.environ.get("CLEARCAM_LLM_QUANT", "")
+            if quant == "int8":
+                lang.quantize_int8()
+            elif quant == "int4":
+                lang.params = llm_mod.quantize_params_int4(lang.params)
             from ..utils.llm_tokenizer import LLMTokenizer
             tok = LLMTokenizer.from_gguf_kv(kv)
         if vision is None:

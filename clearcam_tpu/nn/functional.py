@@ -124,8 +124,8 @@ def linear(x, w, b=None):
     Accepts a QuantLinear (weight-only int8) in place of a dense weight —
     params dicts can hold either and every call site stays unchanged.
     """
-    from ..ops.quant_matmul import QuantLinear, quant_linear
-    if isinstance(w, QuantLinear):
+    from ..ops.quant_matmul import QuantLinear, QuantLinear4, quant_linear
+    if isinstance(w, (QuantLinear, QuantLinear4)):
         return quant_linear(x, w, b)
     y = jnp.matmul(x, w.T, preferred_element_type=jnp.float32)
     if b is not None:

@@ -40,12 +40,14 @@ def qwen3_2b_cfg(blocks: int, ctx: int) -> llm.TransformerConfig:
 
 
 def bench_mode(cfg, params, mode: str, ctx: int, steps: int) -> dict:
-    """mode: '+'-joined flags — bf16|int8 (weights), kv16 (bf16 KV cache),
+    """mode: '+'-joined flags — bf16|int8|int4 (weights), kv16 (bf16 KV cache),
     pallas (prefix-aware decode attention)."""
     flags = set(mode.split("+"))
     prefill, decode = llm.make_step_fns(cfg, use_pallas_decode="pallas" in flags)
     if "int8" in flags:
         params = llm.quantize_params_int8(params)
+    elif "int4" in flags:
+        params = llm.quantize_params_int4(params)
     state = llm.init_state(cfg, dtype=jnp.bfloat16 if "kv16" in flags
                            else jnp.float32)
     key = jax.random.PRNGKey(0)
