@@ -31,6 +31,7 @@ from .ocsort import Track, associate, greedy_assignment, iou_batch
 # ring-age sentinel: must never equal a lookup target (targets reach
 # age-delta_t, which can be slightly negative for young tracks)
 _NEVER = -1e9
+_RANK_NEVER = np.iinfo(np.int64).max
 
 
 def _iou3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -97,7 +98,14 @@ class MultiCamOCSort:
         self.W = delta_t + 1
         self.ring_box = np.zeros((0, self.W, 5))
         self.ring_age = np.full((0, self.W), _NEVER)
-        self.class_votes: list[dict] = []
+        # class votes as arrays (reference: per-track dict cls->cum score,
+        # argmax with dict-insertion-order tie-break). votes[m, c] = cum
+        # score; vote_rank[m, c] = insertion order of class c for track m
+        # (big sentinel = never voted) so ties resolve exactly like
+        # max(dict, key=dict.get).
+        self.votes = np.zeros((0, 1))
+        self.vote_rank = np.full((0, 1), _RANK_NEVER, np.int64)
+        self.vote_n = np.zeros(0, np.int64)
 
     def __len__(self):
         return len(self.ids)
@@ -152,8 +160,26 @@ class MultiCamOCSort:
                                         np.zeros((k, self.W, 5))])
         self.ring_age = np.concatenate([self.ring_age,
                                         np.full((k, self.W), _NEVER)])
-        for c in np.asarray(cls, float):
-            self.class_votes.append({c: 1.0})
+        ci = np.asarray(cls, float).astype(int)
+        self._grow_vote_width(int(ci.max(initial=0)) + 1)
+        w = self.votes.shape[1]
+        nv = np.zeros((k, w))
+        nr = np.full((k, w), _RANK_NEVER, np.int64)
+        nv[np.arange(k), ci] = 1.0          # reference: votes = {cls: 1.0}
+        nr[np.arange(k), ci] = 0
+        self.votes = np.concatenate([self.votes, nv])
+        self.vote_rank = np.concatenate([self.vote_rank, nr])
+        self.vote_n = np.concatenate([self.vote_n, np.ones(k, np.int64)])
+
+    def _grow_vote_width(self, w: int):
+        cur = self.votes.shape[1]
+        if w <= cur:
+            return
+        m = len(self.votes)
+        self.votes = np.concatenate(
+            [self.votes, np.zeros((m, w - cur))], 1)
+        self.vote_rank = np.concatenate(
+            [self.vote_rank, np.full((m, w - cur), _RANK_NEVER, np.int64)], 1)
 
     def _kill_many(self, idxs: np.ndarray):
         if len(idxs) == 0:
@@ -162,26 +188,32 @@ class MultiCamOCSort:
         keep[idxs] = False
         for name in ("cam", "ids", "age", "tsu", "hits", "hit_streak",
                      "last_obs", "velocity", "avg_vel", "speed", "class_id",
-                     "score", "ring_box", "ring_age"):
+                     "score", "ring_box", "ring_age", "votes", "vote_rank",
+                     "vote_n"):
             setattr(self, name, getattr(self, name)[keep])
         for name in ("x", "P", "saved_x", "saved_P", "has_saved", "observed"):
             setattr(self.kf, name, getattr(self.kf, name)[keep])
-        self.class_votes = [v for v, k in zip(self.class_votes, keep) if k]
 
     # -- observe --------------------------------------------------------------
 
-    def _observe_many(self, obs: list):
-        """obs: [(global_track_idx, det5, score, cls)] across all cameras.
-        Bookkeeping per match (dict votes, rare unfreeze) stays scalar; the
-        measurement conversion, velocity math and KF update are batched."""
-        if not obs:
+    def _observe_many(self, idxs: np.ndarray, det5s: np.ndarray,
+                      cls: np.ndarray, prev_obs_all: np.ndarray = None):
+        """Batched observation of matched tracks across all cameras:
+        idxs [K] global track indices (unique — a track matches at most once
+        per tick), det5s [K,5] xyxy+score, cls [K]. Measurement conversion,
+        velocity math, class votes and the KF update are all batched; only
+        the rare frozen->unfreeze replay stays scalar. prev_obs_all: the
+        caller's _k_previous_obs_all() result (rings unchanged since
+        association, so it is still valid here)."""
+        if len(idxs) == 0:
             return
-        idxs = np.fromiter((t for t, *_ in obs), int, len(obs))
-        det5s = np.stack([d for _, d, _, _ in obs])
+        idxs = np.asarray(idxs, int)
         zs = bbox_to_z(det5s[:, :4])
 
         # velocity/average speed for tracks that had a previous observation
-        prev = self._k_previous_obs_all()[idxs]
+        if prev_obs_all is None:
+            prev_obs_all = self._k_previous_obs_all()
+        prev = prev_obs_all[idxs]           # fancy index -> fresh copy
         no_prev_hist = prev[:, :4].sum(1) < 0
         prev[no_prev_hist] = self.last_obs[idxs][no_prev_hist]
         had_obs = self.last_obs[idxs].sum(1) >= 0
@@ -195,13 +227,25 @@ class MultiCamOCSort:
         self.avg_vel[gi] += np.stack([dy, dx], 1)[upd] / self.age[gi][:, None]
         self.speed[gi] = np.abs(self.avg_vel[gi]).sum(1)
 
-        for j, (i, det5, score, cls) in enumerate(obs):
-            votes = self.class_votes[i]
-            votes[cls] = votes.get(cls, 0.0) + score
-            self.class_id[i] = max(votes, key=votes.get)
-            if not self.kf.observed[i] and self.kf.has_saved[i]:
-                z_prev = bbox_to_z(self.last_obs[i][:4])
-                self.kf.unfreeze_replay(i, z_prev, zs[j], int(self.tsu[i]))
+        # class votes: votes[cls] += score; class_id = argmax with
+        # first-inserted-wins tie-break (== max(dict, key=dict.get))
+        ci = np.asarray(cls, float).astype(int)
+        self._grow_vote_width(int(ci.max(initial=0)) + 1)
+        fresh = self.vote_rank[idxs, ci] == _RANK_NEVER
+        self.vote_rank[idxs[fresh], ci[fresh]] = self.vote_n[idxs[fresh]]
+        self.vote_n[idxs[fresh]] += 1
+        self.votes[idxs, ci] += det5s[:, 4]
+        v = self.votes[idxs]
+        tied = np.where(v == v.max(1, keepdims=True),
+                        self.vote_rank[idxs], _RANK_NEVER)
+        self.class_id[idxs] = tied.argmin(1)
+
+        # frozen tracks re-observed: virtual-trajectory replay (rare)
+        replay = np.where(~self.kf.observed[idxs] & self.kf.has_saved[idxs])[0]
+        for j in replay:
+            i = idxs[j]
+            z_prev = bbox_to_z(self.last_obs[i][:4])
+            self.kf.unfreeze_replay(i, z_prev, zs[j], int(self.tsu[i]))
 
         self.last_obs[idxs] = det5s
         slot = (self.age[idxs] % self.W).astype(int)
@@ -229,15 +273,24 @@ class MultiCamOCSort:
         """{cam_key: [N,6+] rows} -> {cam_key: list[Track]}. One call per NVR
         tick; cameras absent from the dict are not advanced (no frame this
         tick). det_thresh: float, or {cam_key: float} for per-camera
-        thresholds (per-camera zone settings, clearcam.py:585)."""
+        thresholds (per-camera zone settings, clearcam.py:585).
+
+        The whole tick is batched across cameras: one padded [C,Nmax,Mmax]
+        cost tensor, and the associate() adjacency shortcut (one IoU>thr
+        candidate per row AND column -> perfect matching) resolved for ALL
+        cameras in one np.where. Python falls back to per-camera associate()
+        only for 'hard' cameras (ambiguous adjacency -> greedy solve, whose
+        argsort tie order is part of output parity) and for cameras needing
+        the BYTE / second-chance passes."""
         keys = list(dets_per_cam.keys())
         cams = [self._cam_ids.setdefault(k, len(self._cam_ids)) for k in keys]
-        thr = {c: (det_thresh[k] if isinstance(det_thresh, dict)
-                   else det_thresh) for c, k in zip(cams, keys)}
-        dets_per_cam = {c: dets_per_cam[k] for c, k in zip(cams, keys)}
+        C = len(cams)
+        cams_arr = np.asarray(cams, int)
+        thr = np.array([det_thresh[k] if isinstance(det_thresh, dict)
+                        else det_thresh for k in keys], float)
         for cam in cams:
             self.frame_count[cam] = self.frame_count.get(cam, 0) + 1
-        active = np.isin(self.cam, cams) if len(self) else np.zeros(0, bool)
+        active = np.isin(self.cam, cams_arr) if len(self) else np.zeros(0, bool)
 
         # 1. global predict on active cameras' tracks
         act_idx = np.where(active)[0]
@@ -259,70 +312,131 @@ class MultiCamOCSort:
             trk_boxes_all[:, :4] = z_to_bbox(self.kf.x)
         prev_obs_all = self._k_previous_obs_all()
 
-        # one grouped index pass instead of per-camera np.where scans
-        cam_idx: dict = {}
-        if len(self):
-            order = np.argsort(self.cam, kind="stable")
-            sorted_cams = self.cam[order]
-            bounds = np.flatnonzero(np.diff(sorted_cams)) + 1
-            for grp in np.split(order, bounds):
-                if len(grp):
-                    cam_idx[int(self.cam[grp[0]])] = grp
+        # 2. active tracks grouped by camera slot: g = global indices sorted
+        # by slot (stable -> per-camera slot order preserved), with per-slot
+        # offsets/counts. tidx of camera ci == g[m_off[ci] : m_off[ci]+m_per[ci]]
+        if len(act_idx):
+            lut = np.full(int(cams_arr.max()) + 1, -1)
+            lut[cams_arr] = np.arange(C)
+            t_ci = lut[self.cam[act_idx].astype(int)]
+            order = np.argsort(t_ci, kind="stable")
+            g = act_idx[order]
+            gci = t_ci[order]
+            m_per = np.bincount(gci, minlength=C)
+        else:
+            g = np.zeros(0, int)
+            gci = np.zeros(0, int)
+            m_per = np.zeros(C, int)
+        m_off = np.concatenate([[0], np.cumsum(m_per)[:-1]]).astype(int) \
+            if C else np.zeros(0, int)
+        m_pos = (np.arange(len(g)) - m_off[gci]) if len(g) else np.zeros(0, int)
+        mmax = int(m_per.max()) if len(g) else 0
 
-        # preprocess every camera's rows, then compute ALL association costs
-        # in one padded [C, Nmax, Mmax] tensor (the per-camera iou/angle calls
-        # were the dominant cost at 128 cameras)
-        percam = []
-        empty_idx = np.zeros(0, int)
-        for cam in cams:
-            rows = dets_per_cam[cam]
-            rows = np.asarray(rows, np.float64).reshape(-1, rows.shape[-1]) \
-                if len(rows) else np.zeros((0, 6))
-            scores = rows[:, 4]
-            dets_all = np.concatenate([rows[:, :4], scores[:, None]], 1)
-            cls_all = rows[:, 5]
-            high = scores > thr[cam]
-            second = (scores > 0.1) & (scores < thr[cam])
-            percam.append((cam, dets_all[high], cls_all[high],
-                           dets_all[second], cls_all[second],
-                           cam_idx.get(cam, empty_idx)))
+        # 3. global det prep: one concat + vectorized high split and
+        # within-camera ranks (replaces the per-camera asarray/concat loop)
+        rows_l = []
+        counts = np.empty(C, int)
+        for ci, k in enumerate(keys):
+            r = np.asarray(dets_per_cam[k], np.float64)
+            r = r.reshape(-1, r.shape[-1])[:, :6] if r.size else \
+                np.zeros((0, 6))
+            rows_l.append(r)
+            counts[ci] = len(r)
+        all_rows = np.concatenate(rows_l, 0) if C else np.zeros((0, 6))
+        ci_of_row = np.repeat(np.arange(C), counts)
+        scores = all_rows[:, 4]
+        thr_row = thr[ci_of_row]
+        high = scores > thr_row
+        second = (scores > 0.1) & (scores < thr_row)
+        csum0 = np.concatenate([[0], np.cumsum(high)])
+        seg_end = np.cumsum(counts)
+        seg_start = seg_end - counts
+        base = csum0[seg_start]                       # highs before each cam
+        n_per = (csum0[seg_end] - base).astype(int)
+        ssum0 = np.concatenate([[0], np.cumsum(second)])
+        s_per = (ssum0[seg_end] - ssum0[seg_start]).astype(int)
+        nmax = int(n_per.max()) if C else 0
+        hi = np.flatnonzero(high)
+        hi_ci = ci_of_row[hi]
+        pos_high = (csum0[hi + 1] - 1 - base[hi_ci]).astype(int)
+        det_pad = np.zeros((C, nmax, 5))
+        cls_pad = np.zeros((C, nmax))
+        if len(hi):
+            det_pad[hi_ci, pos_high, :4] = all_rows[hi, :4]
+            det_pad[hi_ci, pos_high, 4] = scores[hi]
+            cls_pad[hi_ci, pos_high] = all_rows[hi, 5]
 
-        nmax = max((len(d) for _, d, *_ in percam), default=0)
-        mmax = max((len(t) for *_, t in percam), default=0)
-        iou3 = angle3 = None
+        # 4. padded association costs for every camera at once
+        iou3 = angle3 = adj3 = None
         if nmax and mmax:
-            c_n = len(percam)
-            det_pad = np.zeros((c_n, nmax, 5))
-            trk_pad = np.zeros((c_n, mmax, 5))
-            vel_pad = np.zeros((c_n, mmax, 2))
-            prev_pad = np.full((c_n, mmax, 5), -1.0)  # col4=-1 -> angle invalid
-            for ci, (_, dets, _, _, _, tidx) in enumerate(percam):
-                det_pad[ci, :len(dets)] = dets
-                trk_pad[ci, :len(tidx)] = trk_boxes_all[tidx]
-                vel_pad[ci, :len(tidx)] = self.velocity[tidx]
-                prev_pad[ci, :len(tidx)] = prev_obs_all[tidx]
+            trk_pad = np.zeros((C, mmax, 5))
+            vel_pad = np.zeros((C, mmax, 2))
+            prev_pad = np.full((C, mmax, 5), -1.0)  # col4=-1 -> angle invalid
+            trk_pad[gci, m_pos] = trk_boxes_all[g]
+            vel_pad[gci, m_pos] = self.velocity[g]
+            prev_pad[gci, m_pos] = prev_obs_all[g]
             with np.errstate(divide="ignore", invalid="ignore"):
                 iou3 = _iou3(det_pad, trk_pad)
                 angle3 = _angle_cost3(det_pad, prev_pad, vel_pad, self.inertia)
+                adj3 = iou3 > self.iou_threshold      # nan/pad -> False
 
-        out: dict = {}
-        all_obs: list = []
-        all_frozen: list = []
-        spawns: list = []
-        for ci, (cam, dets, cls_high, dets_second, cls_second,
-                 tidx) in enumerate(percam):
-            trk_boxes = trk_boxes_all[tidx]
-            n, m = len(dets), len(tidx)
-            costs = (iou3[ci, :n, :m], angle3[ci, :n, :m]) \
-                if iou3 is not None and n and m else None
-            matched, um_dets, um_trks = associate(
-                dets, trk_boxes, self.iou_threshold, self.velocity[tidx],
-                prev_obs_all[tidx], self.inertia, costs=costs)
-            all_obs += [(tidx[t], dets[d], dets[d, 4], cls_high[d])
-                        for d, t in matched]
+        # 5. the adjacency shortcut, batched across all cameras
+        obs_t = [np.zeros(0, int)]
+        obs_d = [np.zeros((0, 5))]
+        obs_c = [np.zeros(0)]
+        dmatched = np.zeros((C, nmax), bool)
+        tmatched = np.zeros((C, mmax), bool)
+        has_nm = (n_per > 0) & (m_per > 0)
+        hard = np.zeros(C, bool)
+        if adj3 is not None:
+            shortcut = has_nm & (adj3.sum(2).max(1) == 1) \
+                & (adj3.sum(1).max(1) == 1)
+            hard = has_nm & ~shortcut
+            if shortcut.any():
+                sci, sd, st = np.where(adj3 & shortcut[:, None, None])
+                obs_t.append(g[m_off[sci] + st])
+                obs_d.append(det_pad[sci, sd])
+                obs_c.append(cls_pad[sci, sd])
+                dmatched[sci, sd] = True
+                tmatched[sci, st] = True
 
-            if self.use_byte and len(dets_second) and len(um_trks):
-                iou = iou_batch(dets_second, trk_boxes[um_trks])
+        # 6. per-camera fallbacks: greedy solve for hard cameras; BYTE and
+        # second-chance rematch wherever unmatched remain (exact reference
+        # order — spawn ids and tie-breaks depend on it)
+        need_byte = self.use_byte & (s_per > 0) & (m_per > 0)
+        need_rem = has_nm
+        spawn_order: dict = {}
+        if adj3 is not None:
+            um_t_left = m_per - tmatched.sum(1)
+            um_d_left = n_per - dmatched.sum(1)
+            need_byte &= um_t_left > 0
+            need_rem = ~hard & (um_d_left > 0) & (um_t_left > 0)
+        for ci in np.flatnonzero(hard | need_byte | need_rem):
+            tidx = g[m_off[ci]: m_off[ci] + m_per[ci]]
+            n, m = n_per[ci], m_per[ci]
+            dets = det_pad[ci, :n]
+            cls_high = cls_pad[ci, :n]
+            tb = trk_boxes_all[tidx]
+            if hard[ci]:
+                matched, um_dets, um_trks = associate(
+                    dets, tb, self.iou_threshold, None, None, self.inertia,
+                    costs=(iou3[ci, :n, :m], angle3[ci, :n, :m]))
+                if len(matched):
+                    obs_t.append(tidx[matched[:, 1]])
+                    obs_d.append(dets[matched[:, 0]])
+                    obs_c.append(cls_high[matched[:, 0]])
+                    dmatched[ci, matched[:, 0]] = True
+                    tmatched[ci, matched[:, 1]] = True
+            else:
+                um_dets = np.flatnonzero(~dmatched[ci, :n])
+                um_trks = np.flatnonzero(~tmatched[ci, :m])
+
+            if self.use_byte and s_per[ci] and len(um_trks):
+                seg = slice(seg_start[ci], seg_end[ci])
+                rs = all_rows[seg][second[seg]]
+                dets_second = rs[:, [0, 1, 2, 3, 4]]
+                cls_second = rs[:, 5]
+                iou = iou_batch(dets_second, tb[um_trks])
                 if iou.max() > self.iou_threshold:
                     rematch = greedy_assignment(-iou)
                     drop = []
@@ -330,8 +444,10 @@ class MultiCamOCSort:
                         if iou[r, c] < self.iou_threshold:
                             continue
                         t = um_trks[c]
-                        all_obs.append((tidx[t], dets_second[r],
-                                        dets_second[r, 4], cls_second[r]))
+                        obs_t.append(tidx[t:t + 1])
+                        obs_d.append(dets_second[r:r + 1])
+                        obs_c.append(cls_second[r:r + 1])
+                        tmatched[ci, t] = True
                         drop.append(t)
                     um_trks = np.setdiff1d(um_trks, np.array(drop))
 
@@ -339,29 +455,37 @@ class MultiCamOCSort:
                 iou = iou_batch(dets[um_dets], self.last_obs[tidx[um_trks]])
                 if iou.max() > self.iou_threshold:
                     rematch = greedy_assignment(-iou)
-                    drop_d, drop_t = [], []
+                    drop_d = []
                     for r, c in rematch:
                         if iou[r, c] < self.iou_threshold:
                             continue
                         d, t = um_dets[r], um_trks[c]
-                        all_obs.append((tidx[t], dets[d], dets[d, 4],
-                                        cls_high[d]))
+                        obs_t.append(tidx[t:t + 1])
+                        obs_d.append(dets[d:d + 1])
+                        obs_c.append(cls_high[d:d + 1])
+                        dmatched[ci, d] = True
+                        tmatched[ci, t] = True
                         drop_d.append(d)
-                        drop_t.append(t)
                     um_dets = np.setdiff1d(um_dets, np.array(drop_d))
-                    um_trks = np.setdiff1d(um_trks, np.array(drop_t))
+            if hard[ci]:
+                # hard cameras' spawn order is associate()'s um ordering
+                # (ascending never-matched, then below-threshold pairs in
+                # matched order), not plain ascending
+                spawn_order[ci] = np.asarray(um_dets, int)
 
-            all_frozen.append(tidx[np.asarray(um_trks, int)])
-            um_dets = np.asarray(um_dets, int)
-            spawns.append((cam, dets[um_dets], cls_high[um_dets],
-                           dets[um_dets, 4]))
-
-        # 2. batched freeze / observe / spawn across every camera
-        self.kf.freeze(np.concatenate(all_frozen).astype(int)
-                       if all_frozen else np.zeros(0, int))
-        self._observe_many(all_obs)
-        for cam, d, c, s in spawns:
-            self._spawn_many(cam, d, c, s)
+        # 7. batched freeze / observe, then per-camera spawns (id order)
+        self.kf.freeze(g[~tmatched[gci, m_pos]] if len(g)
+                       else np.zeros(0, int))
+        self._observe_many(np.concatenate(obs_t), np.concatenate(obs_d),
+                           np.concatenate(obs_c), prev_obs_all)
+        for ci in range(C):
+            um = spawn_order.get(ci)
+            if um is None:
+                um = np.flatnonzero(~dmatched[ci, :n_per[ci]])
+            if len(um):
+                self._spawn_many(cams[ci], det_pad[ci, um], cls_pad[ci, um],
+                                 det_pad[ci, um, 4])
+        out: dict = {}
 
         # 3. emit per camera (reference order: newest slot first) + reap.
         # Emission candidates are vectorized: only tracks observed this tick

@@ -23,7 +23,7 @@ import numpy as np
 from .kalman import BatchKalman, bbox_to_z, z_to_bbox
 
 
-@dataclass
+@dataclass(slots=True)
 class Track:
     """Public per-frame track output (reference STrack surface, STrack.py:4-17)."""
     tlwh: np.ndarray
