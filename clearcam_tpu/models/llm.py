@@ -151,10 +151,22 @@ def _attn_mask(start_pos, t, ctx):
     return jnp.where(cols <= start_pos + rows, 0.0, -jnp.inf)[None, None]
 
 
+def _kv_quantize(x):
+    """[B,KvH,T,D] -> (int8 values, f32 scales [B,KvH,T]): symmetric
+    per-token-per-head absmax quantization of new cache entries."""
+    s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), -1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
                      decode_attn=None):
     """Standard GQA attention with cache (model.py:153-190). decode_attn
-    optionally replaces the T=1 attention math (Pallas prefix kernel)."""
+    optionally replaces the T=1 attention math (Pallas prefix kernel).
+    When the state carries per-token scales ("k_s"/"v_s"), the cache is
+    int8-quantized on write (half the decode HBM traffic / double the
+    context per byte vs bf16) and dequantized on read."""
     b, t, _ = x.shape
     hd, nh, nkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     q = F.linear(x, p[f"{pre}.attn_q.weight"], p.get(f"{pre}.attn_q.bias"))
@@ -180,13 +192,25 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     k = jnp.concatenate([apply_rope(k[..., :cfg.rope_dim], fr),
                          k[..., cfg.rope_dim:]], -1)
 
-    ck = jax.lax.dynamic_update_slice(state["k"], k.astype(state["k"].dtype),
-                                      (0, 0, start_pos, 0))
-    cv = jax.lax.dynamic_update_slice(state["v"], v.astype(state["v"].dtype),
-                                      (0, 0, start_pos, 0))
-    new_state = {"k": ck, "v": cv}
+    if "k_s" in state:
+        kq, ks = _kv_quantize(k)
+        vq, vs = _kv_quantize(v)
+        ck = jax.lax.dynamic_update_slice(state["k"], kq, (0, 0, start_pos, 0))
+        cv = jax.lax.dynamic_update_slice(state["v"], vq, (0, 0, start_pos, 0))
+        cks = jax.lax.dynamic_update_slice(state["k_s"], ks, (0, 0, start_pos))
+        cvs = jax.lax.dynamic_update_slice(state["v_s"], vs, (0, 0, start_pos))
+        new_state = {"k": ck, "k_s": cks, "v": cv, "v_s": cvs}
+        ck_a = (ck * cks[..., None]).astype(jnp.bfloat16)   # XLA-path dequant
+        cv_a = (cv * cvs[..., None]).astype(jnp.bfloat16)
+    else:
+        ck = jax.lax.dynamic_update_slice(
+            state["k"], k.astype(state["k"].dtype), (0, 0, start_pos, 0))
+        cv = jax.lax.dynamic_update_slice(
+            state["v"], v.astype(state["v"].dtype), (0, 0, start_pos, 0))
+        new_state = {"k": ck, "v": cv}
+        ck_a, cv_a = ck, cv
     if decode_attn is not None and t == 1:
-        out = decode_attn(q, ck, cv, start_pos)
+        out = decode_attn(q, new_state, start_pos)
     else:
         # grouped-query einsum: no jnp.repeat (which materializes a rep-x
         # cache copy in HBM — at ctx 2048 that WAS the decode bottleneck)
@@ -195,12 +219,12 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
         rep = nh // nkv
         scale = cfg.head_dim ** -0.5
         qg = (q.astype(jnp.float32) * scale).reshape(b, nkv, rep, t, hd) \
-            .astype(ck.dtype)
-        scores = jnp.einsum("bgrtd,bgsd->bgrts", qg, ck,
+            .astype(ck_a.dtype)
+        scores = jnp.einsum("bgrtd,bgsd->bgrts", qg, ck_a,
                             preferred_element_type=jnp.float32)
         mask = _attn_mask(start_pos, t, cfg.max_context)       # [1,1,T,S]
         probs = jax.nn.softmax(scores + mask[:, :, None], -1)
-        out = jnp.einsum("bgrts,bgsd->bgrtd", probs.astype(cv.dtype), cv,
+        out = jnp.einsum("bgrts,bgsd->bgrtd", probs.astype(cv_a.dtype), cv_a,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, nh, t, hd)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd).astype(x.dtype)
@@ -296,12 +320,21 @@ _BLOCK_FNS = {"attn": _attention_block, "mla": _mla_block, "ssm": _ssm_block}
 # full model step
 # ---------------------------------------------------------------------------
 
-def init_state(cfg: TransformerConfig, batch: int = 1, dtype=jnp.float32) -> list:
+def init_state(cfg: TransformerConfig, batch: int = 1, dtype=jnp.float32,
+               kv_quant: bool = False) -> list:
+    """kv_quant: int8 KV cache with per-token-per-head f32 scales — half the
+    decode HBM traffic and cache memory of bf16 (quarter of f32)."""
     state = []
     for i in range(cfg.num_blocks):
         kind = cfg.block_kind(i)
         if kind == "attn":
             shape = (batch, cfg.n_kv_heads, cfg.max_context, cfg.head_dim)
+            if kv_quant:
+                state.append({"k": jnp.zeros(shape, jnp.int8),
+                              "k_s": jnp.zeros(shape[:3], jnp.float32),
+                              "v": jnp.zeros(shape, jnp.int8),
+                              "v_s": jnp.zeros(shape[:3], jnp.float32)})
+                continue
             state.append({"k": jnp.zeros(shape, dtype),
                           "v": jnp.zeros(shape, dtype)})
         elif kind == "mla":
@@ -376,7 +409,7 @@ def sample_gumbel(logits, temperature, key):
 
 
 def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
-                  interpret: bool = False):
+                  interpret: bool = False, kv_quant: bool = False):
     """-> (prefill_fn, decode_fn), both jitted, taking params explicitly
     (closing over params would bake GBs of weights into the graph as
     constants and stall compilation).
@@ -425,16 +458,24 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
 
     attn_impl = None
     if use_pallas_decode:
-        from ..ops.decode_attention import CHUNK as _DC, decode_attention
+        from ..ops.decode_attention import (CHUNK as _DC, decode_attention,
+                                            decode_attention_q8)
         assert cfg.max_context % _DC == 0, \
             f"use_pallas_decode needs max_context % {_DC} == 0"
 
-
-        def attn_impl(q, ck, cv, start_pos):  # noqa: F811
-            # q [1,H,1,D]; caches [1,KvH,S,D] (S padded to the chunk size)
-            out = decode_attention(q[0, :, 0], ck[0], cv[0], start_pos,
-                                   interpret=interpret)
-            return out[None, :, None]
+        if kv_quant:
+            def attn_impl(q, st, start_pos):  # noqa: F811
+                # q [1,H,1,D]; int8 caches [1,KvH,S,D] + scales [1,KvH,S]
+                out = decode_attention_q8(
+                    q[0, :, 0], st["k"][0], st["k_s"][0], st["v"][0],
+                    st["v_s"][0], start_pos, interpret=interpret)
+                return out[None, :, None]
+        else:
+            def attn_impl(q, st, start_pos):  # noqa: F811
+                # q [1,H,1,D]; caches [1,KvH,S,D] (S padded to the chunk size)
+                out = decode_attention(q[0, :, 0], st["k"][0], st["v"][0],
+                                       start_pos, interpret=interpret)
+                return out[None, :, None]
 
     @jax.jit
     def decode(params, state, token, start_pos, temperature, key):
@@ -444,6 +485,25 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         return sample_gumbel(logits, temperature, key), state
 
     return prefill, decode
+
+
+def make_verify_fn(cfg: TransformerConfig):
+    """Jitted speculative-decoding verifier: feed G candidate tokens in one
+    pass and return the greedy token AFTER each position ([B,G]). The cache
+    is written for all G positions; entries past the accepted prefix are
+    junk the caller's position bookkeeping never attends to (the causal
+    mask is position-based) and later steps overwrite."""
+    freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                         cfg.rope_theta))
+
+    @jax.jit
+    def verify(params, state, tokens, start_pos):
+        hidden, state = forward(params, cfg, state, tokens, start_pos, freqs)
+        h = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
+        logits = F.linear(h, params["output.weight"])        # [B,G,V]
+        return jnp.argmax(logits, -1).astype(jnp.int32), state
+
+    return verify
 
 
 # ---------------------------------------------------------------------------
@@ -679,29 +739,42 @@ class Transformer:
     (reference Transformer.generate, model.py:393-417)."""
 
     def __init__(self, params: dict, cfg: TransformerConfig, seed: int = 0,
-                 state_dtype=jnp.float32):
+                 state_dtype=jnp.float32, kv_quant: bool = False,
+                 use_pallas_decode: bool = False, spec_lookup: int = 0):
         """state_dtype=bfloat16 halves decode KV-cache HBM traffic (the
-        dominant term at long context) at ~1e-2 logit tolerance."""
+        dominant term at long context) at ~1e-2 logit tolerance; kv_quant
+        halves it again (int8 cache + per-token scales). use_pallas_decode
+        routes decode through the prefix-aware kernel so reads scale with
+        the live context (ops/decode_attention). spec_lookup=G enables
+        prompt-lookup speculative decoding for greedy generation: draft G
+        tokens from n-gram matches in the context and verify them in ONE
+        forward — decode steps per output token drop toward 1/(G+1) on
+        repetitive text (summaries, code), exact greedy outputs."""
         self.params = params
         self.cfg = cfg
-        self.state = init_state(cfg, dtype=state_dtype)
-        self.prefill_fn, self.decode_fn = make_step_fns(cfg)
+        self.state = init_state(cfg, dtype=state_dtype, kv_quant=kv_quant)
+        self.prefill_fn, self.decode_fn = make_step_fns(
+            cfg, use_pallas_decode=use_pallas_decode, kv_quant=kv_quant)
+        self.spec_lookup = 0 if cfg.ssm else int(spec_lookup)
+        self.verify_fn = make_verify_fn(cfg) if self.spec_lookup else None
         self._cached_tokens: list[int] = []
         self._key = jax.random.PRNGKey(seed)
         self.chunk = CHUNK  # SSM configs scan the chunk internally (see prefill)
 
     @classmethod
     def from_gguf(cls, path: str | Path, max_context: int | None = None,
-                  dtype=jnp.bfloat16, seed: int = 0, quantize: bool = False):
+                  dtype=jnp.bfloat16, seed: int = 0, quantize: bool = False,
+                  kv_quant: bool = False):
         """quantize=True re-quantizes the dense matmul weights to int8 at
-        rest in HBM (see quantize_params_int8) after the GGUF dequant."""
+        rest in HBM (see quantize_params_int8) after the GGUF dequant;
+        kv_quant=True serves with an int8 KV cache."""
         from ..io import gguf
         kv, sd = gguf.load(path)
         cfg = config_from_gguf(kv, sd, max_context)
         params = convert_state_dict(sd, kv, dtype)
         if quantize:
             params = quantize_params_int8(params)
-        return cls(params, cfg, seed), kv
+        return cls(params, cfg, seed, kv_quant=kv_quant), kv
 
     def quantize_int8(self):
         """Switch this instance to the int8 weight-only serving path."""
@@ -711,6 +784,23 @@ class Transformer:
     def _split_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    @staticmethod
+    def _lookup_draft(tokens: list[int], gamma: int,
+                      max_ngram: int = 3) -> list | None:
+        """Prompt-lookup draft: find the most recent earlier occurrence of
+        the current tail n-gram (longest n first) and propose the gamma
+        tokens that followed it. O(len) host-side scan, no draft model."""
+        for n in range(max_ngram, 1, -1):
+            if len(tokens) <= n:
+                continue
+            tail = tokens[-n:]
+            for i in range(len(tokens) - n - 1, -1, -1):
+                if tokens[i:i + n] == tail:
+                    cont = tokens[i + n:i + n + gamma]
+                    if cont:
+                        return (cont + [cont[-1]] * (gamma - len(cont)))
+        return None
 
     def reusable_prefix(self, tokens: list[int]) -> int:
         n = 0
@@ -753,11 +843,39 @@ class Transformer:
                 if pos < prompt_len:
                     continue
             else:
-                out_tok, self.state = self.decode_fn(
-                    self.params, self.state,
-                    jnp.asarray([[tokens[-1]]], jnp.int32),
-                    cache_offset + pos, temp, self._split_key())
-                pos += 1
+                g = self.spec_lookup
+                draft = None
+                if (g and temperature == 0.0
+                        and cache_offset + pos + g + 1 < cfg.max_context):
+                    draft = self._lookup_draft(tokens, g)
+                if draft is not None:
+                    # one verify pass over [current, d1..dG]: greedy_out[i]
+                    # is the model's token after consuming position pos+i
+                    feed = jnp.asarray([[tokens[-1]] + draft], jnp.int32)
+                    toks, self.state = self.verify_fn(
+                        self.params, self.state, feed, cache_offset + pos)
+                    greedy_out = np.asarray(toks)[0]
+                    a = 0
+                    while a < g and int(greedy_out[a]) == draft[a]:
+                        a += 1
+                    new_toks = draft[:a] + [int(greedy_out[a])]
+                    pos += a + 1
+                else:
+                    out_tok, self.state = self.decode_fn(
+                        self.params, self.state,
+                        jnp.asarray([[tokens[-1]]], jnp.int32),
+                        cache_offset + pos, temp, self._split_key())
+                    pos += 1
+                    new_toks = [int(np.asarray(out_tok)[0])]
+                for nxt in new_toks:
+                    tokens.append(nxt)
+                    if cache_offset == 0:
+                        self._cached_tokens = tokens[:-1]
+                    produced += 1
+                    yield nxt
+                    if max_new is not None and produced >= max_new:
+                        return
+                continue
             nxt = int(np.asarray(out_tok)[0])
             tokens.append(nxt)
             if cache_offset == 0:

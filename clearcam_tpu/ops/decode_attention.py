@@ -132,3 +132,142 @@ def _chunked_kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
         sem_k=pltpu.SemaphoreType.DMA((2,)),
         sem_v=pltpu.SemaphoreType.DMA((2,)),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 KV-cache variant
+# ---------------------------------------------------------------------------
+
+def decode_attention_q8(q, k_q8, k_s, v_q8, v_s, pos, *, chunk: int = CHUNK,
+                        interpret: bool = False):
+    """Decode attention over an int8-quantized KV cache (per-token,
+    per-kv-head scales) — HALF the HBM bytes per live token vs bf16.
+
+    q [H,D] f32/bf16; k_q8/v_q8 [KvH,S,D] int8; k_s/v_s [KvH,S] f32;
+    pos scalar. Dequant happens on the score/probability vectors after the
+    matmuls (scores *= k_s, probs *= v_s), so the int8 chunks feed the MXU
+    directly after a cast and the per-element multiply is [rep,chunk], not
+    [chunk,D]."""
+    h, d = q.shape
+    kvh, s, _ = k_q8.shape
+    assert s % chunk == 0, f"padded context {s} must be a multiple of {chunk}"
+    rep = h // kvh
+    scale = 1.0 / (d ** 0.5)
+    pos = jnp.asarray([pos], jnp.int32)
+    q3 = q.reshape(kvh, rep, d)
+    # scales ride as [KvH, 1, S]: Mosaic tiles the LAST TWO dims, so a 2D
+    # [KvH, S] array scalar-indexed on dim 0 trips the tiling alignment
+    # check ("slice along dim 0 must be aligned to tiling"); with a leading
+    # singleton the DMA slice is (1, chunk) over untiled-dim-0
+    k_s = k_s.reshape(kvh, 1, s)
+    v_s = v_s.reshape(kvh, 1, s)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(kvh,),
+        in_specs=[
+            pl.BlockSpec((1, rep, d), lambda i, pos_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, rep, d), lambda i, pos_ref: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_chunked_kernel_q8, chunk=chunk, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((kvh, rep, d), q.dtype),
+        interpret=interpret,
+    )(pos, q3, k_q8, k_s, v_q8, v_s)
+    return out.reshape(h, d)
+
+
+def _chunked_kernel_q8(pos_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
+                       *, chunk, scale):
+    kvh = pl.program_id(0)
+    rep, d = q_ref.shape[1], q_ref.shape[2]
+    s = k_ref.shape[1]
+    n_chunks = s // chunk
+    pos = pos_ref[0]
+
+    def body(k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs):
+        q = q_ref[0].astype(jnp.float32) * scale
+
+        def dmas(slot, c):
+            return (
+                pltpu.make_async_copy(
+                    k_ref.at[kvh, pl.ds(c * chunk, chunk), :],
+                    k_buf.at[slot], sem_k.at[slot]),
+                pltpu.make_async_copy(
+                    v_ref.at[kvh, pl.ds(c * chunk, chunk), :],
+                    v_buf.at[slot], sem_v.at[slot]),
+                pltpu.make_async_copy(
+                    ks_ref.at[kvh, :, pl.ds(c * chunk, chunk)],
+                    ks_buf.at[slot], sem_ks.at[slot]),
+                pltpu.make_async_copy(
+                    vs_ref.at[kvh, :, pl.ds(c * chunk, chunk)],
+                    vs_buf.at[slot], sem_vs.at[slot]),
+            )
+
+        def start_dma(slot, c):
+            for cp in dmas(slot, c):
+                cp.start()
+
+        def wait_dma(slot, c):
+            for cp in dmas(slot, c):
+                cp.wait()
+
+        start_dma(0, 0)
+
+        def loop(c, carry):
+            acc, m, l = carry
+
+            @pl.when((c + 1) * chunk <= pos)
+            def _():
+                start_dma((c + 1) % 2, c + 1)
+
+            def attend(carry):
+                acc, m, l = carry
+                wait_dma(c % 2, c)
+                k = k_buf[c % 2].astype(jnp.float32)
+                v = v_buf[c % 2].astype(jnp.float32)
+                scores = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                scores = scores * ks_buf[c % 2]               # dequant K [1,S]
+                cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                    + c * chunk
+                scores = jnp.where(cols <= pos, scores, -jnp.inf)
+                m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
+                p = jnp.exp(scores - m_new)
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + p.sum(-1, keepdims=True)
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    p * vs_buf[c % 2], v,                     # dequant V
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc_new, m_new, l_new
+
+            return jax.lax.cond(c * chunk <= pos, attend, lambda cry: cry,
+                                (acc, m, l))
+
+        init = (jnp.zeros((rep, d), jnp.float32),
+                jnp.full((rep, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((rep, 1), jnp.float32))
+        acc, m, l = jax.lax.fori_loop(0, n_chunks, loop, init)
+        out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        k_buf=pltpu.VMEM((2, chunk, d), k_ref.dtype),
+        v_buf=pltpu.VMEM((2, chunk, d), v_ref.dtype),
+        ks_buf=pltpu.VMEM((2, 1, chunk), ks_ref.dtype),
+        vs_buf=pltpu.VMEM((2, 1, chunk), vs_ref.dtype),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
+        sem_ks=pltpu.SemaphoreType.DMA((2,)),
+        sem_vs=pltpu.SemaphoreType.DMA((2,)),
+    )

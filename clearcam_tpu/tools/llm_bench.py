@@ -40,16 +40,18 @@ def qwen3_2b_cfg(blocks: int, ctx: int) -> llm.TransformerConfig:
 
 
 def bench_mode(cfg, params, mode: str, ctx: int, steps: int) -> dict:
-    """mode: '+'-joined flags — bf16|int8|int4 (weights), kv16 (bf16 KV cache),
-    pallas (prefix-aware decode attention)."""
+    """mode: '+'-joined flags — bf16|int8|int4 (weights), kv16 (bf16 KV
+    cache), kv8 (int8 KV cache + per-token scales), pallas (prefix-aware
+    decode attention; composes with kv8)."""
     flags = set(mode.split("+"))
-    prefill, decode = llm.make_step_fns(cfg, use_pallas_decode="pallas" in flags)
+    prefill, decode = llm.make_step_fns(
+        cfg, use_pallas_decode="pallas" in flags, kv_quant="kv8" in flags)
     if "int8" in flags:
         params = llm.quantize_params_int8(params)
     elif "int4" in flags:
         params = llm.quantize_params_int4(params)
     state = llm.init_state(cfg, dtype=jnp.bfloat16 if "kv16" in flags
-                           else jnp.float32)
+                           else jnp.float32, kv_quant="kv8" in flags)
     key = jax.random.PRNGKey(0)
     temp = jnp.float32(0.0)
     chunk = llm.CHUNK
