@@ -1,0 +1,142 @@
+"""Pipeline parallelism (GPipe schedule) over a mesh axis.
+
+The reference is a single-accelerator system (SURVEY §2.3 — no DP/TP/PP
+anywhere); pipeline parallelism is the TPU-native scale-out for models whose
+layer stack exceeds one chip's HBM. Design:
+
+  * stages hold contiguous block ranges; stage s's params live only on
+    device s of the `stage` mesh axis (leading-axis sharded stack)
+  * activations hop stage -> stage over ICI via `ppermute` inside ONE jitted
+    `shard_map` program — no host round trips between stages
+  * microbatches keep every stage busy outside the fill/drain bubble:
+    M microbatches over S stages run in M + S - 1 ticks (GPipe), bubble
+    fraction (S-1)/(M+S-1)
+  * the whole schedule is a `lax.scan`, so `jax.grad` differentiates through
+    it (ppermute's transpose is the reverse ppermute) — pipelined training
+    steps need no hand-written backward schedule
+
+`pipeline_apply` is generic over a stage function; `make_llm_stage_fn` +
+`stack_llm_stage_params` instantiate it for the dense-attention LLM prefill
+(long-prompt forward with the layer stack sharded across chips).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def pipeline_apply(mesh: Mesh, axis: str, stage_fn, stacked_params, x):
+    """Run S pipeline stages over microbatches.
+
+    stage_fn(stage_params, mb) -> mb' (shape-preserving)
+    stacked_params: pytree with leading stage axis [S, ...] (sharded over
+    `axis`); x: [M, ...] microbatches (replicated).
+    Returns [M, ...] = stage_{S-1}(...stage_0(x)...), replicated.
+    """
+    s_n = mesh.shape[axis]
+    m_n = x.shape[0]
+
+    def per_device(p_local, x_full):
+        p_local = jax.tree.map(lambda a: a[0], p_local)   # [1,...] -> [...]
+        stage = jax.lax.axis_index(axis)
+        perm = [(i, (i + 1) % s_n) for i in range(s_n)]
+
+        def step(carry, t):
+            buf, outs = carry
+            # stage 0 ingests microbatch t; others take the ppermute buffer
+            inp = jnp.where(stage == 0, x_full[jnp.clip(t, 0, m_n - 1)], buf)
+            y = stage_fn(p_local, inp)
+            # stage s is working on microbatch t - s; only [0, M) are real
+            mb = t - stage
+            mb_c = jnp.clip(mb, 0, m_n - 1)
+            emit = (stage == s_n - 1) & (mb >= 0) & (mb < m_n)
+            outs = outs.at[mb_c].set(jnp.where(emit, y, outs[mb_c]))
+            buf = jax.lax.ppermute(y, axis, perm)
+            return (buf, outs), None
+
+        # the carry varies per stage (ppermute output) — mark the zero init
+        # as stage-varying or scan rejects the carry type
+        init = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (axis,), to="varying"),
+            (jnp.zeros_like(x_full[0]), jnp.zeros_like(x_full)))
+        (_, outs), _ = jax.lax.scan(step, init,
+                                    jnp.arange(m_n + s_n - 1))
+        # outputs accumulated on the last stage only -> replicate
+        return jax.lax.psum(jnp.where(stage == s_n - 1, outs, 0.0), axis)
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P(axis), P()), out_specs=P())
+    return fn(stacked_params, x)
+
+
+# ---------------------------------------------------------------------------
+# LLM instantiation: layer stack sharded across stages (prefill forward)
+# ---------------------------------------------------------------------------
+
+def stack_llm_stage_params(params: dict, cfg, n_stages: int) -> dict:
+    """Split blk.0..blk.{L-1} into n_stages contiguous ranges and stack each
+    relative-block weight across stages: {"blk.{j}.{suffix}": [S, ...]}.
+    Requires homogeneous blocks (dense attention; cfg.ssm None)."""
+    assert cfg.ssm is None, "pipeline stages need homogeneous (attn) blocks"
+    assert cfg.num_blocks % n_stages == 0, \
+        f"{cfg.num_blocks} blocks not divisible into {n_stages} stages"
+    per = cfg.num_blocks // n_stages
+    stages = []
+    for s in range(n_stages):
+        d = {}
+        for j in range(per):
+            pre = f"blk.{s * per + j}."
+            for k, v in params.items():
+                if k.startswith(pre):
+                    d[f"blk.{j}." + k[len(pre):]] = v
+        stages.append(d)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def make_llm_stage_fn(cfg, n_stages: int, seq_len: int):
+    """Stage function running cfg.num_blocks/n_stages dense-attention blocks
+    on hidden states [mb, T, D] (prefill semantics: causal within the
+    chunk, fresh cache per stage call — the cache pytree is internal)."""
+    from ..models import llm
+
+    per = cfg.num_blocks // n_stages
+    sub = dataclasses.replace(cfg, num_blocks=per, max_context=seq_len)
+    freqs = jnp.asarray(llm.precompute_freqs(cfg.rope_dim, seq_len,
+                                             cfg.rope_theta))
+
+    def stage_fn(p_stage, x):
+        state = llm.init_state(sub, batch=x.shape[0])
+        h, _ = llm.forward(p_stage, sub, state, None, 0, freqs,
+                           hidden_override=x)
+        return h
+
+    return stage_fn
+
+
+def pp_llm_prefill(mesh: Mesh, axis: str, params: dict, cfg,
+                   tokens, n_micro: int):
+    """Pipelined long-prompt prefill: tokens [B, T] with B % n_micro == 0.
+    Embedding + final hidden states; the block stack is stage-sharded."""
+    s_n = mesh.shape[axis]
+    stacked = stack_llm_stage_params(params, cfg, s_n)
+    stage_fn = make_llm_stage_fn(cfg, s_n, tokens.shape[-1])
+    b, t = tokens.shape
+    assert b % n_micro == 0
+    from ..nn import functional as F
+    x = F.embedding(params["token_embd.weight"], tokens).astype(jnp.float32)
+    x = x.reshape(n_micro, b // n_micro, t, -1)
+    h = pipeline_apply(mesh, axis, stage_fn, stacked, x)
+    return h.reshape(b, t, -1)
+
+
+def make_pp_mesh(n_devices: int | None = None) -> Mesh:
+    """One-axis ("stage",) mesh over the available devices."""
+    import numpy as np
+
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("stage",))

@@ -1,0 +1,108 @@
+"""Pipeline parallelism: GPipe schedule over a ("stage",) mesh — exact
+parity with sequential stage application, gradients through the schedule,
+and the LLM block-stack instantiation vs llm.forward."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clearcam_tpu.parallel import pipeline as pp
+
+
+def _mesh(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return pp.make_pp_mesh(n)
+
+
+def _mlp_stage(p, x):
+    return jax.nn.silu(x @ p["w1"]) @ p["w2"]
+
+
+def _mlp_params(key, n_stages, d=16, h=32):
+    ks = jax.random.split(key, 2 * n_stages)
+    stages = [{"w1": jax.random.normal(ks[2 * i], (d, h)) * 0.3,
+               "w2": jax.random.normal(ks[2 * i + 1], (h, d)) * 0.3}
+              for i in range(n_stages)]
+    return stages, jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(4, 4), (4, 1), (8, 3)])
+def test_pipeline_matches_sequential(n_stages, n_micro):
+    mesh = _mesh(n_stages)
+    stages, stacked = _mlp_params(jax.random.PRNGKey(0), n_stages)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n_micro, 2, 16))
+
+    out = pp.pipeline_apply(mesh, "stage", _mlp_stage, stacked, x)
+
+    ref = x
+    for sp in stages:
+        ref = _mlp_stage(sp, ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_grad_through_schedule():
+    """jax.grad differentiates through the scan+ppermute schedule: pipelined
+    gradients equal sequential ones (no hand-written backward needed)."""
+    n_stages, n_micro = 4, 3
+    mesh = _mesh(n_stages)
+    stages, stacked = _mlp_params(jax.random.PRNGKey(2), n_stages)
+    x = jax.random.normal(jax.random.PRNGKey(3), (n_micro, 2, 16))
+
+    def loss_pp(p):
+        return jnp.sum(pp.pipeline_apply(mesh, "stage", _mlp_stage, p, x) ** 2)
+
+    def loss_seq(ps):
+        y = x
+        for sp in ps:
+            y = _mlp_stage(sp, y)
+        return jnp.sum(y ** 2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.grad(loss_seq)(stages)
+    g_seq = jax.tree.map(lambda *xs: jnp.stack(xs), *g_seq)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g_pp, g_seq)
+
+
+def test_pp_llm_prefill_matches_forward():
+    """The stage-sharded LLM prefill equals the single-device llm.forward
+    hidden states (4 stages x 1 block, dense attention)."""
+    from clearcam_tpu.models import llm
+
+    mesh = _mesh(4)
+    cfg = llm.TransformerConfig(
+        num_blocks=4, dim=32, hidden_dim=64, n_heads=4, n_kv_heads=2,
+        norm_eps=1e-5, vocab_size=64, head_dim=8, rope_theta=1e4, rope_dim=8,
+        v_head_dim=8, max_context=16)
+    params = llm.init_params(cfg, seed=0)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 64, (4, 16)), jnp.int32)
+
+    h_pp = pp.pp_llm_prefill(mesh, "stage", params, cfg, tokens, n_micro=2)
+
+    freqs = jnp.asarray(llm.precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                             cfg.rope_theta))
+    state = llm.init_state(cfg, batch=4)
+    h_ref, _ = llm.forward(params, cfg, state, tokens, 0, freqs)
+    np.testing.assert_allclose(np.asarray(h_pp), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stack_llm_stage_params_layout():
+    from clearcam_tpu.models import llm
+
+    cfg = llm.TransformerConfig(
+        num_blocks=4, dim=32, hidden_dim=64, n_heads=4, n_kv_heads=2,
+        norm_eps=1e-5, vocab_size=64, head_dim=8, rope_theta=1e4, rope_dim=8,
+        v_head_dim=8, max_context=16)
+    params = llm.init_params(cfg, seed=1)
+    st = pp.stack_llm_stage_params(params, cfg, 2)
+    # 2 stages x 2 relative blocks; stage 1's blk.0 == absolute blk.2
+    assert st["blk.0.attn_q.weight"].shape[0] == 2
+    np.testing.assert_array_equal(np.asarray(st["blk.0.attn_q.weight"][1]),
+                                  np.asarray(params["blk.2.attn_q.weight"]))
+    np.testing.assert_array_equal(np.asarray(st["blk.1.attn_q.weight"][0]),
+                                  np.asarray(params["blk.1.attn_q.weight"]))
