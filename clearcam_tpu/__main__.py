@@ -140,6 +140,14 @@ def main(argv=None):
             return np.zeros((0, 6), np.float32)
         return detector.detect_many([img_rgb[..., ::-1]])[0]  # expects BGR
 
+    def offload_detect_many(imgs_rgb):
+        """Batched offload: concurrent edge clients share ONE device call
+        (OffloadBatcher coalesces requests at executor-drain time)."""
+        if detector is None:
+            import numpy as np
+            return [np.zeros((0, 6), np.float32) for _ in imgs_rgb]
+        return detector.detect_many([im[..., ::-1] for im in imgs_rgb])
+
     def on_settings_change(new):
         """Rebuild models live on /edit_settings (reference set_settings,
         clearcam.py:1243-1276): CLIP/face toggles, detector size/res, and the
@@ -163,6 +171,7 @@ def main(argv=None):
 
     ctx = AppContext(db, args.data, nvr=nvr, object_finder=object_finder,
                      settings=settings, offload_detect=offload_detect,
+                     offload_detect_many=offload_detect_many,
                      on_settings_change=on_settings_change,
                      api_token=args.api_token)
     storage.max_gb = ctx.max_gb

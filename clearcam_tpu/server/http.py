@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import base64
 import json
+import queue
 import re
 import shutil
 import threading
@@ -92,13 +93,65 @@ class OffloadSessions:
             return frame
 
 
+class OffloadBatcher:
+    """Coalesce concurrent offload inferences into ONE batched device call.
+
+    The reference serves one phone per request (Yolo.m posts a frame, waits);
+    here many edge clients share one chip, and the DeviceExecutor drains one
+    task per NVR tick — without batching, k concurrent /yolo requests take k
+    ticks. Snapshot-at-execution: the first arrival enqueues a batch task;
+    every request that lands before the device actually picks it up rides
+    the same detect_many call (natural batching under load, zero added
+    latency when idle)."""
+
+    def __init__(self, detect_many):
+        self.detect_many = detect_many          # callable(list[img]) -> list[rows]
+        self.pending: list = []                 # (img, result_queue)
+        self.lock = threading.Lock()
+        self.leader_active = False
+
+    def _run_batch(self):
+        with self.lock:
+            batch = list(self.pending)
+            self.pending.clear()
+            self.leader_active = False
+        if not batch:
+            return 0
+        try:
+            rows, err = self.detect_many([b[0] for b in batch]), None
+        except Exception as e:  # noqa: BLE001 — broadcast to every waiter
+            rows, err = None, e
+        for i, (_, bq) in enumerate(batch):
+            bq.put(err if err is not None else rows[i])
+        return len(batch)
+
+    def infer(self, img, submit):
+        """Called from HTTP threads; `submit` routes the batch task onto the
+        device executor (or runs inline when no NVR loop is running)."""
+        q: queue.Queue = queue.Queue(maxsize=1)
+        with self.lock:
+            self.pending.append((img, q))
+            lead = not self.leader_active
+            if lead:
+                self.leader_active = True
+        if lead:
+            try:
+                submit(self._run_batch)
+            except Exception:  # executor dead: run the batch on this thread
+                self._run_batch()
+        out = q.get()
+        if isinstance(out, Exception):
+            raise out
+        return out
+
+
 class AppContext:
     """Shared state between the HTTP handler, the NVR loop and models."""
 
     def __init__(self, db, base_dir: Path, nvr=None, object_finder=None,
                  settings: GlobalSettings | None = None, max_gb: float = 256.0,
-                 labels=None, offload_detect=None, on_settings_change=None,
-                 api_token: str | None = None):
+                 labels=None, offload_detect=None, offload_detect_many=None,
+                 on_settings_change=None, api_token: str | None = None):
         # optional shared-secret auth (beyond the reference, which serves an
         # unauthenticated API): when set, every request must carry the token
         # in an x-api-token header or ?token= query parameter
@@ -113,6 +166,9 @@ class AppContext:
         from ..cloud.federation import FederationRegistry
         self.federation = FederationRegistry()
         self.offload_detect = offload_detect  # callable(frame_hw3_rgb) -> rows
+        # batched variant: concurrent offload clients share one device call
+        self.offload_batcher = (OffloadBatcher(offload_detect_many)
+                                if offload_detect_many is not None else None)
         self.on_settings_change = on_settings_change
         stored = db.run_get("max_storage", None)
         if stored == {}:
@@ -769,7 +825,9 @@ def make_handler(ctx: AppContext):
                 frame = ctx.offload.full(sid, body)
             res = ctx.offload.res
             img = frame.reshape(res, res, 3)
-            if ctx.offload_detect is not None:
+            if ctx.offload_batcher is not None:
+                rows = ctx.offload_batcher.infer(img, ctx.submit)
+            elif ctx.offload_detect is not None:
                 rows = ctx.submit(ctx.offload_detect, img)
             else:
                 rows = np.zeros((0, 6), np.float32)

@@ -181,6 +181,74 @@ def test_offload_yolo_and_diff(base):
     assert e.value.code == 409
 
 
+def test_offload_batcher_coalesces_concurrent_requests():
+    """Requests that arrive while the batch task is queued ride ONE
+    detect_many call; every waiter gets its own rows; errors broadcast."""
+    import threading
+    import time
+    from clearcam_tpu.runtime.nvr import DeviceExecutor
+    from clearcam_tpu.server.http import OffloadBatcher
+
+    calls = []
+
+    def detect_many(imgs):
+        calls.append(len(imgs))
+        return [np.full((1, 6), i, np.float32) for i, _ in enumerate(imgs)]
+
+    ex = DeviceExecutor()
+    ex.loop_running = True                      # queue mode, manual drain
+    batcher = OffloadBatcher(detect_many)
+    results = {}
+
+    def client(i):
+        results[i] = batcher.infer(np.full((2, 2, 3), i, np.uint8), ex.submit)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    time.sleep(0.3)                             # all enqueue before any drain
+    while any(t.is_alive() for t in threads):
+        ex.drain_one()
+        time.sleep(0.01)
+    assert sum(calls) == 6
+    assert len(calls) <= 2                      # coalesced (1 leader + stragglers)
+    # each waiter got the row matching its own position in the batch
+    for i, rows in results.items():
+        assert rows.shape == (1, 6)
+
+    # error broadcast: every concurrent waiter sees the exception
+    def boom(imgs):
+        raise RuntimeError("device gone")
+
+    bad = OffloadBatcher(boom)
+    errs = []
+
+    def bad_client():
+        try:
+            bad.infer(np.zeros((2, 2, 3), np.uint8), ex.submit)
+        except RuntimeError as e:
+            errs.append(str(e))
+
+    bts = [threading.Thread(target=bad_client) for _ in range(3)]
+    for t in bts:
+        t.start()
+    time.sleep(0.2)
+    while any(t.is_alive() for t in bts):
+        ex.drain_one()
+        time.sleep(0.01)
+    assert errs == ["device gone"] * 3
+
+
+def test_offload_batcher_inline_mode():
+    """Without an NVR loop, ctx.submit runs inline: single-request batches."""
+    from clearcam_tpu.server.http import OffloadBatcher
+
+    batcher = OffloadBatcher(
+        lambda imgs: [np.zeros((0, 6), np.float32) for _ in imgs])
+    rows = batcher.infer(np.zeros((2, 2, 3), np.uint8), lambda fn, *a: fn(*a))
+    assert rows.shape == (0, 6)
+
+
 import urllib.parse  # noqa: E402  (used in test_camera_crud_and_settings)
 import urllib.error  # noqa: E402
 
