@@ -326,6 +326,29 @@ def make_handler(ctx: AppContext):
             self._json({"preds": np.asarray(c.last_preds).round(2).tolist(),
                         "width": w, "height": h, "fps": round(c.fps, 2)})
 
+        def _get_snapshot(self, q, cam):
+            """Latest live frame as JPEG — the air-gapped fallback for the
+            web UI's video grid (hls.js comes from a CDN; without it the
+            grid polls stills) and a one-call integration hook."""
+            c = (ctx.nvr.cams.get(cam) if cam and ctx.nvr is not None
+                 else None)
+            if c is None or c.last_frame is None:
+                self.send_error(404, "no frame")
+                return
+            import cv2
+            ok, buf = cv2.imencode(".jpg", c.last_frame,
+                                   [cv2.IMWRITE_JPEG_QUALITY, 80])
+            if not ok:
+                self.send_error(500, "encode failed")
+                return
+            data = buf.tobytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(data)
+
         def _get_list_cameras(self, q, cam):
             cams = ctx.db.run_get("links", None)
             progs = ctx.db.run_get("analysis_prog", None)

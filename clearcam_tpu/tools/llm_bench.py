@@ -39,7 +39,8 @@ def qwen3_2b_cfg(blocks: int, ctx: int) -> llm.TransformerConfig:
         qk_norm=128)
 
 
-def bench_mode(cfg, params, mode: str, ctx: int, steps: int) -> dict:
+def bench_mode(cfg, params, mode: str, ctx: int, steps: int,
+               decode_pos: int | None = None) -> dict:
     """mode: '+'-joined flags — bf16|int8|int4 (weights), kv16 (bf16 KV
     cache), kv8 (int8 KV cache + per-token scales), pallas (prefix-aware
     decode attention; composes with kv8)."""
@@ -71,7 +72,10 @@ def bench_mode(cfg, params, mode: str, ctx: int, steps: int) -> dict:
     prefill_tps = (n_chunks - 1) * chunk / dt if n_chunks > 1 else float("nan")
 
     # --- decode: steps single-token steps at the live position -----------
-    pos = n_chunks * chunk
+    # decode_pos overrides the live position: short positions are the NVR's
+    # actual regime (context resets per event, reference clearcam.py:494) and
+    # where the prefix-aware Pallas kernel's reads-scale-with-context wins
+    pos = decode_pos if decode_pos is not None else n_chunks * chunk
     one = jnp.zeros((1, 1), jnp.int32)
     tok, state = decode(params, state0, one, pos, temp, key)
     np.asarray(tok)  # compile + sync
@@ -91,6 +95,9 @@ def main(argv=None):
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--modes", default="bf16,int8,int8+kv16")
+    ap.add_argument("--decode-pos", type=int, default=None,
+                    help="decode at this live position instead of ctx-64 "
+                         "(short positions = the NVR's per-event regime)")
     args = ap.parse_args(argv)
 
     cfg = qwen3_2b_cfg(args.blocks, args.ctx)
@@ -100,7 +107,8 @@ def main(argv=None):
           f"ctx {args.ctx}, backend {jax.default_backend()}")
     results = []
     for mode in args.modes.split(","):
-        r = bench_mode(cfg, params, mode.strip(), args.ctx, args.steps)
+        r = bench_mode(cfg, params, mode.strip(), args.ctx, args.steps,
+                       decode_pos=args.decode_pos)
         results.append(r)
         print(json.dumps(r))
     return results

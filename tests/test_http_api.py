@@ -181,6 +181,22 @@ def test_offload_yolo_and_diff(base):
     assert e.value.code == 409
 
 
+def test_snapshot_endpoint(base):
+    """/snapshot serves the camera's latest frame as JPEG (air-gapped grid
+    fallback); 404 before any frame or for unknown cameras."""
+    url, ctx = base
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        get(f"{url}/snapshot?cam=nope")
+    assert e.value.code == 404
+
+    ctx.nvr.cams["live"] = type("C", (), {})()
+    ctx.nvr.cams["live"].last_frame = np.full((8, 8, 3), 128, np.uint8)
+    data = get(f"{url}/snapshot?cam=live", raw=True)
+    assert data[:2] == b"\xff\xd8"          # JPEG magic
+    del ctx.nvr.cams["live"]
+
+
 def test_offload_batcher_coalesces_concurrent_requests():
     """Requests that arrive while the batch task is queued ride ONE
     detect_many call; every waiter gets its own rows; errors broadcast."""
