@@ -132,6 +132,8 @@ class FrameSource:
 class SyntheticSource(FrameSource):
     """Deterministic moving-box frames for tests and benchmarks."""
 
+    POOL = 8   # round-robin buffers: reuse window = POOL/fps seconds
+
     def __init__(self, width=640, height=360, n_frames=None, seed=0, fps=100.0):
         self.w, self.h = width, height
         self.n = n_frames
@@ -139,17 +141,28 @@ class SyntheticSource(FrameSource):
         self.fps = fps
         rng = np.random.default_rng(seed)
         self.base = rng.integers(0, 60, (height, width, 3), np.uint8)
+        # frame generation must be O(box), not O(frame): at 128 cams x 30 fps
+        # a full-frame copy per read (~0.3 ms) is ~3.5 cores of memcpy and
+        # starves the NVR tick. Buffers round-robin; only the previous box
+        # region is restored before drawing the new one.
+        self._pool = [self.base.copy() for _ in range(self.POOL)]
+        self._prev_box: list = [None] * self.POOL
 
     def read(self):
         if self.n is not None and self.t >= self.n:
             return None
-        f = self.base.copy()
+        i = self.t % self.POOL
+        f = self._pool[i]
+        if self._prev_box[i] is not None:
+            y0, x0 = self._prev_box[i]
+            f[y0:y0 + 120, x0:x0 + 80] = self.base[y0:y0 + 120, x0:x0 + 80]
         # ping-pong motion so one object persists as a single long-lived track
         span = max(1, self.w - 160)
         p = (self.t * 6) % (2 * span)
         x = 40 + (p if p < span else 2 * span - p)
         y = self.h // 3
         f[y:y + 120, x:x + 80] = (40, 180, 240)
+        self._prev_box[i] = (y, x)
         self.t += 1
         return f
 
@@ -255,15 +268,70 @@ class FfmpegSource(FrameSource):
 
 def open_source(src: str, record_dir: Path) -> FrameSource:
     if src.startswith("synthetic://"):
-        # synthetic://WxH?n=120
-        m = re.match(r"synthetic://(\d+)x(\d+)(?:\?n=(\d+))?", src)
+        # synthetic://WxH?n=120&fps=30  (params optional, any order)
+        m = re.match(r"synthetic://(\d+)x(\d+)(?:\?(.*))?$", src)
         if m:
-            n = int(m.group(3)) if m.group(3) else None
-            return SyntheticSource(int(m.group(1)), int(m.group(2)), n)
+            params = dict(p.split("=", 1) for p in (m.group(3) or "").split("&")
+                          if "=" in p)
+            n = int(params["n"]) if "n" in params else None
+            return SyntheticSource(int(m.group(1)), int(m.group(2)), n,
+                                   fps=float(params.get("fps", 100.0)))
         return SyntheticSource()
     if src.endswith(VOD_SUFFIXES):
         return OpenCVSource(src)
     return FfmpegSource(src, record_dir)
+
+
+class SharedFramePump(threading.Thread):
+    """ONE thread pacing many non-blocking sources (SyntheticSource).
+
+    Per-camera pump threads convoy the GIL at NVR scale: 128 threads waking
+    30x/s starved the tick thread into multi-second ticks (each wakeup holds
+    the GIL up to a switch interval). Sources whose read() never blocks
+    don't need a thread each — a single scheduler reads each at its own fps
+    into its slot. Blocking sources (ffmpeg pipes) keep per-camera pumps
+    (their reads park in C without the GIL) or the C++ native ingest.
+    """
+
+    def __init__(self):
+        super().__init__(daemon=True, name="shared-pump")
+        self._lock = threading.Lock()
+        self._srcs: dict = {}          # name -> [source, slot, next_t]
+        self.running = True
+        self.start()
+
+    def add(self, name: str, source: FrameSource, slot: FrameSlot):
+        with self._lock:
+            self._srcs[name] = [source, slot, time.monotonic()]
+
+    def remove(self, name: str):
+        with self._lock:
+            self._srcs.pop(name, None)
+
+    def run(self):
+        while self.running:
+            now = time.monotonic()
+            wake = now + 0.05
+            with self._lock:
+                entries = list(self._srcs.values())
+            for ent in entries:
+                source, slot, next_t = ent
+                if next_t <= now:
+                    try:
+                        frame = source.read()
+                    except Exception:  # noqa: BLE001
+                        frame = None
+                    if frame is not None:
+                        slot.push(frame)
+                    period = 1.0 / max(source.fps, 1.0)
+                    ent[2] = next_t + period
+                    if ent[2] < now:          # fell behind: don't burst
+                        ent[2] = now + period
+                wake = min(wake, ent[2])
+            time.sleep(max(0.001, wake - time.monotonic()))
+
+    def stop(self):
+        self.running = False
 
 
 class FramePump(threading.Thread):
@@ -278,6 +346,7 @@ class FramePump(threading.Thread):
 
     def run(self):
         period = 1.0 / max(self.source.fps, 1.0)
+        next_t = time.monotonic()
         while self.running:
             try:
                 frame = self.source.read()
@@ -291,7 +360,15 @@ class FramePump(threading.Thread):
                 time.sleep(0.5)
                 continue
             self.slot.push(frame)
-            time.sleep(min(period, 0.01))
+            # wall-clock pacing: blocking sources (ffmpeg pipe) already
+            # consumed the period inside read() -> sleep ~0; non-blocking
+            # sources (synthetic) are held to source.fps instead of spinning
+            # at 100 Hz per camera (128 pumps at 100 Hz starved the tick)
+            next_t += period
+            now = time.monotonic()
+            if next_t < now - period:     # fell behind: don't burst to catch up
+                next_t = now
+            time.sleep(max(0.0, min(next_t - now, period)))
 
     def stop(self):
         self.running = False

@@ -35,7 +35,8 @@ from ..track.multicam import MultiCamOCSort
 from ..utils.annotate import draw_predictions
 from ..utils.labels import COCO_LABELS
 from .counters import RollingClassCounter
-from .ingest import FramePump, FrameSlot, OpenCVSource, open_source, VOD_SUFFIXES
+from .ingest import (FramePump, FrameSlot, OpenCVSource, SyntheticSource,
+                     open_source, VOD_SUFFIXES)
 from .settings import GlobalSettings
 from .zones import box_outside_zone
 
@@ -262,6 +263,9 @@ class CamState:
     live_link: str | None = None
     alerts_on: bool = True
     native_key: tuple | None = None
+    on_shared_pump: bool = False
+    _obj_day: str = ""
+    _obj_dir: Path | None = None
     last_seq_seen: float = 0.0
     fps: float = 0.0
     _prev_t: float = field(default_factory=time.time)
@@ -294,6 +298,9 @@ class NVR:
         self.classes = classes if classes is not None else set(DEFAULT_CLASSES)
         self.labels = labels or COCO_LABELS
         self.object_queue: list[Path] = []
+        from .fswriter import AsyncFileWriter
+        self.fswriter = AsyncFileWriter()
+        self.shared_pump = None  # lazily created for non-blocking sources
         self._last_cam_check = 0.0
         self.running = True
         self.native_ingest: NativeIngest | None = None
@@ -346,6 +353,14 @@ class NVR:
                 cam.native_key = self.native_ingest.register(
                     name, cam.source.pipe_proc.stdout.fileno(),
                     (cam.source.h, cam.source.w, 3))
+            elif isinstance(cam.source, SyntheticSource):
+                # non-blocking sources share ONE pump thread (per-camera
+                # Python threads convoy the GIL at 100+ cameras)
+                if self.shared_pump is None:
+                    from .ingest import SharedFramePump
+                    self.shared_pump = SharedFramePump()
+                self.shared_pump.add(name, cam.source, cam.slot)
+                cam.on_shared_pump = True
             else:
                 cam.pump = FramePump(name, cam.source, cam.slot)
                 cam.pump.start()
@@ -353,6 +368,12 @@ class NVR:
 
     def remove_cam(self, name: str):
         cam = self.cams.pop(name, None)
+        if cam and cam.on_shared_pump and self.shared_pump is not None:
+            self.shared_pump.remove(name)
+            try:
+                cam.source.close()
+            except Exception:  # noqa: BLE001
+                pass
         if cam and cam.pump:
             cam.pump.stop()
         elif cam and cam.source is not None:
@@ -511,6 +532,9 @@ class NVR:
         # faster than real time) and wall time for live streams
         now = cam.source.position_seconds() if (
             cam.vod and isinstance(cam.source, OpenCVSource)) else time.time()
+        # window-full state per alert, refreshed only when a track adds to it
+        # (get_counts per track per alert dominated _postprocess at 128 cams)
+        alerts_full = {id(a): a.get_counts()[1] for a in cam.alerts.values()}
         for t in tracks:
             if t.tracklet_len < 1:
                 continue
@@ -539,19 +563,23 @@ class NVR:
             if new_in_zone:
                 cam.object_set_zone.add(int(t.track_id))
             for alert in cam.alerts.values():
-                if alert.get_counts()[1]:
+                if alerts_full[id(alert)]:
                     continue
                 if (new and not alert.zone) or (new_in_zone and alert.zone):
                     alert.add(int(t.class_id))
+                    alerts_full[id(alert)] = alert.get_counts()[1]
         return np.array(out).reshape(-1, 7)
 
     def _save_object(self, cam: CamState, t):
         """Crop save with even-size expansion + min-side gate
         (clearcam.py:373-399)."""
+        if self.fswriter.q.full():
+            return          # writer saturated: skip before building paths
         day = "video" if cam.vod else datetime.now().strftime("%Y-%m-%d")
-        obj_dir = self.cam_dir(cam.name) / "objects" / day
-        obj_dir.mkdir(parents=True, exist_ok=True)
-        (self.cam_dir(cam.name) / "faces" / day).mkdir(parents=True, exist_ok=True)
+        if cam._obj_day != day:     # per-(cam, day) dir cache — at 128 cams
+            cam._obj_day = day      # Path construction was a real tick cost
+            cam._obj_dir = self.cam_dir(cam.name) / "objects" / day
+        obj_dir = cam._obj_dir
         x1, y1, x2, y2 = map(int, t.tlbr)
         cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
         hw, hh = ((x2 - x1) // 2) * 2, ((y2 - y1) // 2) * 2
@@ -562,14 +590,13 @@ class NVR:
             return
         ts = self._event_ts(cam)
         path = obj_dir / f"{ts}_{int(t.track_id)}_{int(t.class_id)}.jpg"
-        crop = cam.last_frame[y1n:y2n, x1n:x2n]
-        try:
-            import cv2
-            cv2.imwrite(str(path), crop)
-        except Exception:
-            return
-        if self.settings.use_clip or self.settings.use_face:
-            self.object_queue.append(path)
+        # copy the crop (last_frame may be a reused ingest buffer) and hand
+        # it to the async writer: jpeg encode + fs metadata (~ms each) must
+        # not stall a tick serving every camera
+        crop = cam.last_frame[y1n:y2n, x1n:x2n].copy()
+        then = (self.object_queue.append
+                if self.settings.use_clip or self.settings.use_face else None)
+        self.fswriter.submit(path, crop, then=then)
 
     def _event_ts(self, cam: CamState) -> float:
         if cam.vod and isinstance(cam.source, OpenCVSource):
@@ -832,6 +859,7 @@ class NVR:
                     time.sleep(tick_sleep)
         finally:
             self.executor.shutdown()
+            self.fswriter.flush()  # bounded runs: crops on disk on return
 
     def stop(self):
         self.running = False
@@ -839,3 +867,6 @@ class NVR:
             self.remove_cam(name)
         if self.native_ingest is not None:
             self.native_ingest.close()
+        if self.shared_pump is not None:
+            self.shared_pump.stop()
+        self.fswriter.stop()

@@ -85,3 +85,54 @@ def test_box_zone_filtering():
     both = np.stack([inside_box, outside_box])
     np.testing.assert_array_equal(boxes_outside_zone(both, poly, hw),
                                   [False, True])
+
+
+def test_async_file_writer_roundtrip(tmp_path):
+    """Crops land on disk after flush; the then-callback fires post-write;
+    a saturated queue drops instead of blocking the caller."""
+    from clearcam_tpu.runtime.fswriter import AsyncFileWriter
+
+    w = AsyncFileWriter(maxsize=4)
+    seen = []
+    img = np.full((8, 8, 3), 50, np.uint8)
+    assert w.submit(tmp_path / "deep" / "dir" / "a.jpg", img, then=seen.append)
+    w.flush()
+    assert (tmp_path / "deep" / "dir" / "a.jpg").exists()
+    assert seen == [tmp_path / "deep" / "dir" / "a.jpg"]
+    # storage-reap resilience: cached dir deleted -> write retries mkdir
+    import shutil
+    shutil.rmtree(tmp_path / "deep")
+    assert w.submit(tmp_path / "deep" / "dir" / "b.jpg", img)
+    w.flush()
+    assert (tmp_path / "deep" / "dir" / "b.jpg").exists()
+    w.stop()
+
+
+def test_shared_frame_pump_paces_sources():
+    """One thread pumps many synthetic sources at their own fps into their
+    slots; remove() detaches a camera."""
+    import time as _t
+
+    from clearcam_tpu.runtime.ingest import (FrameSlot, SharedFramePump,
+                                             SyntheticSource)
+
+    pump = SharedFramePump()
+    slots = {i: FrameSlot() for i in range(4)}
+    for i in range(4):
+        pump.add(f"s{i}", SyntheticSource(64, 48, fps=50), slots[i])
+    deadline = _t.time() + 5
+    while _t.time() < deadline and any(
+            s.snapshot()[0] is None for s in slots.values()):
+        _t.sleep(0.02)
+    nums = {}
+    for i, s in enumerate(slots.values()):
+        frame, num = s.snapshot()
+        assert frame is not None and frame.shape == (48, 64, 3)
+        nums[i] = num
+    pump.remove("s0")
+    _t.sleep(0.3)
+    f0, n0 = slots[0].snapshot()
+    _t.sleep(0.3)
+    assert slots[0].snapshot()[1] == n0          # detached: no new frames
+    assert slots[1].snapshot()[1] > nums[1]      # others keep pumping
+    pump.stop()
