@@ -186,6 +186,12 @@ def main(argv=None):
     def _graceful(signum, frame):
         print(f"signal {signum}: shutting down")
         nvr.running = False
+        # the loop can be parked in a long device call (cold remote compile
+        # runs minutes) — if it hasn't wound down in 20 s, exit hard rather
+        # than ignore the operator's signal
+        t = threading.Timer(20.0, lambda: os._exit(1))
+        t.daemon = True
+        t.start()
 
     signal.signal(signal.SIGTERM, _graceful)
     signal.signal(signal.SIGINT, _graceful)
