@@ -266,6 +266,7 @@ class CamState:
     on_shared_pump: bool = False
     _obj_day: str = ""
     _obj_dir: Path | None = None
+    last_infer_t: float = 0.0
     last_seq_seen: float = 0.0
     fps: float = 0.0
     _prev_t: float = field(default_factory=time.time)
@@ -509,8 +510,16 @@ class NVR:
         return frame, num
 
     def _should_infer(self, cam: CamState) -> bool:
-        """Skip inference when no alert schedule is active (clearcam.py:447)."""
+        """Skip inference when no alert schedule is active (clearcam.py:447)
+        or a per-camera detect_fps cap hasn't elapsed (scale knob: quiet
+        cameras can run detection below their ingest rate)."""
+        cap = cam.settings.get("detect_fps") if cam.settings else None
+        if cap:
+            now = time.time()
+            if now - cam.last_infer_t < 1.0 / float(cap):
+                return False
         if not cam.alerts:
+            self._mark_infer(cam, cap)
             return True
         active = any(a.is_active(alerts_enabled=cam.alerts_on)
                      for a in cam.alerts.values())
@@ -518,7 +527,13 @@ class NVR:
             return False
         if self.settings.userID and not cam.alerts_on:
             return False
+        self._mark_infer(cam, cap)
         return True
+
+    @staticmethod
+    def _mark_infer(cam: CamState, cap):
+        if cap:
+            cam.last_infer_t = time.time()
 
     def _postprocess(self, cam: CamState, tracks: list) -> np.ndarray:
         """Track filters + counters (reference run_inference,

@@ -397,6 +397,14 @@ def make_handler(ctx: AppContext):
             thr = self._q(q, "threshold")
             if thr is not None:
                 zone["threshold"] = float(thr)
+            dfps = self._q(q, "detect_fps")
+            if dfps is not None:
+                # per-camera detect-rate cap (0/blank clears): lets operators
+                # trade detection latency on quiet cameras for stream count
+                try:
+                    zone["detect_fps"] = float(dfps) or None
+                except ValueError:
+                    zone["detect_fps"] = None
             ctx.db.run_put("settings", cam, zone)
             url = q.get("url")
             if url is not None:

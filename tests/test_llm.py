@@ -278,6 +278,17 @@ def test_spec_lookup_disabled_for_ssm():
     assert m.spec_lookup == 0
 
 
+def test_spec_lookup_composes_with_kv_quant():
+    """Speculative verify writes the int8 cache through the same quantize-
+    on-write branch — combined mode stays exactly greedy."""
+    cfg = tiny_cfg()
+    params = llm.init_params(cfg, seed=2)
+    prompt = [1, 2, 3, 4, 1, 2, 3, 4, 1, 2]
+    ref = llm.Transformer(params, cfg, seed=0, kv_quant=True)
+    spec = llm.Transformer(params, cfg, seed=0, kv_quant=True, spec_lookup=4)
+    assert greedy(spec, prompt, n=8) == greedy(ref, prompt, n=8)
+
+
 def test_kv_quant_state_and_greedy():
     """int8 KV cache (quantize-on-write, dequant-on-read) carries the right
     shapes/dtypes and greedy-decodes the same tokens as the f32 cache on a

@@ -172,3 +172,54 @@ def test_mixed_resolution_cameras(tmp_path):
     # the shared cross-camera tracker saw every camera's object
     for cam in ("hd1", "hd2", "sd"):
         assert n.tracker.next_id.get(n.tracker._cam_ids[cam], 0) >= 1
+
+
+def test_per_camera_detect_fps_cap(tmp_path):
+    """settings['detect_fps'] throttles how often a camera joins the detect
+    batch; uncapped cameras are unaffected."""
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "fast", "synthetic://320x180")
+    db.run_put("links", "slow", "synthetic://320x180")
+    db.run_put("settings", "slow", {"detect_fps": 2.0})
+
+    counts = {"fast": 0, "slow": 0}
+
+    class CountingDetector:
+        def __init__(self, nvr_ref):
+            self.nvr = nvr_ref
+
+        def detect_many(self, frames):
+            for c in self.nvr[0]._last_todo:
+                counts[c] += 1
+            return [np.zeros((0, 6)) for _ in frames]
+
+    ref = []
+    n = NVR(db, tmp_path / "data", GlobalSettings(),
+            detector=CountingDetector(ref))
+    ref.append(n)
+    orig_tick = n.tick
+
+    def tick_capture():
+        # record which cameras made the batch (wrap _should_infer outcome)
+        n._last_todo = []
+        orig = n._should_infer
+
+        def spy(cam):
+            ok = orig(cam)
+            if ok:
+                n._last_todo.append(cam.name)
+            return ok
+        n._should_infer = spy
+        try:
+            orig_tick()
+        finally:
+            n._should_infer = orig
+    n.tick = tick_capture
+
+    n.run(max_ticks=1)  # init cams
+    t0 = time.time()
+    while time.time() - t0 < 1.5:
+        n.tick()
+        time.sleep(0.02)
+    n.stop()
+    assert counts["fast"] > 3 * counts["slow"] > 0, counts
