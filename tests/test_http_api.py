@@ -181,6 +181,16 @@ def test_offload_yolo_and_diff(base):
     assert e.value.code == 409
 
 
+def test_detect_fps_setting_roundtrip(base):
+    url, ctx = base
+    get(f"{url}/edit_settings?cam=c1&threshold=0.4&detect_fps=5")
+    s = get(f"{url}/get_settings?cam=c1")
+    assert s["detect_fps"] == 5.0 and s["threshold"] == 0.4
+    get(f"{url}/edit_settings?cam=c1&detect_fps=0")      # 0/blank clears
+    s = get(f"{url}/get_settings?cam=c1")
+    assert s["detect_fps"] is None
+
+
 def test_snapshot_endpoint(base):
     """/snapshot serves the camera's latest frame as JPEG (air-gapped grid
     fallback); 404 before any frame or for unknown cameras."""
