@@ -256,10 +256,22 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
     k_rope = apply_rope(kv_a[..., cfg.kv_lora_rank:]
                         .reshape(b, t, 1, cfg.rope_dim).transpose(0, 2, 1, 3), fr)
     k_new = jnp.concatenate([c_kv[:, None], k_rope], -1)       # [B,1,T,lora+rope]
-    ck = jax.lax.dynamic_update_slice(state["kv"],
-                                      k_new.astype(state["kv"].dtype),
-                                      (0, 0, start_pos, 0))
-    k = ck.astype(jnp.float32)
+    if "kv_s" in state:
+        # int8 latent cache: same per-token absmax scheme as the standard
+        # blocks (the latent row is the K AND V, so one scale covers both)
+        kq, ks = _kv_quantize(k_new)
+        ck = jax.lax.dynamic_update_slice(state["kv"], kq,
+                                          (0, 0, start_pos, 0))
+        cks = jax.lax.dynamic_update_slice(state["kv_s"], ks,
+                                           (0, 0, start_pos))
+        new_state = {"kv": ck, "kv_s": cks}
+        k = ck.astype(jnp.float32) * cks[..., None]
+    else:
+        ck = jax.lax.dynamic_update_slice(state["kv"],
+                                          k_new.astype(state["kv"].dtype),
+                                          (0, 0, start_pos, 0))
+        new_state = {"kv": ck}
+        k = ck.astype(jnp.float32)
     v = k[..., :cfg.kv_lora_rank]
     mask = _attn_mask(start_pos, t, cfg.max_context)
     scores = jnp.einsum("bhtd,bqsd->bhts", q.astype(jnp.float32), k) \
@@ -268,7 +280,7 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
     ctx_lat = jnp.einsum("bhts,bqsl->bhtl", probs, v)
     out = jnp.einsum("bhtl,hvl->bhtv", ctx_lat, p[f"{pre}.attn_v_b.weight"])
     out = out.transpose(0, 2, 1, 3).reshape(b, t, -1).astype(x.dtype)
-    return F.linear(out, p[f"{pre}.attn_output.weight"]), {"kv": ck}
+    return F.linear(out, p[f"{pre}.attn_output.weight"]), new_state
 
 
 def _ssm_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
@@ -338,9 +350,13 @@ def init_state(cfg: TransformerConfig, batch: int = 1, dtype=jnp.float32,
             state.append({"k": jnp.zeros(shape, dtype),
                           "v": jnp.zeros(shape, dtype)})
         elif kind == "mla":
-            state.append({"kv": jnp.zeros(
-                (batch, 1, cfg.max_context, cfg.kv_lora_rank + cfg.rope_dim),
-                dtype)})
+            shape = (batch, 1, cfg.max_context,
+                     cfg.kv_lora_rank + cfg.rope_dim)
+            if kv_quant:
+                state.append({"kv": jnp.zeros(shape, jnp.int8),
+                              "kv_s": jnp.zeros(shape[:3], jnp.float32)})
+                continue
+            state.append({"kv": jnp.zeros(shape, dtype)})
         else:
             ssm = cfg.ssm
             conv_ch = ssm.inner_size + 2 * ssm.group_count * ssm.state_size

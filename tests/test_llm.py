@@ -76,6 +76,10 @@ def test_mla_block():
     slow = llm.Transformer(params, cfg, seed=0)
     slow.chunk = 1
     assert a == greedy(slow, [1, 2, 3, 4, 5], n=3)
+    # int8 latent cache: same greedy tokens (quant noise << logit gaps)
+    q = llm.Transformer(params, cfg, seed=0, kv_quant=True)
+    assert q.state[0]["kv"].dtype == jnp.int8
+    assert greedy(q, [1, 2, 3, 4, 5], n=3) == a
 
 
 def test_ssm_block():
