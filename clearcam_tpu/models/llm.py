@@ -200,7 +200,10 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
         cks = jax.lax.dynamic_update_slice(state["k_s"], ks, (0, 0, start_pos))
         cvs = jax.lax.dynamic_update_slice(state["v_s"], vs, (0, 0, start_pos))
         new_state = {"k": ck, "k_s": cks, "v": cv, "v_s": cvs}
-        ck_a = (ck * cks[..., None]).astype(jnp.bfloat16)   # XLA-path dequant
+        # XLA-path dequant: fused by XLA into the attention einsums' operand
+        # reads (measured ≈ −3% vs bf16 KV at 2B/ctx2048 — a materialized
+        # bf16 copy would instead be slower than kv16; see PERF.md)
+        ck_a = (ck * cks[..., None]).astype(jnp.bfloat16)
         cv_a = (cv * cvs[..., None]).astype(jnp.bfloat16)
     else:
         ck = jax.lax.dynamic_update_slice(
@@ -780,17 +783,19 @@ class Transformer:
     @classmethod
     def from_gguf(cls, path: str | Path, max_context: int | None = None,
                   dtype=jnp.bfloat16, seed: int = 0, quantize: bool = False,
-                  kv_quant: bool = False):
+                  kv_quant: bool = False, spec_lookup: int = 0):
         """quantize=True re-quantizes the dense matmul weights to int8 at
         rest in HBM (see quantize_params_int8) after the GGUF dequant;
-        kv_quant=True serves with an int8 KV cache."""
+        kv_quant=True serves with an int8 KV cache; spec_lookup=G enables
+        prompt-lookup speculative decoding (see __init__)."""
         from ..io import gguf
         kv, sd = gguf.load(path)
         cfg = config_from_gguf(kv, sd, max_context)
         params = convert_state_dict(sd, kv, dtype)
         if quantize:
             params = quantize_params_int8(params)
-        return cls(params, cfg, seed, kv_quant=kv_quant), kv
+        return cls(params, cfg, seed, kv_quant=kv_quant,
+                   spec_lookup=spec_lookup), kv
 
     def quantize_int8(self):
         """Switch this instance to the int8 weight-only serving path."""

@@ -243,18 +243,15 @@ class Qwen3VL:
         if lang is None:
             import os
             path = weights_dir / f"Qwen3VL-{size}-Instruct-F16.gguf"
-            # CLEARCAM_KV_QUANT=int8: int8 KV cache (half the decode HBM
-            # bytes of bf16); composes with the weight quant below
+            # CLEARCAM_KV_QUANT=int8: int8 KV cache (half the cache bytes of
+            # bf16); CLEARCAM_SPEC_LOOKUP=G: prompt-lookup speculative
+            # decoding (exact greedy outputs, fewer decode dispatches).
+            # Both compose with the weight quant below.
             lang, kv = llm_mod.Transformer.from_gguf(
                 path, self.max_context,
-                kv_quant=os.environ.get("CLEARCAM_KV_QUANT") == "int8")
-            # CLEARCAM_SPEC_LOOKUP=G: prompt-lookup speculative decoding for
-            # greedy generation (exact outputs, fewer decode dispatches)
-            spec = int(os.environ.get("CLEARCAM_SPEC_LOOKUP", "0") or 0)
-            if spec:
-                lang.spec_lookup = 0 if lang.cfg.ssm else spec
-                if lang.spec_lookup:
-                    lang.verify_fn = llm_mod.make_verify_fn(lang.cfg)
+                kv_quant=os.environ.get("CLEARCAM_KV_QUANT") == "int8",
+                spec_lookup=int(
+                    os.environ.get("CLEARCAM_SPEC_LOOKUP", "0") or 0))
             # serve the language model quantized at rest in HBM (decode is
             # HBM-bound; see ops/quant_matmul): CLEARCAM_LLM_QUANT=int8|int4
             quant = os.environ.get("CLEARCAM_LLM_QUANT", "")

@@ -27,11 +27,14 @@ class AsyncFileWriter(threading.Thread):
         self.q: queue.Queue = queue.Queue(maxsize=maxsize)
         self._made: set[str] = set()
         self._sentinel = object()
+        self._closed = False
         self.start()
 
     def submit(self, path: Path, img, then=None) -> bool:
         """Enqueue `cv2.imwrite(path, img)`; `then(path)` runs in the writer
         thread after a successful write. Returns False when dropped."""
+        if self._closed:      # stop() raced an in-flight tick: drop, never
+            return False      # strand items behind the sentinel
         try:
             self.q.put_nowait((Path(path), img, then))
             metrics.default.gauge("fswriter_depth", self.q.qsize())
@@ -69,11 +72,19 @@ class AsyncFileWriter(threading.Thread):
             finally:
                 self.q.task_done()
 
-    def flush(self):
-        """Block until everything enqueued so far is on disk."""
-        self.q.join()
+    def flush(self, timeout: float = 30.0):
+        """Wait (bounded) until everything enqueued so far is on disk.
+        Unlike q.join(), returns when the writer thread has exited — a
+        concurrent stop() must not deadlock a run() winding down."""
+        import time
+
+        t0 = time.monotonic()
+        while (self.q.unfinished_tasks and self.is_alive()
+               and time.monotonic() - t0 < timeout):
+            time.sleep(0.01)
 
     def stop(self):
+        self._closed = True
         try:
             self.q.put_nowait(self._sentinel)
         except queue.Full:

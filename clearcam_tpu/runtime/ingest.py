@@ -132,7 +132,12 @@ class FrameSource:
 class SyntheticSource(FrameSource):
     """Deterministic moving-box frames for tests and benchmarks."""
 
-    POOL = 8   # round-robin buffers: reuse window = POOL/fps seconds
+    # Round-robin buffers: a handed-out frame is ALIASED until POOL more
+    # reads reuse its buffer (reuse window = POOL/fps s). Consumers that
+    # persist pixels copy at use (crop saves do); a slow tick may observe a
+    # redrawn box — acceptable for a synthetic test/bench source, never used
+    # in production ingest.
+    POOL = 16
 
     def __init__(self, width=640, height=360, n_frames=None, seed=0, fps=100.0):
         self.w, self.h = width, height
@@ -360,15 +365,12 @@ class FramePump(threading.Thread):
                 time.sleep(0.5)
                 continue
             self.slot.push(frame)
-            # wall-clock pacing: blocking sources (ffmpeg pipe) already
-            # consumed the period inside read() -> sleep ~0; non-blocking
-            # sources (synthetic) are held to source.fps instead of spinning
-            # at 100 Hz per camera (128 pumps at 100 Hz starved the tick)
-            next_t += period
-            now = time.monotonic()
-            if next_t < now - period:     # fell behind: don't burst to catch up
-                next_t = now
-            time.sleep(max(0.0, min(next_t - now, period)))
+            # blocking sources (ffmpeg pipe — FramePump's remaining users;
+            # synthetic sources ride SharedFramePump) pace themselves inside
+            # read(); the sleep is only a GIL yield. Never cap at the
+            # *declared* fps: a 60 fps stream read at 30 would accumulate
+            # unbounded pipe backlog/latency.
+            time.sleep(min(period, 0.01))
 
     def stop(self):
         self.running = False

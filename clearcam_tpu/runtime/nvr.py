@@ -513,7 +513,10 @@ class NVR:
         """Skip inference when no alert schedule is active (clearcam.py:447)
         or a per-camera detect_fps cap hasn't elapsed (scale knob: quiet
         cameras can run detection below their ingest rate)."""
-        cap = cam.settings.get("detect_fps") if cam.settings else None
+        # wall-clock cap is meaningless for VOD (analysis runs much faster
+        # than real time — a cap would silently drop most of the video)
+        cap = (cam.settings.get("detect_fps")
+               if cam.settings and not cam.vod else None)
         if cap:
             now = time.time()
             if now - cam.last_infer_t < 1.0 / float(cap):

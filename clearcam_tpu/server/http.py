@@ -118,7 +118,12 @@ class OffloadBatcher:
         if not batch:
             return 0
         try:
-            rows, err = self.detect_many([b[0] for b in batch]), None
+            rows = list(self.detect_many([b[0] for b in batch]))
+            if len(rows) != len(batch):   # malformed result must not strand
+                raise RuntimeError(       # waiters past len(rows) in q.get()
+                    f"detect_many returned {len(rows)} results "
+                    f"for {len(batch)} frames")
+            err = None
         except Exception as e:  # noqa: BLE001 — broadcast to every waiter
             rows, err = None, e
         for i, (_, bq) in enumerate(batch):
