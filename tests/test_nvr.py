@@ -223,3 +223,21 @@ def test_per_camera_detect_fps_cap(tmp_path):
         time.sleep(0.02)
     n.stop()
     assert counts["fast"] > 3 * counts["slow"] > 0, counts
+
+
+def test_nvr_with_real_batch_detector(tmp_path):
+    """Integration: the actual BatchDetector (jitted YOLOv9-t at 64px, random
+    weights) inside the NVR loop — exercises bucketing, dtype plumbing and
+    the detect->track->postprocess boundary with a real XLA program. Random
+    weights mean detections are noise; the invariant is that the full tick
+    runs and produces well-formed state."""
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "cam1", "synthetic://96x64")
+    db.run_put("links", "cam2", "synthetic://96x64")
+    det = BatchDetector("t", res=64)
+    n = NVR(db, tmp_path / "data", GlobalSettings(), detector=det)
+    n.run(max_ticks=6, tick_sleep=0.05)
+    for cam in n.cams.values():
+        assert cam.last_preds.shape[1] == 7      # [x1,y1,x2,y2,s,cls,tid]
+        assert np.isfinite(cam.last_preds).all()
+    n.stop()
