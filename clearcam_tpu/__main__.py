@@ -27,6 +27,18 @@ def lan_ip() -> str:
         s.close()
 
 
+def restart_all_cams(nvr) -> None:
+    """Re-open every stream so recordings roll into a new day folder."""
+    for name in list(nvr.cams):
+        cam = nvr.cams[name]
+        src = cam.src
+        nvr.remove_cam(name)
+        try:
+            nvr.init_cam(name, src)
+        except Exception as e:  # noqa: BLE001
+            print(f"daily restart {name}: {e}")
+
+
 def daily_restart(nvr, at=(0, 0)):
     """Re-open every stream at midnight so recordings roll into a new day
     folder (reference schedule_daily_restart, clearcam.py:1162-1176)."""
@@ -37,14 +49,7 @@ def daily_restart(nvr, at=(0, 0)):
         if delta <= 0:
             delta += 24 * 3600
         time.sleep(delta)
-        for name in list(nvr.cams):
-            cam = nvr.cams[name]
-            src = cam.src
-            nvr.remove_cam(name)
-            try:
-                nvr.init_cam(name, src)
-            except Exception as e:  # noqa: BLE001
-                print(f"daily restart {name}: {e}")
+        restart_all_cams(nvr)
 
 
 def build_detector(settings, weights_dir: Path):

@@ -241,3 +241,30 @@ def test_nvr_with_real_batch_detector(tmp_path):
         assert cam.last_preds.shape[1] == 7      # [x1,y1,x2,y2,s,cls,tid]
         assert np.isfinite(cam.last_preds).all()
     n.stop()
+
+
+def test_daily_restart_reopens_streams(tmp_path):
+    """restart_all_cams (the midnight roll, reference clearcam.py:1162-1176)
+    re-inits every camera: fresh sources/trackers, cameras still tick, and a
+    camera whose re-init fails is dropped without killing the rest."""
+    from clearcam_tpu.__main__ import restart_all_cams
+
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "a", "synthetic://320x180")
+    db.run_put("links", "b", "synthetic://320x180")
+    n = NVR(db, tmp_path / "data", GlobalSettings(), detector=ColorKeyDetector())
+    n.run(max_ticks=5, tick_sleep=0.02)
+    old_sources = {k: id(c.source) for k, c in n.cams.items()}
+
+    restart_all_cams(n)
+    assert set(n.cams) == {"a", "b"}
+    assert all(id(c.source) != old_sources[k] for k, c in n.cams.items())
+    n.run(max_ticks=5, tick_sleep=0.02)        # still ticking after restart
+    assert all(c.last_frame is not None for c in n.cams.values())
+
+    # failure isolation: one camera's re-init raising drops it but keeps
+    # the others alive
+    n.cams["a"].src = None      # open_source(None) raises
+    restart_all_cams(n)
+    assert "a" not in n.cams and "b" in n.cams
+    n.stop()
