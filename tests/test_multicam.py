@@ -2,6 +2,8 @@
 exactly what one per-camera OCSort produces — same ids, boxes, scores,
 speeds — across spawns, occlusions (missed frames -> freeze/unfreeze
 replay), class flips, and deaths."""
+import os
+
 import numpy as np
 import pytest
 
@@ -135,3 +137,29 @@ def test_multicam_empty_frames_and_death():
         out = multi.update_all({0: rows}, 0.3)
         tracks_equal(out[0], ref.update(rows, 0.3))
     assert len(multi) == len(ref)
+
+
+@pytest.mark.skipif(not os.environ.get("CLEARCAM_WIDE_FUZZ"),
+                    reason="wide parity fuzz (~3 min): CLEARCAM_WIDE_FUZZ=1 "
+                           "(42 configs passed 2026-08-17)")
+def test_multicam_wide_fuzz():
+    """7 seeds x {1,3,12} cameras x byte on/off, 60 ticks each — exact
+    output parity of the batched tracker vs the per-camera oracle."""
+    for seed in (0, 1, 2, 7, 13, 42, 99):
+        for n_cams in (1, 3, 12):
+            for use_byte in (False, True):
+                frames = make_streams(n_cams=n_cams, ticks=60, seed=seed)
+                ref = [OCSort(max_age=8, use_byte=use_byte)
+                       for _ in range(n_cams)]
+                multi = MultiCamOCSort(max_age=8, use_byte=use_byte)
+                for t in range(60):
+                    dets = {c: frames[t][c] for c in range(n_cams)}
+                    got = multi.update_all(dets, 0.25)
+                    for c in range(n_cams):
+                        want = ref[c].update(dets[c], 0.25)
+                        assert len(want) == len(got[c])
+                        for w, g in zip(want, got[c]):
+                            assert (w.track_id == g.track_id
+                                    and w.class_id == g.class_id)
+                            np.testing.assert_allclose(w.tlwh, g.tlwh,
+                                                       rtol=1e-9, atol=1e-9)
