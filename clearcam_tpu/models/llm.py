@@ -143,12 +143,25 @@ def _ffn(p, pre, cfg: TransformerConfig, x):
     return F.linear(F.silu(gate) * up, p[f"{pre}.ffn_down.weight"])
 
 
-def _attn_mask(start_pos, t, ctx):
-    """Causal lower-right mask [T, ctx]: token row r (at absolute position
-    start_pos+r) sees cache columns <= start_pos+r."""
+def _attn_mask(start_pos, t, ctx, pad_start=None):
+    """Causal lower-right mask [1|B, 1, T, ctx]: token row r (at absolute
+    position start_pos+r) sees cache columns <= start_pos+r. pad_start [B]
+    additionally hides columns < pad_start[b] — the left-pad junk of
+    right-aligned batched prompts (RoPE scores depend only on relative
+    position, so a per-row left shift is semantically free)."""
     rows = jnp.arange(t)[:, None]
     cols = jnp.arange(ctx)[None, :]
-    return jnp.where(cols <= start_pos + rows, 0.0, -jnp.inf)[None, None]
+    m = jnp.where(cols <= start_pos + rows, 0.0, -jnp.inf)[None, None]
+    if pad_start is not None:
+        # hide pad columns — EXCEPT from the pad positions' own queries
+        # (a fully-masked row softmaxes to NaN, and that NaN would poison
+        # the K/V written at pad positions and then every later score);
+        # pad queries attend only themselves: finite garbage no real row
+        # ever reads
+        hide = (cols[None] < pad_start[:, None, None]) \
+            & (cols != start_pos + rows)[None]
+        m = m + jnp.where(hide, -jnp.inf, 0.0)[:, None]
+    return m
 
 
 def _kv_quantize(x):
@@ -161,7 +174,7 @@ def _kv_quantize(x):
 
 
 def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
-                     decode_attn=None):
+                     decode_attn=None, pad_start=None):
     """Standard GQA attention with cache (model.py:153-190). decode_attn
     optionally replaces the T=1 attention math (Pallas prefix kernel).
     When the state carries per-token scales ("k_s"/"v_s"), the cache is
@@ -225,7 +238,7 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
             .astype(ck_a.dtype)
         scores = jnp.einsum("bgrtd,bgsd->bgrts", qg, ck_a,
                             preferred_element_type=jnp.float32)
-        mask = _attn_mask(start_pos, t, cfg.max_context)       # [1,1,T,S]
+        mask = _attn_mask(start_pos, t, cfg.max_context, pad_start)  # [*,1,T,S]
         probs = jax.nn.softmax(scores + mask[:, :, None], -1)
         out = jnp.einsum("bgrts,bgsd->bgrtd", probs.astype(cv_a.dtype), cv_a,
                          preferred_element_type=jnp.float32)
@@ -236,7 +249,8 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     return F.linear(out, p[f"{pre}.attn_output.weight"]), new_state
 
 
-def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
+def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
+               pad_start=None):
     """DeepSeek MLA latent-KV attention (model.py:192-238)."""
     b, t, _ = x.shape
     nope = cfg.head_dim - cfg.rope_dim
@@ -276,7 +290,7 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
         new_state = {"kv": ck}
         k = ck.astype(jnp.float32)
     v = k[..., :cfg.kv_lora_rank]
-    mask = _attn_mask(start_pos, t, cfg.max_context)
+    mask = _attn_mask(start_pos, t, cfg.max_context, pad_start)
     scores = jnp.einsum("bhtd,bqsd->bhts", q.astype(jnp.float32), k) \
         * (cfg.head_dim ** -0.5) + mask
     probs = jax.nn.softmax(scores, -1)
@@ -383,12 +397,13 @@ def reset_recurrent(cfg: TransformerConfig, state: list) -> list:
 
 def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
             start_pos, freqs, hidden_override=None, deepstack=None,
-            decode_attn=None):
+            decode_attn=None, pad_start=None):
     """Core stack: embeds -> blocks -> final hidden states [B,T,D].
 
     hidden_override replaces the token embeddings (VLM image splice);
     deepstack is an optional {block_idx: [B,T,D] residual} add-in
-    (qwen3vl.py:293-297).
+    (qwen3vl.py:293-297); pad_start [B] masks each row's left-pad cache
+    region (right-aligned batched generation, attn/mla blocks only).
     """
     if hidden_override is not None:
         x = hidden_override
@@ -402,8 +417,15 @@ def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
         h = F.rms_norm(x, p[f"{pre}.attn_norm.weight"], cfg.norm_eps)
         if kind == "attn":
             attn_out, st = _attention_block(p, pre, bc, h, state[i], start_pos,
-                                            freqs, decode_attn=decode_attn)
+                                            freqs, decode_attn=decode_attn,
+                                            pad_start=pad_start)
+        elif kind == "mla":
+            attn_out, st = _mla_block(p, pre, bc, h, state[i], start_pos,
+                                      freqs, pad_start=pad_start)
         else:
+            assert pad_start is None, \
+                "batched left-pad generation needs attention blocks (SSM " \
+                "state would ingest the pad junk)"
             attn_out, st = _BLOCK_FNS[kind](p, pre, bc, h, state[i], start_pos,
                                             freqs)
         x = x + attn_out
@@ -504,6 +526,78 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         return sample_gumbel(logits, temperature, key), state
 
     return prefill, decode
+
+
+def generate_batch(params, cfg: TransformerConfig, prompts: list,
+                   max_new: int, temperature: float = 0.0, seed: int = 0,
+                   eos_id: int | None = None, state_dtype=jnp.float32,
+                   kv_quant: bool = False) -> list:
+    """Batched generation: B prompts in ONE cache, ONE prefill/decode graph.
+
+    Prompts are RIGHT-ALIGNED (left-padded to the longest) and each row's
+    pad region is masked out of attention; RoPE scores depend only on
+    relative position, so the per-row left shift does not change any row's
+    math — each output equals that prompt's solo generation. Decode cost is
+    amortized B ways (the single-stream path is weight-read-bound; see
+    PERF.md). Attention/MLA block stacks only (cfg.ssm must be None).
+
+    Returns [B] lists of up to max_new token ids (truncated at eos_id).
+    """
+    assert cfg.ssm is None, "generate_batch needs attention-only stacks"
+    b_n = len(prompts)
+    longest = max(len(p) for p in prompts)
+    assert longest + max_new <= cfg.max_context, "prompts+max_new overflow ctx"
+    pad = [longest - len(p) for p in prompts]
+    rows = [[0] * d + list(p) for d, p in zip(pad, prompts)]
+    pad_arr = jnp.asarray(pad, jnp.int32)
+    freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                         cfg.rope_theta))
+
+    @jax.jit
+    def prefill(params_, state, tokens, start_pos, n_real, temp, key):
+        hidden, state = forward(params_, cfg, state, tokens, start_pos,
+                                freqs, pad_start=pad_arr)
+        logits = logits_at(params_, cfg, hidden, n_real - 1)
+        return sample_gumbel(logits, temp, key), state
+
+    @jax.jit
+    def decode(params_, state, token, start_pos, temp, key):
+        hidden, state = forward(params_, cfg, state, token, start_pos,
+                                freqs, pad_start=pad_arr)
+        logits = logits_at(params_, cfg, hidden, jnp.int32(0))
+        return sample_gumbel(logits, temp, key), state
+
+    state = init_state(cfg, batch=b_n, dtype=state_dtype, kv_quant=kv_quant)
+    temp = jnp.float32(temperature)
+    key = jax.random.PRNGKey(seed)
+    pos = 0
+    tok = None
+    while pos < longest:
+        n = min(CHUNK, longest - pos)
+        chunk = [r[pos:pos + n] + [0] * (CHUNK - n) for r in rows]
+        key, sub = jax.random.split(key)
+        tok, state = prefill(params, state, jnp.asarray(chunk, jnp.int32),
+                             pos, jnp.int32(n), temp, sub)
+        pos += n
+
+    out: list = [[] for _ in range(b_n)]
+    done = [False] * b_n
+    cur = np.asarray(tok)
+    for _ in range(max_new):
+        for b in range(b_n):
+            if not done[b]:
+                out[b].append(int(cur[b]))
+                if eos_id is not None and int(cur[b]) == eos_id:
+                    done[b] = True
+        if all(done) or pos >= cfg.max_context - 1:
+            break
+        key, sub = jax.random.split(key)
+        tok, state = decode(params, state,
+                            jnp.asarray(cur[:, None], jnp.int32), pos, temp,
+                            sub)
+        pos += 1
+        cur = np.asarray(tok)
+    return out
 
 
 def make_verify_fn(cfg: TransformerConfig):

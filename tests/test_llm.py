@@ -293,6 +293,35 @@ def test_spec_lookup_composes_with_kv_quant():
     assert greedy(spec, prompt, n=8) == greedy(ref, prompt, n=8)
 
 
+def test_generate_batch_matches_solo():
+    """Right-aligned batched generation: each row's greedy output equals its
+    solo generation (RoPE scores are relative, pad columns masked) — both
+    for equal-length and ragged prompts."""
+    cfg = tiny_cfg()
+    params = llm.init_params(cfg, seed=4)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [5, 5]]
+    solo = [greedy(llm.Transformer(params, cfg, seed=0), p, n=6)
+            for p in prompts]
+    batched = llm.generate_batch(params, cfg, prompts, max_new=6)
+    assert batched == solo
+
+
+def test_generate_batch_eos_and_mla():
+    cfg = tiny_cfg(kv_lora_rank=16, q_lora_rank=24, head_dim=12, rope_dim=4,
+                   v_head_dim=8)
+    params = llm.init_params(cfg, seed=3)
+    prompts = [[1, 2, 3], [4, 5]]
+    solo = [greedy(llm.Transformer(params, cfg, seed=0), p, n=5)
+            for p in prompts]
+    out = llm.generate_batch(params, cfg, prompts, max_new=5)
+    assert out == solo
+    # eos truncates per row
+    eos = solo[0][1]
+    out = llm.generate_batch(params, cfg, prompts, max_new=5, eos_id=eos)
+    assert out[0] == solo[0][:2]
+    assert len(out[1]) <= 5
+
+
 def test_kv_quant_state_and_greedy():
     """int8 KV cache (quantize-on-write, dequant-on-read) carries the right
     shapes/dtypes and greedy-decodes the same tokens as the f32 cache on a
