@@ -553,17 +553,19 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
 
+    # pad_start rides as a traced ARGUMENT: baking it as a closure constant
+    # would recompile both graphs for every new prompt-length profile
     @jax.jit
-    def prefill(params_, state, tokens, start_pos, n_real, temp, key):
+    def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
         hidden, state = forward(params_, cfg, state, tokens, start_pos,
-                                freqs, pad_start=pad_arr)
+                                freqs, pad_start=pads)
         logits = logits_at(params_, cfg, hidden, n_real - 1)
         return sample_gumbel(logits, temp, key), state
 
     @jax.jit
-    def decode(params_, state, token, start_pos, temp, key):
+    def decode(params_, state, token, start_pos, temp, key, pads):
         hidden, state = forward(params_, cfg, state, token, start_pos,
-                                freqs, pad_start=pad_arr)
+                                freqs, pad_start=pads)
         logits = logits_at(params_, cfg, hidden, jnp.int32(0))
         return sample_gumbel(logits, temp, key), state
 
@@ -577,7 +579,7 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         chunk = [r[pos:pos + n] + [0] * (CHUNK - n) for r in rows]
         key, sub = jax.random.split(key)
         tok, state = prefill(params, state, jnp.asarray(chunk, jnp.int32),
-                             pos, jnp.int32(n), temp, sub)
+                             pos, jnp.int32(n), temp, sub, pad_arr)
         pos += n
 
     out: list = [[] for _ in range(b_n)]
@@ -594,7 +596,7 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         key, sub = jax.random.split(key)
         tok, state = decode(params, state,
                             jnp.asarray(cur[:, None], jnp.int32), pos, temp,
-                            sub)
+                            sub, pad_arr)
         pos += 1
         cur = np.asarray(tok)
     return out
