@@ -89,6 +89,42 @@ def bench_mode(cfg, params, mode: str, ctx: int, steps: int,
             "decode_tok_s": round(steps / dt, 1)}
 
 
+def bench_batched(cfg, params, batches, steps: int, pos: int = 256):
+    """Device-side batched-decode ladder (generate_batch's decode step):
+    aggregate tok/s for each batch size, queue-drain timed."""
+    from ..models import llm
+
+    freqs = jnp.asarray(llm.precompute_freqs(
+        cfg.rope_dim, cfg.max_context, cfg.rope_theta))
+
+    @jax.jit
+    def decode(params_, state, token, start_pos, pads):
+        hidden, state = llm.forward(params_, cfg, state, token, start_pos,
+                                    freqs, pad_start=pads)
+        return (jnp.argmax(llm.logits_at(params_, cfg, hidden,
+                                         jnp.int32(0)), -1), state)
+
+    out = []
+    for b in batches:
+        state = llm.init_state(cfg, batch=b, dtype=jnp.bfloat16)
+        tok = jnp.zeros((b, 1), jnp.int32)
+        pads = jnp.zeros((b,), jnp.int32)
+        t, _ = decode(params, state, tok, pos, pads)
+        np.asarray(t)
+        t0 = time.perf_counter()
+        last = None
+        st = state
+        for i in range(steps):
+            last, st = decode(params, st, tok, pos + i, pads)
+        np.asarray(last)
+        dt = time.perf_counter() - t0
+        r = {"batch": b, "decode_tok_s": round(steps * b / dt, 1),
+             "per_stream": round(steps / dt, 1)}
+        out.append(r)
+        print(json.dumps(r))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=28)
@@ -98,6 +134,9 @@ def main(argv=None):
     ap.add_argument("--decode-pos", type=int, default=None,
                     help="decode at this live position instead of ctx-64 "
                          "(short positions = the NVR's per-event regime)")
+    ap.add_argument("--decode-batch", default=None,
+                    help="comma list of batch sizes: run the batched-decode "
+                         "ladder (generate_batch's step) instead of --modes")
     args = ap.parse_args(argv)
 
     cfg = qwen3_2b_cfg(args.blocks, args.ctx)
@@ -105,6 +144,11 @@ def main(argv=None):
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
     print(f"# {args.blocks} blocks, {n_params/1e9:.2f}B params, "
           f"ctx {args.ctx}, backend {jax.default_backend()}")
+    if args.decode_batch:
+        params = llm.quantize_params_int8(params)
+        return bench_batched(cfg, params,
+                             [int(b) for b in args.decode_batch.split(",")],
+                             args.steps)
     results = []
     for mode in args.modes.split(","):
         r = bench_mode(cfg, params, mode.strip(), args.ctx, args.steps,
