@@ -545,6 +545,13 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
     """
     assert cfg.ssm is None, "generate_batch needs attention-only stacks"
     b_n = len(prompts)
+    assert min(len(p) for p in prompts) >= 1, \
+        "empty prompt row: its first sample would come from a pad position"
+    # The prefill below always writes a CHUNK-wide K/V slice at start_pos=pos;
+    # if max_context were not CHUNK-aligned the final chunk's
+    # dynamic_update_slice start would clamp and silently overwrite earlier
+    # valid cache rows (ADVICE r2).
+    assert cfg.max_context % CHUNK == 0, "max_context must be CHUNK-aligned"
     longest = max(len(p) for p in prompts)
     assert longest + max_new <= cfg.max_context, "prompts+max_new overflow ctx"
     pad = [longest - len(p) for p in prompts]
@@ -875,6 +882,11 @@ class Transformer:
         self._cached_tokens: list[int] = []
         self._key = jax.random.PRNGKey(seed)
         self.chunk = CHUNK  # SSM configs scan the chunk internally (see prefill)
+        # generate()'s chunked prefill always writes a CHUNK-wide K/V slice;
+        # an unaligned max_context would let the last chunk's
+        # dynamic_update_slice start clamp and corrupt earlier cache rows
+        # (ADVICE r2 — same guard as generate_batch).
+        assert cfg.max_context % CHUNK == 0, "max_context must be CHUNK-aligned"
 
     @classmethod
     def from_gguf(cls, path: str | Path, max_context: int | None = None,

@@ -115,9 +115,11 @@ class ObjectFinder:
     renamed to load_all_embeddings / search_text / search_image here)."""
 
     def __init__(self, base_dir: str | Path = "data/cameras",
-                 weights_dir: str | Path = "weights", db=None):
+                 weights_dir: str | Path = "weights", db=None,
+                 bpe_path: str | Path | None = None):
         self.base_dir = Path(base_dir)
         self.weights_dir = Path(weights_dir)
+        self.bpe_path = bpe_path
         self.db = db
         self.clip_enabled = False
         self.face_enabled = False
@@ -148,9 +150,10 @@ class ObjectFinder:
                 print(f"CLIP weights not found at {path} — random init")
                 params = clip_model.init_params()
         self._clip_params = params
-        self._tok = CLIPTokenizer(self.weights_dir / "bpe_simple_vocab_16e6.txt.gz") \
-            if (self.weights_dir / "bpe_simple_vocab_16e6.txt.gz").exists() or \
-               os.environ.get("CLEARCAM_BPE_PATH") else None
+        from ..utils.tokenizer import find_vocab
+        vocab = find_vocab(self.bpe_path or
+                           self.weights_dir / "bpe_simple_vocab_16e6.txt.gz")
+        self._tok = CLIPTokenizer(vocab) if vocab else None
         self._embed_jit = jax.jit(clip_model.encode_image)
         self._text_jit = jax.jit(clip_model.encode_text)
         self.clip_enabled = True

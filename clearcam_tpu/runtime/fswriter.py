@@ -85,8 +85,12 @@ class AsyncFileWriter(threading.Thread):
 
     def stop(self):
         self._closed = True
+        # A saturated queue must still receive the sentinel or run() never
+        # exits and join() just times out (leaked thread on in-process NVR
+        # restart, ADVICE r2) — the drain frees slots, so a bounded blocking
+        # put succeeds unless the writer thread is already gone.
         try:
-            self.q.put_nowait(self._sentinel)
+            self.q.put(self._sentinel, timeout=10 if self.is_alive() else 0.01)
         except queue.Full:
             pass
         self.join(timeout=10)

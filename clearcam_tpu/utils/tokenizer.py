@@ -99,7 +99,11 @@ class CLIPTokenizer:
     def __init__(self, vocab_path: str | Path | None = None,
                  merges: list[tuple[str, str]] | None = None):
         be = byte_encoder()
-        base = list(be.values())
+        # Vocab id order follows the GPT-2/CLIP convention: printable bytes
+        # first, then the remapped non-printables — equivalently, ascending
+        # mapped codepoint (verified id-exact vs the reference tokenizer on
+        # the real vocab, tests/test_tokenizer_golden.py).
+        base = sorted(be.values(), key=ord)
         if merges is None:
             path = find_vocab(vocab_path)
             if path is None:
