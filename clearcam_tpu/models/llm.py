@@ -226,7 +226,7 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
         new_state = {"k": ck, "v": cv}
         ck_a, cv_a = ck, cv
     if decode_attn is not None and t == 1:
-        out = decode_attn(q, new_state, start_pos)
+        out = decode_attn(q, new_state, start_pos, pad_start)
     else:
         # grouped-query einsum: no jnp.repeat (which materializes a rep-x
         # cache copy in HBM — at ctx 2048 that WAS the decode bottleneck)
@@ -300,8 +300,15 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     return F.linear(out, p[f"{pre}.attn_output.weight"]), new_state
 
 
-def _ssm_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
-    """GatedDeltaNet linear-attention step, T=1 (model.py:240-295)."""
+def _ssm_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
+               live=None):
+    """GatedDeltaNet linear-attention step, T=1 (model.py:240-295).
+
+    live [B] bool: rows whose state must NOT advance this step — the
+    left-pad region of right-aligned batched generation (generate_batch).
+    Unlike attention (where pad junk lands in never-attended cache slots),
+    a recurrence would ingest the junk forever, so dead rows keep their
+    previous conv window and recurrent state bit-exactly."""
     ssm = cfg.ssm
     b, t, _ = x.shape
     nk, nv = ssm.group_count, ssm.time_step_rank
@@ -339,6 +346,12 @@ def _ssm_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs):
                    p[f"{pre}.ssm_out.weight"])
     new_state = {"conv": window[:, 1:].astype(state["conv"].dtype),
                  "rec": rec.astype(state["rec"].dtype)}
+    if live is not None:
+        new_state = {
+            "conv": jnp.where(live[:, None, None], new_state["conv"],
+                              state["conv"]),
+            "rec": jnp.where(live[:, None, None, None], new_state["rec"],
+                             state["rec"])}
     return out, new_state
 
 
@@ -397,13 +410,15 @@ def reset_recurrent(cfg: TransformerConfig, state: list) -> list:
 
 def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
             start_pos, freqs, hidden_override=None, deepstack=None,
-            decode_attn=None, pad_start=None):
+            decode_attn=None, pad_start=None, row_live=None):
     """Core stack: embeds -> blocks -> final hidden states [B,T,D].
 
     hidden_override replaces the token embeddings (VLM image splice);
     deepstack is an optional {block_idx: [B,T,D] residual} add-in
     (qwen3vl.py:293-297); pad_start [B] masks each row's left-pad cache
-    region (right-aligned batched generation, attn/mla blocks only).
+    region (right-aligned batched generation). SSM blocks additionally
+    need row_live [B] (T=1 steps only) so the recurrence skips pad rows —
+    see _ssm_block.
     """
     if hidden_override is not None:
         x = hidden_override
@@ -422,10 +437,13 @@ def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
         elif kind == "mla":
             attn_out, st = _mla_block(p, pre, bc, h, state[i], start_pos,
                                       freqs, pad_start=pad_start)
+        elif kind == "ssm":
+            assert pad_start is None or row_live is not None, \
+                "batched left-pad generation over SSM blocks needs row_live " \
+                "(the recurrence would ingest the pad junk)"
+            attn_out, st = _ssm_block(p, pre, bc, h, state[i], start_pos,
+                                      freqs, live=row_live)
         else:
-            assert pad_start is None, \
-                "batched left-pad generation needs attention blocks (SSM " \
-                "state would ingest the pad junk)"
             attn_out, st = _BLOCK_FNS[kind](p, pre, bc, h, state[i], start_pos,
                                             freqs)
         x = x + attn_out
@@ -505,14 +523,14 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             f"use_pallas_decode needs max_context % {_DC} == 0"
 
         if kv_quant:
-            def attn_impl(q, st, start_pos):  # noqa: F811
+            def attn_impl(q, st, start_pos, pads=None):  # noqa: F811
                 # q [1,H,1,D]; int8 caches [1,KvH,S,D] + scales [1,KvH,S]
                 out = decode_attention_q8(
                     q[0, :, 0], st["k"][0], st["k_s"][0], st["v"][0],
                     st["v_s"][0], start_pos, interpret=interpret)
                 return out[None, :, None]
         else:
-            def attn_impl(q, st, start_pos):  # noqa: F811
+            def attn_impl(q, st, start_pos, pads=None):  # noqa: F811
                 # q [1,H,1,D]; caches [1,KvH,S,D] (S padded to the chunk size)
                 out = decode_attention(q[0, :, 0], st["k"][0], st["v"][0],
                                        start_pos, interpret=interpret)
@@ -531,7 +549,8 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
 def generate_batch(params, cfg: TransformerConfig, prompts: list,
                    max_new: int, temperature: float = 0.0, seed: int = 0,
                    eos_id: int | None = None, state_dtype=jnp.float32,
-                   kv_quant: bool = False) -> list:
+                   kv_quant: bool = False, use_pallas_decode: bool = False,
+                   interpret: bool = False) -> list:
     """Batched generation: B prompts in ONE cache, ONE prefill/decode graph.
 
     Prompts are RIGHT-ALIGNED (left-padded to the longest) and each row's
@@ -539,11 +558,12 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
     relative position, so the per-row left shift does not change any row's
     math — each output equals that prompt's solo generation. Decode cost is
     amortized B ways (the single-stream path is weight-read-bound; see
-    PERF.md). Attention/MLA block stacks only (cfg.ssm must be None).
+    PERF.md). Attention/MLA stacks prefill CHUNK-wide; SSM/hybrid stacks
+    scan the chunk token-by-token with per-row live masking (the recurrence
+    must not ingest left-pad junk — see _ssm_block).
 
     Returns [B] lists of up to max_new token ids (truncated at eos_id).
     """
-    assert cfg.ssm is None, "generate_batch needs attention-only stacks"
     b_n = len(prompts)
     assert min(len(p) for p in prompts) >= 1, \
         "empty prompt row: its first sample would come from a pad position"
@@ -560,19 +580,72 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
 
+    attn_impl = None
+    if use_pallas_decode:
+        from ..ops.decode_attention import (CHUNK as _DC,
+                                            decode_attention_batch,
+                                            decode_attention_batch_q8)
+        assert cfg.max_context % _DC == 0, \
+            f"use_pallas_decode needs max_context % {_DC} == 0"
+        assert cfg.ssm is None, "batched Pallas decode needs attn-only stacks"
+
+        if kv_quant:
+            def attn_impl(q, st, start_pos, pads):  # [B,H,1,D] -> [B,H,1,D]
+                out = decode_attention_batch_q8(
+                    q[:, :, 0], st["k"], st["k_s"], st["v"], st["v_s"],
+                    start_pos, pads, interpret=interpret)
+                return out[:, :, None]
+        else:
+            def attn_impl(q, st, start_pos, pads):  # [B,H,1,D] -> [B,H,1,D]
+                out = decode_attention_batch(q[:, :, 0], st["k"], st["v"],
+                                             start_pos, pads,
+                                             interpret=interpret)
+                return out[:, :, None]
+
     # pad_start rides as a traced ARGUMENT: baking it as a closure constant
     # would recompile both graphs for every new prompt-length profile
-    @jax.jit
-    def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
-        hidden, state = forward(params_, cfg, state, tokens, start_pos,
-                                freqs, pad_start=pads)
-        logits = logits_at(params_, cfg, hidden, n_real - 1)
-        return sample_gumbel(logits, temp, key), state
+    if cfg.ssm is None:
+        @jax.jit
+        def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
+            hidden, state = forward(params_, cfg, state, tokens, start_pos,
+                                    freqs, pad_start=pads)
+            logits = logits_at(params_, cfg, hidden, n_real - 1)
+            return sample_gumbel(logits, temp, key), state
+    else:
+        # recurrent blocks are T=1: scan the chunk token-by-token inside one
+        # compiled program; each row's state only advances once the global
+        # position clears its left pad (row_live), so the recurrence is
+        # bit-identical to that prompt's solo prefill
+        @jax.jit
+        def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
+            def step(carry, tok_t):
+                st, t = carry
+                def live_step(st):
+                    hidden, st2 = forward(
+                        params_, cfg, st, tok_t[:, None], start_pos + t,
+                        freqs, pad_start=pads,
+                        row_live=(start_pos + t) >= pads)
+                    return st2, hidden[:, 0]
+                def dead(st):
+                    return st, jnp.zeros((tokens.shape[0], cfg.dim),
+                                         jnp.float32)
+                st, h = jax.lax.cond(t < n_real, live_step, dead, st)
+                return (st, t + 1), h
+            (state, _), hiddens = jax.lax.scan(
+                step, (state, jnp.int32(0)), tokens.T)
+            hidden = jnp.take(hiddens, n_real - 1, axis=0)    # [B, D]
+            hidden = F.rms_norm(hidden, params_["output_norm.weight"],
+                                cfg.norm_eps)
+            logits = F.linear(hidden, params_["output.weight"])
+            return sample_gumbel(logits, temp, key), state
+
+    all_live = jnp.ones((b_n,), bool)
 
     @jax.jit
     def decode(params_, state, token, start_pos, temp, key, pads):
         hidden, state = forward(params_, cfg, state, token, start_pos,
-                                freqs, pad_start=pads)
+                                freqs, pad_start=pads, decode_attn=attn_impl,
+                                row_live=all_live if cfg.ssm else None)
         logits = logits_at(params_, cfg, hidden, jnp.int32(0))
         return sample_gumbel(logits, temp, key), state
 
@@ -639,6 +712,11 @@ def config_from_gguf(kv: dict, state_dict: dict,
     arch = kv["general.architecture"]
     mc = kv.get(f"{arch}.context_length", 4096)
     max_context = min(max_context, mc) if max_context else mc
+    # cache length must be CHUNK-aligned (prefill writes CHUNK-wide slices;
+    # an unaligned final chunk would clamp and corrupt earlier rows —
+    # ADVICE r2). Rounding UP costs <CHUNK cache rows; callers keep their
+    # own token budgets (e.g. qwen3vl.MAX_CONTEXT = 2000 -> cache 2016).
+    max_context = -(-max_context // CHUNK) * CHUNK
     n_heads = kv[f"{arch}.attention.head_count"]
     n_kv = kv[f"{arch}.attention.head_count_kv"]
     if isinstance(n_kv, list):

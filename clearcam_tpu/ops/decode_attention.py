@@ -135,6 +135,271 @@ def _chunked_kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
 
 
 # ---------------------------------------------------------------------------
+# batched variant (B>1): per-row live windows for right-aligned generation
+# ---------------------------------------------------------------------------
+
+def decode_attention_batch(q, k_cache, v_cache, pos, pads=None, *,
+                           chunk: int = CHUNK, interpret: bool = False):
+    """Batched decode attention: q [B,H,D], caches [B,KvH,S,D] -> [B,H,D].
+
+    pos is the shared live position (every row's current token K/V is at
+    index pos); pads [B] gives each row's left-pad width — right-aligned
+    batched generation (models/llm.generate_batch) leaves rows' first
+    pads[b] cache entries as junk that must not be attended. Row b attends
+    exactly to positions pads[b]..pos. HBM reads scale with the live
+    window: chunks outside [pads[b]//chunk, pos//chunk] are never DMA'd.
+
+    Grid is (B, KvH): one program per (row, kv-head); rep = H/KvH query
+    heads each. Same online-softmax + double-buffered chunk DMA scheme as
+    the batch-1 kernel above.
+    """
+    b_n, h, d = q.shape
+    _, kvh, s, _ = k_cache.shape
+    assert s % chunk == 0, f"padded context {s} must be a multiple of {chunk}"
+    rep = h // kvh
+    scale = 1.0 / (d ** 0.5)
+    if pads is None:
+        pads = jnp.zeros((b_n,), jnp.int32)
+    scalars = jnp.concatenate([jnp.asarray([pos], jnp.int32),
+                               jnp.asarray(pads, jnp.int32)])
+    q4 = q.reshape(b_n, kvh, rep, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_n, kvh),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda b, i, sc: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, i, sc: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_batch_kernel, chunk=chunk, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_n, kvh, rep, d), q.dtype),
+        interpret=interpret,
+    )(scalars, q4, k_cache, v_cache)
+    return out.reshape(b_n, h, d)
+
+
+def _batch_kernel(sc_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
+    """Per-(row, kv-head) program with a per-row live window [lo, pos]."""
+    b = pl.program_id(0)
+    kvh = pl.program_id(1)
+    rep, d = q_ref.shape[2], q_ref.shape[3]
+    s = k_ref.shape[2]
+    n_chunks = s // chunk
+    pos = sc_ref[0]
+    lo = sc_ref[1 + b]
+    c_lo = lo // chunk  # first chunk containing live entries for this row
+
+    def body(k_buf, v_buf, sem_k, sem_v):
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+
+        def start_dma(slot, c):
+            pltpu.make_async_copy(k_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+                                  k_buf.at[slot], sem_k.at[slot]).start()
+            pltpu.make_async_copy(v_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+                                  v_buf.at[slot], sem_v.at[slot]).start()
+
+        def wait_dma(slot, c):
+            pltpu.make_async_copy(k_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+                                  k_buf.at[slot], sem_k.at[slot]).wait()
+            pltpu.make_async_copy(v_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+                                  v_buf.at[slot], sem_v.at[slot]).wait()
+
+        # first live chunk's DMA is issued up front (dynamic chunk index);
+        # each attended iteration prefetches its successor, so non-attended
+        # iterations below c_lo start nothing and slot parity stays c % 2
+        start_dma(c_lo % 2, c_lo)
+
+        def loop(c, carry):
+            acc, m, l = carry
+            attended = (c >= c_lo) & (c * chunk <= pos)
+
+            @pl.when(attended & ((c + 1) * chunk <= pos))
+            def _():
+                start_dma((c + 1) % 2, c + 1)
+
+            def attend(carry):
+                acc, m, l = carry
+                wait_dma(c % 2, c)
+                k = k_buf[c % 2].astype(jnp.float32)
+                v = v_buf[c % 2].astype(jnp.float32)
+                scores = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                    + c * chunk
+                scores = jnp.where((cols >= lo) & (cols <= pos), scores,
+                                   -jnp.inf)
+                m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
+                p = jnp.exp(scores - m_new)
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + p.sum(-1, keepdims=True)
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc_new, m_new, l_new
+
+            return jax.lax.cond(attended, attend, lambda cry: cry,
+                                (acc, m, l))
+
+        init = (jnp.zeros((rep, d), jnp.float32),
+                jnp.full((rep, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((rep, 1), jnp.float32))
+        acc, m, l = jax.lax.fori_loop(0, n_chunks, loop, init)
+        out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        k_buf=pltpu.VMEM((2, chunk, d), k_ref.dtype),
+        v_buf=pltpu.VMEM((2, chunk, d), v_ref.dtype),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def decode_attention_batch_q8(q, k_q8, k_s, v_q8, v_s, pos, pads=None, *,
+                              chunk: int = CHUNK, interpret: bool = False):
+    """Batched decode attention over int8 KV caches: q [B,H,D],
+    k_q8/v_q8 [B,KvH,S,D] int8, k_s/v_s [B,KvH,S] f32 per-token scales.
+    Per-row live windows as decode_attention_batch; dequant rides on the
+    score/probability vectors as in decode_attention_q8."""
+    b_n, h, d = q.shape
+    _, kvh, s, _ = k_q8.shape
+    assert s % chunk == 0, f"padded context {s} must be a multiple of {chunk}"
+    rep = h // kvh
+    scale = 1.0 / (d ** 0.5)
+    if pads is None:
+        pads = jnp.zeros((b_n,), jnp.int32)
+    scalars = jnp.concatenate([jnp.asarray([pos], jnp.int32),
+                               jnp.asarray(pads, jnp.int32)])
+    q4 = q.reshape(b_n, kvh, rep, d)
+    # scales as [B, KvH, 1, S] — see decode_attention_q8's layout note
+    k_s = k_s.reshape(b_n, kvh, 1, s)
+    v_s = v_s.reshape(b_n, kvh, 1, s)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_n, kvh),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda b, i, sc: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, i, sc: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_batch_kernel_q8, chunk=chunk, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_n, kvh, rep, d), q.dtype),
+        interpret=interpret,
+    )(scalars, q4, k_q8, k_s, v_q8, v_s)
+    return out.reshape(b_n, h, d)
+
+
+def _batch_kernel_q8(sc_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
+                     *, chunk, scale):
+    b = pl.program_id(0)
+    kvh = pl.program_id(1)
+    rep, d = q_ref.shape[2], q_ref.shape[3]
+    s = k_ref.shape[2]
+    n_chunks = s // chunk
+    pos = sc_ref[0]
+    lo = sc_ref[1 + b]
+    c_lo = lo // chunk
+
+    def body(k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs):
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+
+        def dmas(slot, c):
+            return (
+                pltpu.make_async_copy(
+                    k_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+                    k_buf.at[slot], sem_k.at[slot]),
+                pltpu.make_async_copy(
+                    v_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+                    v_buf.at[slot], sem_v.at[slot]),
+                pltpu.make_async_copy(
+                    ks_ref.at[b, kvh, :, pl.ds(c * chunk, chunk)],
+                    ks_buf.at[slot], sem_ks.at[slot]),
+                pltpu.make_async_copy(
+                    vs_ref.at[b, kvh, :, pl.ds(c * chunk, chunk)],
+                    vs_buf.at[slot], sem_vs.at[slot]),
+            )
+
+        def start_dma(slot, c):
+            for cp in dmas(slot, c):
+                cp.start()
+
+        def wait_dma(slot, c):
+            for cp in dmas(slot, c):
+                cp.wait()
+
+        start_dma(c_lo % 2, c_lo)
+
+        def loop(c, carry):
+            acc, m, l = carry
+            attended = (c >= c_lo) & (c * chunk <= pos)
+
+            @pl.when(attended & ((c + 1) * chunk <= pos))
+            def _():
+                start_dma((c + 1) % 2, c + 1)
+
+            def attend(carry):
+                acc, m, l = carry
+                wait_dma(c % 2, c)
+                k = k_buf[c % 2].astype(jnp.float32)
+                v = v_buf[c % 2].astype(jnp.float32)
+                scores = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                scores = scores * ks_buf[c % 2]               # dequant K [1,S]
+                cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                    + c * chunk
+                scores = jnp.where((cols >= lo) & (cols <= pos), scores,
+                                   -jnp.inf)
+                m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
+                p = jnp.exp(scores - m_new)
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + p.sum(-1, keepdims=True)
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    p * vs_buf[c % 2], v,                     # dequant V
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return acc_new, m_new, l_new
+
+            return jax.lax.cond(attended, attend, lambda cry: cry,
+                                (acc, m, l))
+
+        init = (jnp.zeros((rep, d), jnp.float32),
+                jnp.full((rep, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((rep, 1), jnp.float32))
+        acc, m, l = jax.lax.fori_loop(0, n_chunks, loop, init)
+        out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        k_buf=pltpu.VMEM((2, chunk, d), k_ref.dtype),
+        v_buf=pltpu.VMEM((2, chunk, d), v_ref.dtype),
+        ks_buf=pltpu.VMEM((2, 1, chunk), ks_ref.dtype),
+        vs_buf=pltpu.VMEM((2, 1, chunk), vs_ref.dtype),
+        sem_k=pltpu.SemaphoreType.DMA((2,)),
+        sem_v=pltpu.SemaphoreType.DMA((2,)),
+        sem_ks=pltpu.SemaphoreType.DMA((2,)),
+        sem_vs=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 KV-cache variant
 # ---------------------------------------------------------------------------
 

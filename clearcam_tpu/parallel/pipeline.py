@@ -74,6 +74,113 @@ def pipeline_apply(mesh: Mesh, axis: str, stage_fn, stacked_params, x):
 
 
 # ---------------------------------------------------------------------------
+# training schedules: GPipe (autodiff) and 1F1B (hand-scheduled backward)
+# ---------------------------------------------------------------------------
+
+def pipeline_train_step_gpipe(mesh: Mesh, axis: str, stage_fn, loss_fn,
+                              stacked_params, x, y):
+    """Reference training step: jax.grad straight through pipeline_apply's
+    scan. Simple and exact, but the scan saves EVERY forward carry for the
+    backward pass — per-stage activation memory grows with the microbatch
+    count M (plus stage_fn internals unless remat'd). Loss is the mean of
+    loss_fn(stage_out[m], y[m]) over microbatches."""
+    def total_loss(p):
+        out = pipeline_apply(mesh, axis, stage_fn, p, x)
+        return jnp.mean(jax.vmap(loss_fn)(out, y))
+
+    return jax.value_and_grad(total_loss)(stacked_params)
+
+
+def pipeline_train_step_1f1b(mesh: Mesh, axis: str, stage_fn, loss_fn,
+                             stacked_params, x, y):
+    """1F1B-scheduled pipelined training step: loss + per-stage grads.
+
+    Why not just grad-of-GPipe (above): its backward replays the whole
+    forward scan, so every stage holds all M microbatch activations. Here
+    each global tick runs ONE forward phase and ONE backward phase per
+    stage (the 1F1B steady state), backward of microbatch m on stage s is
+    scheduled 2(S-1)-s phases after its forward, and the stage stores only
+    its INPUTS in a ring of 2S-1 slots — the backward phase recomputes the
+    stage forward under jax.vjp (rematerialization), so in-flight
+    activation memory is O(S), independent of M.
+
+    Exactness: grads equal the sequential computation (tests) — 1F1B
+    reorders microbatch backwards but grad accumulation is a sum.
+
+    stage_fn(p_stage, mb) -> mb' shape-preserving; loss_fn(pred, tgt) ->
+    scalar (per microbatch; total = mean). x, y: [M, ...] replicated.
+    Returns (loss, grads) with grads shaped like stacked_params ([S,...]
+    sharded over `axis` — each device holds its own stage's grads).
+    """
+    s_n = mesh.shape[axis]
+    m_n = x.shape[0]
+    w_n = 2 * s_n - 1                     # ring depth ≥ max in-flight 2(S-1)+1
+    n_ticks = m_n + 2 * (s_n - 1)
+
+    def per_device(p_local, x_full, y_full):
+        p_local = jax.tree.map(lambda a: a[0], p_local)
+        stage = jax.lax.axis_index(axis)
+        last = s_n - 1
+        perm_f = [(i, (i + 1) % s_n) for i in range(s_n)]
+        perm_b = [(i, (i - 1) % s_n) for i in range(s_n)]
+
+        def step(carry, t):
+            fwd_buf, bwd_buf, ring, grads, loss_sum = carry
+
+            # ---- forward phase: stage s runs microbatch t - s ----
+            mb_f = t - stage
+            act_f = (mb_f >= 0) & (mb_f < m_n)
+            inp = jnp.where(stage == 0, x_full[jnp.clip(mb_f, 0, m_n - 1)],
+                            fwd_buf)
+            ring = ring.at[t % w_n].set(jnp.where(act_f, inp, ring[t % w_n]))
+            y_out = stage_fn(p_local, inp)
+            fwd_buf = jax.lax.ppermute(y_out, axis, perm_f)
+
+            # ---- backward phase: stage s runs microbatch t - 2(S-1) + s ----
+            mb_b = t - 2 * (s_n - 1) + stage
+            act_b = (mb_b >= 0) & (mb_b < m_n)
+            mb_bc = jnp.clip(mb_b, 0, m_n - 1)
+            # the stored input of that microbatch's forward (phase mb_b+s)
+            inp_b = ring[(mb_bc + stage) % w_n]
+            y_b, vjp_fn = jax.vjp(lambda p, i: stage_fn(p, i), p_local, inp_b)
+            # last stage seeds from the loss; others from the ppermuted grad
+            lval, loss_vjp = jax.vjp(
+                lambda yy: loss_fn(yy, y_full[mb_bc]), y_b)
+            one = jax.lax.pcast(jnp.float32(1.0), (axis,), to="varying")
+            g_seed = jnp.where(stage == last, loss_vjp(one)[0], bwd_buf)
+            g_p, g_x = vjp_fn(g_seed)
+            grads = jax.tree.map(
+                lambda acc, g: acc + jnp.where(act_b, g, 0.0), grads, g_p)
+            loss_sum = loss_sum + jnp.where(act_b & (stage == last), lval, 0.0)
+            bwd_buf = jax.lax.ppermute(jnp.where(act_b, g_x, 0.0), axis,
+                                       perm_b)
+            return (fwd_buf, bwd_buf, ring, grads, loss_sum), None
+
+        mb_zero = jnp.zeros_like(x_full[0])
+        # zeros derived from the replicated inputs must be marked
+        # stage-varying for the scan carry; the grads init is derived from
+        # p_local (spec P(axis)) and is varying already — pcast rejects a
+        # varying->varying cast
+        varying = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (axis,), to="varying"),
+            (mb_zero, mb_zero,
+             jnp.zeros((w_n,) + x_full.shape[1:], x_full.dtype),
+             jnp.float32(0.0)))
+        init = (varying[0], varying[1], varying[2],
+                jax.tree.map(jnp.zeros_like, p_local), varying[3])
+        (_, _, _, grads, loss_sum), _ = jax.lax.scan(
+            step, init, jnp.arange(n_ticks))
+        loss = jax.lax.psum(loss_sum, axis) / m_n
+        grads = jax.tree.map(lambda g: (g / m_n)[None], grads)
+        return loss, grads
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P(axis), P(), P()),
+                   out_specs=(P(), P(axis)))
+    return fn(stacked_params, x, y)
+
+
+# ---------------------------------------------------------------------------
 # LLM instantiation: layer stack sharded across stages (prefill forward)
 # ---------------------------------------------------------------------------
 

@@ -89,18 +89,31 @@ def bench_mode(cfg, params, mode: str, ctx: int, steps: int,
             "decode_tok_s": round(steps / dt, 1)}
 
 
-def bench_batched(cfg, params, batches, steps: int, pos: int = 256):
+def bench_batched(cfg, params, batches, steps: int, pos: int = 256,
+                  pallas: bool = False):
     """Device-side batched-decode ladder (generate_batch's decode step):
-    aggregate tok/s for each batch size, queue-drain timed."""
+    aggregate tok/s for each batch size, queue-drain timed. pallas=True
+    routes attention through ops/decode_attention.decode_attention_batch
+    (per-row prefix windows) instead of the XLA full-cache einsum."""
     from ..models import llm
 
     freqs = jnp.asarray(llm.precompute_freqs(
         cfg.rope_dim, cfg.max_context, cfg.rope_theta))
 
+    attn_impl = None
+    if pallas:
+        from ..ops.decode_attention import decode_attention_batch
+
+        def attn_impl(q, st, start_pos, pads):
+            out = decode_attention_batch(q[:, :, 0], st["k"], st["v"],
+                                         start_pos, pads)
+            return out[:, :, None]
+
     @jax.jit
     def decode(params_, state, token, start_pos, pads):
         hidden, state = llm.forward(params_, cfg, state, token, start_pos,
-                                    freqs, pad_start=pads)
+                                    freqs, pad_start=pads,
+                                    decode_attn=attn_impl)
         return (jnp.argmax(llm.logits_at(params_, cfg, hidden,
                                          jnp.int32(0)), -1), state)
 
@@ -118,7 +131,8 @@ def bench_batched(cfg, params, batches, steps: int, pos: int = 256):
             last, st = decode(params, st, tok, pos + i, pads)
         np.asarray(last)
         dt = time.perf_counter() - t0
-        r = {"batch": b, "decode_tok_s": round(steps * b / dt, 1),
+        r = {"batch": b, "pos": pos, "pallas": pallas,
+             "decode_tok_s": round(steps * b / dt, 1),
              "per_stream": round(steps / dt, 1)}
         out.append(r)
         print(json.dumps(r))
@@ -137,6 +151,9 @@ def main(argv=None):
     ap.add_argument("--decode-batch", default=None,
                     help="comma list of batch sizes: run the batched-decode "
                          "ladder (generate_batch's step) instead of --modes")
+    ap.add_argument("--pallas", action="store_true",
+                    help="with --decode-batch: use the batched Pallas "
+                         "prefix kernel instead of the XLA einsum path")
     args = ap.parse_args(argv)
 
     cfg = qwen3_2b_cfg(args.blocks, args.ctx)
@@ -148,7 +165,10 @@ def main(argv=None):
         params = llm.quantize_params_int8(params)
         return bench_batched(cfg, params,
                              [int(b) for b in args.decode_batch.split(",")],
-                             args.steps)
+                             args.steps,
+                             pos=(args.decode_pos if args.decode_pos
+                                  is not None else 256),
+                             pallas=args.pallas)
     results = []
     for mode in args.modes.split(","):
         r = bench_mode(cfg, params, mode.strip(), args.ctx, args.steps,

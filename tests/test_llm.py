@@ -306,6 +306,48 @@ def test_generate_batch_matches_solo():
     assert batched == solo
 
 
+def test_generate_batch_pallas_decode_matches_xla():
+    """Batched prefix-aware Pallas decode (per-row live windows over the
+    left-pad layout, ops/decode_attention.decode_attention_batch) produces
+    exactly the XLA batched path's greedy tokens — which themselves equal
+    each row's solo generation (test above)."""
+    cfg = tiny_cfg(head_dim=128, rope_dim=128, v_head_dim=128, n_heads=4,
+                   n_kv_heads=2, max_context=512)
+    params = llm.init_params(cfg, seed=6)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [5, 5]]  # ragged: distinct pads
+    ref = llm.generate_batch(params, cfg, prompts, max_new=6,
+                             state_dtype=jnp.bfloat16)
+    fast = llm.generate_batch(params, cfg, prompts, max_new=6,
+                              state_dtype=jnp.bfloat16,
+                              use_pallas_decode=True, interpret=True)
+    assert fast == ref
+
+
+def test_decode_attention_batch_matches_dense():
+    """Kernel-level check: batched kernel == masked dense attention for
+    random per-row windows, including rows whose window starts mid-chunk."""
+    import jax
+    from clearcam_tpu.ops.decode_attention import decode_attention_batch
+    rng = np.random.default_rng(0)
+    b_n, h, kvh, s, d = 3, 4, 2, 512, 128
+    q = jnp.asarray(rng.standard_normal((b_n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b_n, kvh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b_n, kvh, s, d)), jnp.float32)
+    pos, pads = 300, jnp.asarray([0, 37, 290], jnp.int32)
+    out = np.asarray(decode_attention_batch(q, k, v, pos, pads,
+                                            interpret=True))
+    rep = h // kvh
+    qg = np.asarray(q).reshape(b_n, kvh, rep, d) / np.sqrt(d)
+    scores = np.einsum("bgrd,bgsd->bgrs", qg, np.asarray(k))
+    cols = np.arange(s)[None, None, None, :]
+    valid = (cols >= np.asarray(pads)[:, None, None, None]) & (cols <= pos)
+    scores = np.where(valid, scores, -np.inf)
+    p = jax.nn.softmax(jnp.asarray(scores), -1)
+    want = np.einsum("bgrs,bgsd->bgrd", np.asarray(p),
+                     np.asarray(v)).reshape(b_n, h, d)
+    np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-5)
+
+
 def test_generate_batch_eos_and_mla():
     cfg = tiny_cfg(kv_lora_rank=16, q_lora_rank=24, head_dim=12, rope_dim=4,
                    v_head_dim=8)
@@ -429,3 +471,43 @@ def test_dequant_q4_k():
     blk[16:144] = 5 | (5 << 4)                 # all nibbles = 5
     out = gguf.dequant(blk, 256, 12)
     np.testing.assert_allclose(out, 9.5)
+
+
+def test_generate_batch_ssm_matches_solo():
+    """Batched generation over a GatedDeltaNet/attention hybrid stack:
+    per-row live masking keeps each row's recurrent state bit-identical to
+    its solo prefill (left-pad junk never enters the recurrence)."""
+    ssm = llm.SSMConfig(conv_kernel=3, state_size=8, group_count=2,
+                        time_step_rank=4, inner_size=32)
+    cfg = tiny_cfg(ssm=ssm, full_attention_interval=2, qk_norm=8)
+    params = llm.init_params(cfg, seed=7)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [5, 5]]
+    solo = [greedy(llm.Transformer(params, cfg, seed=0), p, n=5)
+            for p in prompts]
+    batched = llm.generate_batch(params, cfg, prompts, max_new=5)
+    assert batched == solo
+
+
+def test_generate_batch_ssm_pure_stack():
+    """All-SSM stack (no attention interleave): same exactness."""
+    ssm = llm.SSMConfig(conv_kernel=4, state_size=8, group_count=2,
+                        time_step_rank=4, inner_size=32)
+    cfg = tiny_cfg(ssm=ssm, full_attention_interval=10 ** 9, qk_norm=8)
+    params = llm.init_params(cfg, seed=8)
+    prompts = [[3, 1, 4, 1, 5, 9, 2], [2, 7]]
+    solo = [greedy(llm.Transformer(params, cfg, seed=0), p, n=4)
+            for p in prompts]
+    assert llm.generate_batch(params, cfg, prompts, max_new=4) == solo
+
+
+def test_generate_batch_pallas_q8_matches_xla():
+    """Batched int8-KV Pallas decode == the XLA kv-quant batched path
+    (same quantize-on-write cache, so tokens must agree exactly)."""
+    cfg = tiny_cfg(head_dim=128, rope_dim=128, v_head_dim=128, n_heads=4,
+                   n_kv_heads=2, max_context=512)
+    params = llm.init_params(cfg, seed=9)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    ref = llm.generate_batch(params, cfg, prompts, max_new=5, kv_quant=True)
+    fast = llm.generate_batch(params, cfg, prompts, max_new=5, kv_quant=True,
+                              use_pallas_decode=True, interpret=True)
+    assert fast == ref

@@ -1,0 +1,161 @@
+"""C++ edge viewer client (native/viewer/viewer.cc) against a mock relay.
+
+Closes VERDICT r2 item 5: the native binary must round-trip an encrypted
+event produced by cloud/crypto.py — device list, events cursor, `.aes`
+download + AES-CBC decrypt with the magic check, live-link flow — mirroring
+the mobile protocol (android VideoHelper.kt:187-311).
+"""
+import json
+import subprocess
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from clearcam_tpu.cloud.crypto import encrypt_bytes
+
+ROOT = Path(__file__).resolve().parents[1]
+BIN = ROOT / "native" / "build" / "ccviewer"
+
+KEY = "edge-viewer-passphrase"
+CLIP = b"\x00\x00\x00\x18ftypmp42" + bytes(range(256)) * 40  # fake mp4
+LIVE = b"\x00\x00\x00\x18ftypmp42live-segment" + b"\x55" * 1000
+
+
+@pytest.fixture(scope="module")
+def viewer_bin():
+    if not BIN.exists():
+        rc = subprocess.run(["make", "-C", str(ROOT / "native")],
+                            capture_output=True)
+        if rc.returncode or not BIN.exists():
+            pytest.skip("native toolchain unavailable")
+    return str(BIN)
+
+
+class MockRelay(BaseHTTPRequestHandler):
+    seen: dict = {}
+
+    def log_message(self, *a):
+        pass
+
+    def _send(self, data, ctype="application/json"):
+        if not isinstance(data, bytes):
+            data = json.dumps(data).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):  # noqa: N802
+        p = urlparse(self.path)
+        q = parse_qs(p.query)
+        host = self.headers["Host"]
+        MockRelay.seen[p.path] = q
+        if p.path == "/get_live_devicesv2":
+            return self._send([{"name": "gate cam"}, {"name": "yard"}])
+        if p.path == "/events":
+            return self._send([{
+                "url": f"http://{host}/blobs/event1.aes",
+                "creation_time": 1723900000}])
+        if p.path == "/get_stream_download_link":
+            return self._send({"download_link": f"http://{host}/blobs/live.aes"})
+        if p.path == "/delete_stream_download_link":
+            return self._send({"ok": True})
+        if p.path == "/toggle_alerts":
+            return self._send({"ok": True})
+        if p.path == "/blobs/event1.aes":
+            return self._send(encrypt_bytes(CLIP, KEY), "application/octet-stream")
+        if p.path == "/blobs/live.aes":
+            return self._send(encrypt_bytes(LIVE, KEY), "application/octet-stream")
+        self.send_response(404)
+        self.end_headers()
+
+
+@pytest.fixture()
+def relay():
+    MockRelay.seen = {}
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), MockRelay)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def run(args, **kw):
+    return subprocess.run(args, capture_output=True, text=True,
+                          timeout=30, **kw)
+
+
+def test_selftest(viewer_bin):
+    r = run([viewer_bin, "selftest"])
+    assert r.returncode == 0 and json.loads(r.stdout)["aes_selftest"] == 0
+
+
+def test_devices_list(viewer_bin, relay):
+    r = run([viewer_bin, "devices", "--base", relay, "--token", "tok 1"])
+    assert r.returncode == 0, r.stderr
+    assert [d["name"] for d in json.loads(r.stdout)] == ["gate cam", "yard"]
+    # token must arrive url-encoded
+    assert MockRelay.seen["/get_live_devicesv2"]["session_token"] == ["tok 1"]
+
+
+def test_events_cursor(viewer_bin, relay):
+    r = run([viewer_bin, "events", "--base", relay, "--token", "t",
+             "--newest", "1723899999"])
+    assert r.returncode == 0, r.stderr
+    evs = json.loads(r.stdout)
+    assert evs[0]["creation_time"] == 1723900000
+    assert MockRelay.seen["/events"]["newest_creation_time"] == ["1723899999"]
+
+
+def test_fetch_event_roundtrip(viewer_bin, relay, tmp_path):
+    """The headline check: an event clip encrypted by cloud/crypto.py is
+    downloaded and decrypted bit-exactly by the native binary."""
+    r = run([viewer_bin, "events", "--base", relay, "--token", "t"])
+    url = json.loads(r.stdout)[0]["url"]
+    out = tmp_path / "clip.mp4"
+    r = run([viewer_bin, "fetch-event", "--url", url, "--key", KEY,
+             "--out", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == CLIP
+
+
+def test_fetch_event_wrong_key_fails_magic(viewer_bin, relay, tmp_path):
+    r = run([viewer_bin, "events", "--base", relay, "--token", "t"])
+    url = json.loads(r.stdout)[0]["url"]
+    r = run([viewer_bin, "fetch-event", "--url", url, "--key", "WRONG",
+             "--out", str(tmp_path / "x.mp4")])
+    assert r.returncode != 0
+    assert "magic" in r.stderr or "padding" in r.stderr
+
+
+def test_live_flow(viewer_bin, relay, tmp_path):
+    out = tmp_path / "seg.mp4"
+    r = run([viewer_bin, "live", "--base", relay, "--token", "t",
+             "--name", "gate cam", "--key", KEY, "--out", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == LIVE
+    assert MockRelay.seen["/get_stream_download_link"]["name"] == ["gate cam"]
+
+
+def test_release_and_toggle(viewer_bin, relay):
+    r = run([viewer_bin, "release", "--base", relay, "--token", "t",
+             "--name", "yard"])
+    assert r.returncode == 0
+    assert "/delete_stream_download_link" in MockRelay.seen
+    r = run([viewer_bin, "toggle-alerts", "--base", relay, "--token", "t",
+             "--name", "yard", "--on", "1"])
+    assert r.returncode == 0
+    assert MockRelay.seen["/toggle_alerts"]["alerts_on"] == ["1"]
+
+
+def test_offline_decrypt(viewer_bin, tmp_path):
+    blob = tmp_path / "c.aes"
+    blob.write_bytes(encrypt_bytes(CLIP, KEY))
+    out = tmp_path / "c.mp4"
+    r = run([viewer_bin, "decrypt", "--in", str(blob), "--key", KEY,
+             "--out", str(out)])
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == CLIP

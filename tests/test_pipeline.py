@@ -106,3 +106,76 @@ def test_stack_llm_stage_params_layout():
                                   np.asarray(params["blk.2.attn_q.weight"]))
     np.testing.assert_array_equal(np.asarray(st["blk.1.attn_q.weight"][0]),
                                   np.asarray(params["blk.1.attn_q.weight"]))
+
+
+def _mse(pred, tgt):
+    return jnp.mean((pred - tgt) ** 2)
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(4, 6), (4, 1), (8, 3)])
+def test_1f1b_matches_sequential_grads(n_stages, n_micro):
+    """1F1B-scheduled training step: loss AND per-stage grads equal the
+    sequential computation (backward reordering changes only the
+    accumulation order)."""
+    mesh = _mesh(n_stages)
+    stages, stacked = _mlp_params(jax.random.PRNGKey(4), n_stages)
+    x = jax.random.normal(jax.random.PRNGKey(5), (n_micro, 2, 16))
+    y = jax.random.normal(jax.random.PRNGKey(6), (n_micro, 2, 16))
+
+    loss, grads = pp.pipeline_train_step_1f1b(
+        mesh, "stage", _mlp_stage, _mse, stacked, x, y)
+
+    def loss_seq(ps):
+        h = x
+        for sp in ps:
+            h = _mlp_stage(sp, h)
+        return jnp.mean(jax.vmap(_mse)(h, y))
+
+    ref_loss, ref_g = jax.value_and_grad(loss_seq)(stages)
+    ref_g = jax.tree.map(lambda *xs: jnp.stack(xs), *ref_g)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    # atol covers f32 accumulation-order noise (1F1B sums microbatch grads
+    # in a different order than the sequential oracle)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-4), grads, ref_g)
+
+
+def test_1f1b_matches_gpipe_autodiff():
+    """Both training schedules agree with each other (and hence with the
+    sequential oracle) on the same inputs."""
+    n_stages, n_micro = 4, 5
+    mesh = _mesh(n_stages)
+    _, stacked = _mlp_params(jax.random.PRNGKey(7), n_stages)
+    x = jax.random.normal(jax.random.PRNGKey(8), (n_micro, 2, 16))
+    y = jax.random.normal(jax.random.PRNGKey(9), (n_micro, 2, 16))
+    l1, g1 = pp.pipeline_train_step_1f1b(
+        mesh, "stage", _mlp_stage, _mse, stacked, x, y)
+    l2, g2 = pp.pipeline_train_step_gpipe(
+        mesh, "stage", _mlp_stage, _mse, stacked, x, y)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), g1, g2)
+
+
+def test_1f1b_activation_memory_is_bounded():
+    """The 1F1B scan carry stores a 2S-1-deep input ring — NOT M
+    activations: growing M must not grow the carry (the GPipe autodiff
+    path, by contrast, saves all M+S-1 forward carries for backward)."""
+    n_stages = 4
+    mesh = _mesh(n_stages)
+    _, stacked = _mlp_params(jax.random.PRNGKey(0), n_stages)
+
+    def carry_bytes(n_micro):
+        x = jnp.zeros((n_micro, 2, 16))
+        y = jnp.zeros((n_micro, 2, 16))
+        jaxpr = jax.make_jaxpr(
+            lambda p: pp.pipeline_train_step_1f1b(
+                mesh, "stage", _mlp_stage, _mse, p, x, y))(stacked)
+        # largest scan-carried buffer in the jaxpr ~ the input ring
+        sizes = [np.prod(v.aval.shape) * v.aval.dtype.itemsize
+                 for eqn in jaxpr.jaxpr.eqns for v in eqn.invars
+                 if hasattr(v, "aval") and v.aval.shape]
+        return max(sizes)
+
+    assert carry_bytes(32) == carry_bytes(4), \
+        "activation storage must be independent of microbatch count"
