@@ -240,6 +240,44 @@ def pp_llm_prefill(mesh: Mesh, axis: str, params: dict, cfg,
     return h.reshape(b, t, -1)
 
 
+def pp_llm_train_step(mesh: Mesh, axis: str, params: dict, cfg, tokens,
+                      targets, n_micro: int, schedule: str = "1f1b"):
+    """Pipelined LLM block-stack training step: next-token cross-entropy
+    over [B, T] tokens with the layer stack stage-sharded.
+
+    Trains the blk.* parameters (returned grads are stage-stacked, keyed
+    like stack_llm_stage_params); the embedding table and output head are
+    applied replicated and treated as frozen here — shard them with
+    parallel/mesh dp/tp if they should train too. schedule: "1f1b"
+    (memory-bounded backward, the default) or "gpipe" (autodiff).
+    Returns (loss, grads).
+    """
+    s_n = mesh.shape[axis]
+    stacked = stack_llm_stage_params(params, cfg, s_n)
+    stage_fn = make_llm_stage_fn(cfg, s_n, tokens.shape[-1])
+    b, t = tokens.shape
+    assert b % n_micro == 0
+    from ..nn import functional as F
+
+    x = F.embedding(params["token_embd.weight"], tokens).astype(jnp.float32)
+    x = x.reshape(n_micro, b // n_micro, t, -1)
+    tgt = targets.reshape(n_micro, b // n_micro, t)
+    w_norm = params["output_norm.weight"]
+    w_out = params["output.weight"]
+    eps = cfg.norm_eps
+
+    def loss_fn(hidden, tgt_mb):
+        h = F.rms_norm(hidden, w_norm, eps)
+        logits = F.linear(h, w_out)
+        logp = jax.nn.log_softmax(logits, -1)
+        return -jnp.mean(jnp.take_along_axis(logp, tgt_mb[..., None],
+                                             -1)[..., 0])
+
+    step = (pipeline_train_step_1f1b if schedule == "1f1b"
+            else pipeline_train_step_gpipe)
+    return step(mesh, axis, stage_fn, loss_fn, stacked, x, tgt)
+
+
 def make_pp_mesh(n_devices: int | None = None) -> Mesh:
     """One-axis ("stage",) mesh over the available devices."""
     import numpy as np

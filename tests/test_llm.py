@@ -511,3 +511,40 @@ def test_generate_batch_pallas_q8_matches_xla():
     fast = llm.generate_batch(params, cfg, prompts, max_new=5, kv_quant=True,
                               use_pallas_decode=True, interpret=True)
     assert fast == ref
+
+
+@pytest.mark.skipif(
+    not (os.path.exists("/root/.axon_site")
+         and os.environ.get("CLEARCAM_PALLAS_TPU_TEST")),
+    reason="real-TPU Pallas check: set CLEARCAM_PALLAS_TPU_TEST=1 (claims a "
+           "TPU session)")
+def test_generate_batch_pallas_on_tpu():
+    """Batched prefix kernel compiled for the REAL TPU: generate_batch with
+    use_pallas_decode must emit exactly the XLA batched path's tokens
+    (ragged prompts — distinct per-row live windows)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax.numpy as jnp\n"
+        "from clearcam_tpu.models import llm\n"
+        "cfg = llm.TransformerConfig(num_blocks=2, dim=256, hidden_dim=512,"
+        " n_heads=4, n_kv_heads=2, norm_eps=1e-5, vocab_size=512,"
+        " head_dim=128, rope_theta=1e4, rope_dim=128, v_head_dim=128,"
+        " max_context=512)\n"
+        "params = llm.init_params(cfg, seed=6)\n"
+        "prompts = [[1,2,3,4,5],[9,8,7],[5,5]]\n"
+        "ref = llm.generate_batch(params, cfg, prompts, max_new=6,"
+        " state_dtype=jnp.bfloat16)\n"
+        "fast = llm.generate_batch(params, cfg, prompts, max_new=6,"
+        " state_dtype=jnp.bfloat16, use_pallas_decode=True)\n"
+        "assert fast == ref, (fast, ref)\n"
+        "print('BATCH PALLAS OK')\n")
+    env = dict(os.environ,
+               PYTHONPATH="/root/repo:/root/.axon_site")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=580)
+    assert r.returncode == 0 and "BATCH PALLAS OK" in r.stdout, \
+        r.stdout + r.stderr

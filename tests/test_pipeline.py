@@ -179,3 +179,46 @@ def test_1f1b_activation_memory_is_bounded():
 
     assert carry_bytes(32) == carry_bytes(4), \
         "activation storage must be independent of microbatch count"
+
+
+def test_pp_llm_train_step_matches_sequential():
+    """Pipelined LLM block-stack training (1F1B): loss + grads equal the
+    sequential forward + jax.grad over the same stage decomposition."""
+    from clearcam_tpu.models import llm
+    from clearcam_tpu.nn import functional as F
+
+    n_stages, n_micro, T = 4, 2, 8
+    mesh = _mesh(n_stages)
+    cfg = llm.TransformerConfig(
+        num_blocks=4, dim=32, hidden_dim=64, n_heads=4, n_kv_heads=2,
+        norm_eps=1e-5, vocab_size=64, head_dim=8, rope_theta=10000.0,
+        rope_dim=8, v_head_dim=8, max_context=T)
+    params = llm.init_params(cfg, seed=1)
+    key = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(key, (4, T), 0, cfg.vocab_size)
+    targets = jax.random.randint(jax.random.PRNGKey(1), (4, T), 0,
+                                 cfg.vocab_size)
+
+    loss, grads = pp.pp_llm_train_step(mesh, "stage", params, cfg, tokens,
+                                       targets, n_micro)
+
+    stacked = pp.stack_llm_stage_params(params, cfg, n_stages)
+    stage_fn = pp.make_llm_stage_fn(cfg, n_stages, T)
+
+    def seq_loss(stk):
+        x = F.embedding(params["token_embd.weight"], tokens) \
+            .astype(jnp.float32)
+        x = x.reshape(n_micro, 4 // n_micro, T, -1)
+        for s in range(n_stages):
+            sp = jax.tree.map(lambda a, s=s: a[s], stk)
+            x = jax.vmap(lambda mb: stage_fn(sp, mb))(x)
+        h = F.rms_norm(x, params["output_norm.weight"], cfg.norm_eps)
+        logits = F.linear(h, params["output.weight"])
+        logp = jax.nn.log_softmax(logits, -1)
+        tgt = targets.reshape(n_micro, 4 // n_micro, T)
+        return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], -1))
+
+    ref_loss, ref_g = jax.value_and_grad(seq_loss)(stacked)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-4), grads, ref_g)
