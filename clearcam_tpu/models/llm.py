@@ -355,9 +355,6 @@ def _ssm_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     return out, new_state
 
 
-_BLOCK_FNS = {"attn": _attention_block, "mla": _mla_block, "ssm": _ssm_block}
-
-
 # ---------------------------------------------------------------------------
 # full model step
 # ---------------------------------------------------------------------------
@@ -437,15 +434,12 @@ def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
         elif kind == "mla":
             attn_out, st = _mla_block(p, pre, bc, h, state[i], start_pos,
                                       freqs, pad_start=pad_start)
-        elif kind == "ssm":
+        else:  # kind == "ssm" (block_kind returns attn|mla|ssm only)
             assert pad_start is None or row_live is not None, \
                 "batched left-pad generation over SSM blocks needs row_live " \
                 "(the recurrence would ingest the pad junk)"
             attn_out, st = _ssm_block(p, pre, bc, h, state[i], start_pos,
                                       freqs, live=row_live)
-        else:
-            attn_out, st = _BLOCK_FNS[kind](p, pre, bc, h, state[i], start_pos,
-                                            freqs)
         x = x + attn_out
         x = x + _ffn(p, pre, bc, F.rms_norm(x, p[f"{pre}.ffn_norm.weight"],
                                             cfg.norm_eps))
@@ -714,9 +708,10 @@ def config_from_gguf(kv: dict, state_dict: dict,
     max_context = min(max_context, mc) if max_context else mc
     # cache length must be CHUNK-aligned (prefill writes CHUNK-wide slices;
     # an unaligned final chunk would clamp and corrupt earlier rows —
-    # ADVICE r2). Rounding UP costs <CHUNK cache rows; callers keep their
-    # own token budgets (e.g. qwen3vl.MAX_CONTEXT = 2000 -> cache 2016).
-    max_context = -(-max_context // CHUNK) * CHUNK
+    # ADVICE r2). Round DOWN: rounding up would let generation run past the
+    # model's declared (trained) context window, since generate()'s stop
+    # bound is cfg.max_context.
+    max_context = max(CHUNK, max_context // CHUNK * CHUNK)
     n_heads = kv[f"{arch}.attention.head_count"]
     n_kv = kv[f"{arch}.attention.head_count_kv"]
     if isinstance(n_kv, list):

@@ -146,12 +146,21 @@ def decode_attention_batch(q, k_cache, v_cache, pos, pads=None, *,
     index pos); pads [B] gives each row's left-pad width — right-aligned
     batched generation (models/llm.generate_batch) leaves rows' first
     pads[b] cache entries as junk that must not be attended. Row b attends
-    exactly to positions pads[b]..pos. HBM reads scale with the live
-    window: chunks outside [pads[b]//chunk, pos//chunk] are never DMA'd.
+    exactly to positions pads[b]..pos.
 
-    Grid is (B, KvH): one program per (row, kv-head); rep = H/KvH query
-    heads each. Same online-softmax + double-buffered chunk DMA scheme as
-    the batch-1 kernel above.
+    Grid is (KvH,) with ALL B rows per program: a first cut with grid
+    (B, KvH) ran one tiny [rep, chunk] matmul per small DMA and measured
+    DMA-latency-bound — slower than XLA at every batch size (PERF.md).
+    This layout moves [B, chunk, D] per copy (B× the bytes per DMA
+    descriptor set) and feeds batched dot_generals, so the chunk loop
+    amortizes latency. Chunks before min_b(pads)//chunk or beyond pos are
+    never DMA'd, keeping the reads-scale-with-live-context property.
+
+    Measured outcome (B=8, ctx 2048, 2B int8 model, real v5e — PERF.md):
+    −3% vs the XLA batched einsum at pos 256, −16% at pos 1984 — XLA's
+    full-cache attention hides behind the weight-bound matmuls at this
+    size, so generate_batch defaults to XLA; use this kernel only when the
+    live KV volume rivals the weight bytes (very long contexts).
     """
     b_n, h, d = q.shape
     _, kvh, s, _ = k_cache.shape
@@ -162,58 +171,66 @@ def decode_attention_batch(q, k_cache, v_cache, pos, pads=None, *,
         pads = jnp.zeros((b_n,), jnp.int32)
     scalars = jnp.concatenate([jnp.asarray([pos], jnp.int32),
                                jnp.asarray(pads, jnp.int32)])
-    q4 = q.reshape(b_n, kvh, rep, d)
+    q4 = q.reshape(b_n, kvh, rep, d).transpose(1, 0, 2, 3)  # [KvH,B,rep,D]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b_n, kvh),
+        grid=(kvh,),
         in_specs=[
-            pl.BlockSpec((1, 1, rep, d), lambda b, i, sc: (b, i, 0, 0),
+            pl.BlockSpec((1, b_n, rep, d), lambda i, sc: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, rep, d), lambda b, i, sc: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, b_n, rep, d), lambda i, sc: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_batch_kernel, chunk=chunk, scale=scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_n, kvh, rep, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((kvh, b_n, rep, d), q.dtype),
         interpret=interpret,
     )(scalars, q4, k_cache, v_cache)
-    return out.reshape(b_n, h, d)
+    return out.transpose(1, 0, 2, 3).reshape(b_n, h, d)
 
 
 def _batch_kernel(sc_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
-    """Per-(row, kv-head) program with a per-row live window [lo, pos]."""
-    b = pl.program_id(0)
-    kvh = pl.program_id(1)
-    rep, d = q_ref.shape[2], q_ref.shape[3]
+    """Per-kv-head program over all B rows with per-row windows [lo_b, pos]."""
+    kvh = pl.program_id(0)
+    b_n, rep, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     s = k_ref.shape[2]
     n_chunks = s // chunk
     pos = sc_ref[0]
-    lo = sc_ref[1 + b]
-    c_lo = lo // chunk  # first chunk containing live entries for this row
+    # SMEM only supports scalar loads — gather the per-row pad starts
+    # element-wise (b_n is static and small)
+    lo_scalars = [sc_ref[1 + i] for i in range(b_n)]
+    c_lo = functools.reduce(jnp.minimum, lo_scalars) // chunk
 
     def body(k_buf, v_buf, sem_k, sem_v):
-        q = q_ref[0, 0].astype(jnp.float32) * scale
+        q = q_ref[0].astype(jnp.float32) * scale    # [B, rep, D]
+        # Mosaic cannot reshape a 1-D vector to [B,1,1] for broadcasting;
+        # materialize each row's lower bound over [B, rep, chunk] by
+        # selecting scalars against a batch-index iota instead
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (b_n, rep, chunk), 0)
+        lo_t = jnp.zeros((b_n, rep, chunk), jnp.int32)
+        for i, lo_i in enumerate(lo_scalars):
+            lo_t = jnp.where(bidx == i, lo_i, lo_t)
 
         def start_dma(slot, c):
-            pltpu.make_async_copy(k_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+            pltpu.make_async_copy(k_ref.at[:, kvh, pl.ds(c * chunk, chunk), :],
                                   k_buf.at[slot], sem_k.at[slot]).start()
-            pltpu.make_async_copy(v_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+            pltpu.make_async_copy(v_ref.at[:, kvh, pl.ds(c * chunk, chunk), :],
                                   v_buf.at[slot], sem_v.at[slot]).start()
 
         def wait_dma(slot, c):
-            pltpu.make_async_copy(k_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+            pltpu.make_async_copy(k_ref.at[:, kvh, pl.ds(c * chunk, chunk), :],
                                   k_buf.at[slot], sem_k.at[slot]).wait()
-            pltpu.make_async_copy(v_ref.at[b, kvh, pl.ds(c * chunk, chunk), :],
+            pltpu.make_async_copy(v_ref.at[:, kvh, pl.ds(c * chunk, chunk), :],
                                   v_buf.at[slot], sem_v.at[slot]).wait()
 
-        # first live chunk's DMA is issued up front (dynamic chunk index);
-        # each attended iteration prefetches its successor, so non-attended
-        # iterations below c_lo start nothing and slot parity stays c % 2
+        # first needed chunk's DMA is issued up front (dynamic index);
+        # attended iterations prefetch their successor, so slot parity
+        # stays c % 2 and no chunk is ever copied twice
         start_dma(c_lo % 2, c_lo)
 
         def loop(c, carry):
@@ -227,37 +244,41 @@ def _batch_kernel(sc_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
             def attend(carry):
                 acc, m, l = carry
                 wait_dma(c % 2, c)
-                k = k_buf[c % 2].astype(jnp.float32)
+                k = k_buf[c % 2].astype(jnp.float32)      # [B, chunk, D]
                 v = v_buf[c % 2].astype(jnp.float32)
-                scores = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
+                scores = jax.lax.dot_general(              # [B, rep, chunk]
+                    q, k, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) \
+                cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) \
                     + c * chunk
-                scores = jnp.where((cols >= lo) & (cols <= pos), scores,
-                                   -jnp.inf)
+                live = (cols >= lo_t) & (cols <= pos)
+                scores = jnp.where(live, scores, -jnp.inf)
                 m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
-                p = jnp.exp(scores - m_new)
-                alpha = jnp.exp(m - m_new)
+                # a row with NO live cols in this chunk keeps m_new = -inf;
+                # exp(-inf - -inf) would NaN, so shift by a finite max
+                # (exp(-inf - 0) = 0 contributes nothing)
+                m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+                p = jnp.exp(scores - m_safe)
+                alpha = jnp.exp(m - m_safe)
                 l_new = l * alpha + p.sum(-1, keepdims=True)
                 acc_new = acc * alpha + jax.lax.dot_general(
-                    p, v, (((1,), (0,)), ((), ())),
+                    p, v, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
                 return acc_new, m_new, l_new
 
             return jax.lax.cond(attended, attend, lambda cry: cry,
                                 (acc, m, l))
 
-        init = (jnp.zeros((rep, d), jnp.float32),
-                jnp.full((rep, 1), -jnp.inf, jnp.float32),
-                jnp.zeros((rep, 1), jnp.float32))
+        init = (jnp.zeros((b_n, rep, d), jnp.float32),
+                jnp.full((b_n, rep, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((b_n, rep, 1), jnp.float32))
         acc, m, l = jax.lax.fori_loop(0, n_chunks, loop, init)
-        out_ref[0, 0] = (acc / l).astype(out_ref.dtype)
+        out_ref[0] = (acc / l).astype(out_ref.dtype)
 
     pl.run_scoped(
         body,
-        k_buf=pltpu.VMEM((2, chunk, d), k_ref.dtype),
-        v_buf=pltpu.VMEM((2, chunk, d), v_ref.dtype),
+        k_buf=pltpu.VMEM((2, b_n, chunk, d), k_ref.dtype),
+        v_buf=pltpu.VMEM((2, b_n, chunk, d), v_ref.dtype),
         sem_k=pltpu.SemaphoreType.DMA((2,)),
         sem_v=pltpu.SemaphoreType.DMA((2,)),
     )

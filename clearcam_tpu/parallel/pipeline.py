@@ -251,6 +251,12 @@ def pp_llm_train_step(mesh: Mesh, axis: str, params: dict, cfg, tokens,
     parallel/mesh dp/tp if they should train too. schedule: "1f1b"
     (memory-bounded backward, the default) or "gpipe" (autodiff).
     Returns (loss, grads).
+
+    To jit, pass `params` (and tokens/targets) as ARGUMENTS of the jitted
+    wrapper — e.g. jit(lambda p, x, y: pp_llm_train_step(mesh, ax, p, cfg,
+    x, y, m)). The head weights the loss closes over are then tracers, not
+    baked constants (CLAUDE.md "never close jitted fns over weight
+    arrays"); tests/test_pipeline.py pins this usage.
     """
     s_n = mesh.shape[axis]
     stacked = stack_llm_stage_params(params, cfg, s_n)

@@ -151,7 +151,12 @@ static bool http_get(const std::string &url, std::vector<uint8_t> *body,
   uint8_t buf[16384];
   ssize_t n;
   while ((n = read(fd, buf, sizeof buf)) > 0) raw.insert(raw.end(), buf, buf + n);
+  bool read_err = n < 0;  // SO_RCVTIMEO or connection error — NOT a clean EOF
   close(fd);
+  if (read_err) {
+    *err = "read failed or timed out";
+    return false;
+  }
   std::string head(raw.begin(),
                    raw.begin() + std::min<size_t>(raw.size(), 8192));
   size_t hdr_end = head.find("\r\n\r\n");
@@ -179,10 +184,26 @@ static bool http_get(const std::string &url, std::vector<uint8_t> *body,
           nullptr, 16);
       if (!len) break;
       i = eol + 2;
+      if (len > body->size() - i) {  // truncated chunk: declared length
+        *err = "truncated chunked body";  // exceeds received bytes
+        return false;
+      }
       out.insert(out.end(), body->begin() + i, body->begin() + i + len);
       i += len + 2;
     }
     *body = out;
+  } else {
+    // verify Content-Length when present — a mid-body disconnect must not
+    // be reported as a complete response
+    size_t clp = lower.find("content-length:");
+    if (clp != std::string::npos) {
+      size_t want = strtoul(lower.c_str() + clp + 15, nullptr, 10);
+      if (body->size() < want) {
+        *err = "truncated body (content-length mismatch)";
+        return false;
+      }
+      body->resize(want);
+    }
   }
   if (code < 200 || code >= 300) {
     *err = "http status " + std::to_string(code);

@@ -159,3 +159,32 @@ def test_offline_decrypt(viewer_bin, tmp_path):
              "--out", str(out)])
     assert r.returncode == 0, r.stderr
     assert out.read_bytes() == CLIP
+
+
+class TruncatingRelay(BaseHTTPRequestHandler):
+    """Declares more bytes than it sends — the client must fail, not emit
+    a partial body with exit code 0."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):  # noqa: N802
+        payload = b"0123456789"
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(payload) * 10))
+        self.end_headers()
+        self.wfile.write(payload)
+        # close without sending the rest
+
+
+def test_truncated_body_fails(viewer_bin, tmp_path):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), TruncatingRelay)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/blob.aes"
+    try:
+        r = run([viewer_bin, "fetch-event", "--url", url, "--key", KEY,
+                 "--out", str(tmp_path / "x.mp4")])
+        assert r.returncode != 0
+        assert "truncated" in r.stderr or "failed" in r.stderr
+    finally:
+        srv.shutdown()

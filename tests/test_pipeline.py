@@ -222,3 +222,28 @@ def test_pp_llm_train_step_matches_sequential():
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-4), grads, ref_g)
+
+
+def test_pp_llm_train_step_under_jit():
+    """The supported jit usage — params as arguments of the jitted wrapper
+    — must trace and run (head weights flow as tracers, not baked
+    constants; CLAUDE.md closure rule)."""
+    from clearcam_tpu.models import llm
+
+    n_stages, T = 4, 8
+    mesh = _mesh(n_stages)
+    cfg = llm.TransformerConfig(
+        num_blocks=4, dim=32, hidden_dim=64, n_heads=4, n_kv_heads=2,
+        norm_eps=1e-5, vocab_size=64, head_dim=8, rope_theta=10000.0,
+        rope_dim=8, v_head_dim=8, max_context=T)
+    params = llm.init_params(cfg, seed=2)
+    tokens = jnp.zeros((2, T), jnp.int32)
+    targets = jnp.ones((2, T), jnp.int32)
+
+    step = jax.jit(lambda p, x, y: pp.pp_llm_train_step(
+        mesh, "stage", p, cfg, x, y, n_micro=2))
+    loss, grads = step(params, tokens, targets)
+    assert np.isfinite(float(loss))
+    ref_loss, _ = pp.pp_llm_train_step(mesh, "stage", params, cfg, tokens,
+                                       targets, n_micro=2)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
