@@ -63,7 +63,13 @@ def main(argv=None):
     x = jax.device_put(jnp.asarray(
         rng.standard_normal((b, r, r, 3)), jnp.bfloat16))
 
-    fused = jax.jit(stem)
+    # device-side timing over the axon tunnel REQUIRES a tiny readback:
+    # the stem's [128,160,160,32] output is ~210 MB, which at ~20 MB/s
+    # tunnel bandwidth costs ~10 s per np.asarray — reduce to a scalar
+    # inside the jit so the queue-drain sync transfers 4 bytes (first
+    # version of this probe measured 607 ms "stem time" that was pure
+    # readback; true device time is ~1 ms)
+    fused = jax.jit(lambda p, x: stem(p, x).mean())
     dt = timeit(fused, p, x, steps=args.steps)
 
     # also time the two convs with a forced materialization between them
@@ -72,9 +78,9 @@ def main(argv=None):
     conv0 = jax.jit(lambda p, x: jax.nn.silu(
         F.conv2d(x, p["w0"], p["b0"], stride=2, padding=1)))
     conv1 = jax.jit(lambda p, y: jax.nn.silu(
-        F.conv2d(y, p["w1"], p["b1"], stride=2, padding=1)))
+        F.conv2d(y, p["w1"], p["b1"], stride=2, padding=1)).mean())
     mid = conv0(p, x)
-    np.asarray(mid)
+    np.asarray(conv1(p, mid))
     t0 = time.perf_counter()
     for _ in range(args.steps):
         mid = conv0(p, x)
