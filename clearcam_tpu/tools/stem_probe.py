@@ -88,6 +88,30 @@ def main(argv=None):
     np.asarray(out)
     dt_split = (time.perf_counter() - t0) / args.steps
 
+    # conv1 / conv2 in isolation (where does the 4 ms go?)
+    c0_only = jax.jit(lambda p, x: jax.nn.silu(
+        F.conv2d(x, p["w0"], p["b0"], stride=2, padding=1)).mean())
+    dt_c0 = timeit(c0_only, p, x, steps=args.steps)
+    mid_in = jax.device_put(jnp.asarray(
+        rng.standard_normal((b, r // 2, r // 2, 16)), jnp.bfloat16))
+    c1_only = jax.jit(lambda p, y: jax.nn.silu(
+        F.conv2d(y, p["w1"], p["b1"], stride=2, padding=1)).mean())
+    dt_c1 = timeit(c1_only, p, mid_in, steps=args.steps)
+
+    # phase-split reformulation: if the preprocess emits a 2x2
+    # space-to-depth layout for free (it is a gather anyway), conv1
+    # becomes a 2x2 stride-1 conv over 12 channels. Time THAT conv alone
+    # (the split itself is outside the timed graph).
+    x_s2d = jax.device_put(
+        jnp.asarray(rng.standard_normal((b, r // 2, r // 2, 12)),
+                    jnp.bfloat16))
+    w0_s2d = jnp.zeros((2, 2, 12, 16), jnp.bfloat16)  # taps scattered; same flops
+    c0_s2d = jax.jit(lambda w, x: jax.nn.silu(jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)).mean())
+    dt_c0_s2d = timeit(c0_s2d, w0_s2d, x_s2d, steps=args.steps)
+
     # roofline: unavoidable HBM bytes = read x + write out (bf16)
     bytes_min = b * (r * r * 3 + (r // 4) * (r // 4) * 32) * 2
     bytes_mid = b * (r // 2) * (r // 2) * 16 * 2     # the fusable intermediate
@@ -96,6 +120,9 @@ def main(argv=None):
     print(json.dumps({
         "batch": b, "stem_ms": round(dt * 1e3, 3),
         "stem_split_ms": round(dt_split * 1e3, 3),
+        "conv1_ms": round(dt_c0 * 1e3, 3),
+        "conv2_ms": round(dt_c1 * 1e3, 3),
+        "conv1_s2d_2x2s1_ms": round(dt_c0_s2d * 1e3, 3),
         "roofline_ms_min_traffic": round(bytes_min / bw * 1e3, 3),
         "roofline_ms_with_mid_roundtrip": round(
             (bytes_min + 2 * bytes_mid) / bw * 1e3, 3),
