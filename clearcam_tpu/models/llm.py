@@ -92,10 +92,16 @@ def precompute_freqs(dim: int, end: int, theta: float) -> np.ndarray:
 
 
 def apply_rope(x, freqs):
-    """Half-split RoPE on [B,H,T,D]; freqs [T, D] (cos||sin)."""
+    """Half-split RoPE on [B,H,T,D]; freqs [T, D] (cos||sin) shared across
+    rows, or [B, T, D] per-row (continuous-batching decode, where every
+    slot sits at its own position)."""
     d = x.shape[-1] // 2
-    cos = freqs[None, None, :, :d]
-    sin = freqs[None, None, :, d:]
+    if freqs.ndim == 3:
+        cos = freqs[:, None, :, :d]
+        sin = freqs[:, None, :, d:]
+    else:
+        cos = freqs[None, None, :, :d]
+        sin = freqs[None, None, :, d:]
     x1, x2 = x[..., :d], x[..., d:]
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
 
@@ -151,6 +157,14 @@ def _attn_mask(start_pos, t, ctx, pad_start=None):
     position, so a per-row left shift is semantically free)."""
     rows = jnp.arange(t)[:, None]
     cols = jnp.arange(ctx)[None, :]
+    if _pos_is_vector(start_pos):
+        # per-row positions (continuous batching): [B, T, ctx] directly
+        reach = start_pos[:, None, None] + rows
+        m = jnp.where(cols <= reach, 0.0, -jnp.inf)[:, None]
+        if pad_start is not None:
+            hide = (cols[None] < pad_start[:, None, None]) & (cols != reach)
+            m = m + jnp.where(hide, -jnp.inf, 0.0)[:, None]
+        return m
     m = jnp.where(cols <= start_pos + rows, 0.0, -jnp.inf)[None, None]
     if pad_start is not None:
         # hide pad columns — EXCEPT from the pad positions' own queries
@@ -171,6 +185,27 @@ def _kv_quantize(x):
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
                  -127, 127).astype(jnp.int8)
     return q, s
+
+
+def _pos_is_vector(start_pos) -> bool:
+    """True when start_pos is a per-row [B] position vector (continuous-
+    batching decode: every slot at its own absolute position, T == 1)."""
+    return getattr(start_pos, "ndim", 0) == 1
+
+
+def _cache_update(cache, new, start_pos):
+    """Write new [B, H, T, D] values (or [B, H, T] scales) into the cache
+    at start_pos — a shared scalar position, or a per-row [B] vector
+    (continuous batching; vmapped dynamic_update_slice lowers to one
+    scatter, T must be 1 there)."""
+    if not _pos_is_vector(start_pos):
+        idx = (0, 0, start_pos) + (0,) * (cache.ndim - 3)
+        return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), idx)
+
+    def one(c, n, p):
+        idx = (0, p) + (0,) * (c.ndim - 2)
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
+    return jax.vmap(one)(cache, new, start_pos)
 
 
 def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
@@ -199,7 +234,8 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     if cfg.qk_norm == hd:
         q = F.rms_norm(q, p[f"{pre}.attn_q_norm.weight"], cfg.norm_eps)
         k = F.rms_norm(k, p[f"{pre}.attn_k_norm.weight"], cfg.norm_eps)
-    fr = jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
+    fr = freqs[start_pos][:, None] if _pos_is_vector(start_pos) \
+        else jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
     q = jnp.concatenate([apply_rope(q[..., :cfg.rope_dim], fr),
                          q[..., cfg.rope_dim:]], -1)
     k = jnp.concatenate([apply_rope(k[..., :cfg.rope_dim], fr),
@@ -208,10 +244,10 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     if "k_s" in state:
         kq, ks = _kv_quantize(k)
         vq, vs = _kv_quantize(v)
-        ck = jax.lax.dynamic_update_slice(state["k"], kq, (0, 0, start_pos, 0))
-        cv = jax.lax.dynamic_update_slice(state["v"], vq, (0, 0, start_pos, 0))
-        cks = jax.lax.dynamic_update_slice(state["k_s"], ks, (0, 0, start_pos))
-        cvs = jax.lax.dynamic_update_slice(state["v_s"], vs, (0, 0, start_pos))
+        ck = _cache_update(state["k"], kq, start_pos)
+        cv = _cache_update(state["v"], vq, start_pos)
+        cks = _cache_update(state["k_s"], ks, start_pos)
+        cvs = _cache_update(state["v_s"], vs, start_pos)
         new_state = {"k": ck, "k_s": cks, "v": cv, "v_s": cvs}
         # XLA-path dequant: fused by XLA into the attention einsums' operand
         # reads (measured ≈ −3% vs bf16 KV at 2B/ctx2048 — a materialized
@@ -219,10 +255,8 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
         ck_a = (ck * cks[..., None]).astype(jnp.bfloat16)
         cv_a = (cv * cvs[..., None]).astype(jnp.bfloat16)
     else:
-        ck = jax.lax.dynamic_update_slice(
-            state["k"], k.astype(state["k"].dtype), (0, 0, start_pos, 0))
-        cv = jax.lax.dynamic_update_slice(
-            state["v"], v.astype(state["v"].dtype), (0, 0, start_pos, 0))
+        ck = _cache_update(state["k"], k, start_pos)
+        cv = _cache_update(state["v"], v, start_pos)
         new_state = {"k": ck, "v": cv}
         ck_a, cv_a = ck, cv
     if decode_attn is not None and t == 1:
@@ -261,7 +295,8 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     else:
         qp = F.linear(x, p[f"{pre}.attn_q.weight"])
     q = qp.reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    fr = jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
+    fr = freqs[start_pos][:, None] if _pos_is_vector(start_pos) \
+        else jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
     q_nope, q_rope = q[..., :nope], q[..., nope:]
     # project q into the latent space: [H, lora, nope]
     q_lat = jnp.einsum("bhtn,hln->bhtl", q_nope, p[f"{pre}.attn_k_b.weight"])
@@ -277,16 +312,12 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
         # int8 latent cache: same per-token absmax scheme as the standard
         # blocks (the latent row is the K AND V, so one scale covers both)
         kq, ks = _kv_quantize(k_new)
-        ck = jax.lax.dynamic_update_slice(state["kv"], kq,
-                                          (0, 0, start_pos, 0))
-        cks = jax.lax.dynamic_update_slice(state["kv_s"], ks,
-                                           (0, 0, start_pos))
+        ck = _cache_update(state["kv"], kq, start_pos)
+        cks = _cache_update(state["kv_s"], ks, start_pos)
         new_state = {"kv": ck, "kv_s": cks}
         k = ck.astype(jnp.float32) * cks[..., None]
     else:
-        ck = jax.lax.dynamic_update_slice(state["kv"],
-                                          k_new.astype(state["kv"].dtype),
-                                          (0, 0, start_pos, 0))
+        ck = _cache_update(state["kv"], k_new, start_pos)
         new_state = {"kv": ck}
         k = ck.astype(jnp.float32)
     v = k[..., :cfg.kv_lora_rank]
@@ -456,9 +487,48 @@ def logits_at(p: dict, cfg: TransformerConfig, hidden, index):
 
 
 def sample_gumbel(logits, temperature, key):
-    """Gumbel-max sampling == softmax(logits/temp) draw (model.py:318-319)."""
+    """Gumbel-max sampling == softmax(logits/temp) draw (model.py:318-319).
+    temperature: scalar, or [B] per-row (continuous batching — each slot
+    keeps its request's own temperature)."""
     g = jax.random.gumbel(key, logits.shape, jnp.float32)
-    return jnp.argmax(logits / jnp.maximum(temperature, 1e-12) + g, -1)
+    t = jnp.asarray(temperature)
+    if t.ndim == 1:
+        t = t[:, None]
+    return jnp.argmax(logits / jnp.maximum(t, 1e-12) + g, -1)
+
+
+def _prefill_hidden(params, cfg: TransformerConfig, state, tokens, start_pos,
+                    n_real, freqs, pad_start=None):
+    """One CHUNK of prefill -> (pre-norm hidden [B, D] at token n_real-1,
+    new state). Attention/MLA stacks run the whole chunk in one forward;
+    SSM/hybrid stacks scan it token-by-token inside the same compiled
+    program (the recurrence is T=1-only — the reference's per-token Python
+    loop, model.py:398, compiled into one graph). Padded steps (t >= n_real)
+    skip the state update so the recurrence stays clean; with pad_start,
+    rows only advance once the global position clears their left pad."""
+    if cfg.ssm is None:
+        hidden, state = forward(params, cfg, state, tokens, start_pos, freqs,
+                                pad_start=pad_start)
+        return jnp.take(hidden, n_real - 1, axis=1), state
+
+    def step(carry, tok_t):
+        st, t = carry
+
+        def live_step(st):
+            rl = None if pad_start is None else (start_pos + t) >= pad_start
+            hidden, st2 = forward(params, cfg, st, tok_t[:, None],
+                                  start_pos + t, freqs, pad_start=pad_start,
+                                  row_live=rl)
+            return st2, hidden[:, 0]
+
+        def dead(st):
+            return st, jnp.zeros((tokens.shape[0], cfg.dim), jnp.float32)
+
+        st, h = jax.lax.cond(t < n_real, live_step, dead, st)
+        return (st, t + 1), h
+
+    (state, _), hiddens = jax.lax.scan(step, (state, jnp.int32(0)), tokens.T)
+    return jnp.take(hiddens, n_real - 1, axis=0), state
 
 
 def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
@@ -478,36 +548,13 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
 
-    if cfg.ssm is None:
-        @jax.jit
-        def prefill(params, state, tokens, start_pos, n_real, temperature, key):
-            hidden, state = forward(params, cfg, state, tokens, start_pos, freqs)
-            logits = logits_at(params, cfg, hidden, n_real - 1)
-            return sample_gumbel(logits, temperature, key), state
-    else:
-        # recurrent blocks only support T=1; scan the chunk inside ONE
-        # compiled program instead of the reference's per-token Python loop
-        # (model.py:398 forces chunk_size=1). Padded steps (t >= n_real) skip
-        # the state update so the SSM recurrence stays clean.
-        @jax.jit
-        def prefill(params, state, tokens, start_pos, n_real, temperature, key):
-            def step(carry, tok_t):
-                st, t = carry
-                def live(st):
-                    hidden, st2 = forward(params, cfg, st, tok_t[None],
-                                          start_pos + t, freqs)
-                    return st2, hidden[:, 0]
-                def dead(st):
-                    return st, jnp.zeros((tokens.shape[0], cfg.dim), jnp.float32)
-                st, h = jax.lax.cond(t < n_real, live, dead, st)
-                return (st, t + 1), h
-
-            (state, _), hiddens = jax.lax.scan(
-                step, (state, jnp.int32(0)), tokens.T)        # scan over T
-            hidden = jnp.take(hiddens, n_real - 1, axis=0)    # [B, D]
-            hidden = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
-            logits = F.linear(hidden, params["output.weight"])
-            return sample_gumbel(logits, temperature, key), state
+    @jax.jit
+    def prefill(params, state, tokens, start_pos, n_real, temperature, key):
+        hidden, state = _prefill_hidden(params, cfg, state, tokens,
+                                        start_pos, n_real, freqs)
+        hidden = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
+        logits = F.linear(hidden, params["output.weight"])
+        return sample_gumbel(logits, temperature, key), state
 
     attn_impl = None
     if use_pallas_decode:
@@ -598,40 +645,15 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
 
     # pad_start rides as a traced ARGUMENT: baking it as a closure constant
     # would recompile both graphs for every new prompt-length profile
-    if cfg.ssm is None:
-        @jax.jit
-        def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
-            hidden, state = forward(params_, cfg, state, tokens, start_pos,
-                                    freqs, pad_start=pads)
-            logits = logits_at(params_, cfg, hidden, n_real - 1)
-            return sample_gumbel(logits, temp, key), state
-    else:
-        # recurrent blocks are T=1: scan the chunk token-by-token inside one
-        # compiled program; each row's state only advances once the global
-        # position clears its left pad (row_live), so the recurrence is
-        # bit-identical to that prompt's solo prefill
-        @jax.jit
-        def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
-            def step(carry, tok_t):
-                st, t = carry
-                def live_step(st):
-                    hidden, st2 = forward(
-                        params_, cfg, st, tok_t[:, None], start_pos + t,
-                        freqs, pad_start=pads,
-                        row_live=(start_pos + t) >= pads)
-                    return st2, hidden[:, 0]
-                def dead(st):
-                    return st, jnp.zeros((tokens.shape[0], cfg.dim),
-                                         jnp.float32)
-                st, h = jax.lax.cond(t < n_real, live_step, dead, st)
-                return (st, t + 1), h
-            (state, _), hiddens = jax.lax.scan(
-                step, (state, jnp.int32(0)), tokens.T)
-            hidden = jnp.take(hiddens, n_real - 1, axis=0)    # [B, D]
-            hidden = F.rms_norm(hidden, params_["output_norm.weight"],
-                                cfg.norm_eps)
-            logits = F.linear(hidden, params_["output.weight"])
-            return sample_gumbel(logits, temp, key), state
+    @jax.jit
+    def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
+        hidden, state = _prefill_hidden(params_, cfg, state, tokens,
+                                        start_pos, n_real, freqs,
+                                        pad_start=pads)
+        hidden = F.rms_norm(hidden, params_["output_norm.weight"],
+                            cfg.norm_eps)
+        logits = F.linear(hidden, params_["output.weight"])
+        return sample_gumbel(logits, temp, key), state
 
     all_live = jnp.ones((b_n,), bool)
 
@@ -674,6 +696,121 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         pos += 1
         cur = np.asarray(tok)
     return out
+
+
+def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
+                     interpret: bool = False):
+    """Continuous-batching serving graphs (serving/engine.py drives them).
+
+    Unlike generate_batch (one right-aligned batch, all rows at one global
+    position), every slot here sits at its OWN absolute position, so
+    requests join and leave the batch at any time — the TPU-native
+    equivalent of vLLM-style continuous batching, built on the same
+    forward(): per-row positions ride as a [B] vector (scatter cache
+    writes, per-row RoPE gather, per-row causal mask).
+
+    Both graphs are built to cost ONE dispatch per scheduler tick through
+    a high-latency link (the axon tunnel here; PCIe hosts win the same
+    way, smaller): sampled tokens stay device-resident (first_tok buffer +
+    prev_tok chaining), the PRNG key is folded from a step counter INSIDE
+    the graph, and all per-step host inputs ride in one packed [3, B] meta
+    array; scalars are plain Python numbers (traced, not re-uploaded
+    arrays).
+
+    prefill_slot(params, state, first_tok[B], tokens[1,CHUNK], slot,
+                 start_pos, n_real, temp, step, base_key)
+        -> (first_tok' [B], state)
+        advances ONE slot's request by one chunk (other slots' cache rows
+        untouched — sliced out, computed at B=1, scattered back); the
+        chunk's sampled token lands in first_tok[slot] ON DEVICE (only the
+        final chunk's matters). Chunks interleave with decode_all steps,
+        so admitting a long prompt never stalls running requests for more
+        than one chunk's latency.
+    decode_all(params, state, prev_tok[B], first_tok[B], meta[3,B] i32,
+               temps[B], step, base_key) -> (token [B], state)
+        one token for every slot; meta rows are [pos, live, inject]. Row b
+        consumes first_tok[b] where inject (a slot's FIRST decode after
+        prefill) and prev_tok[b] otherwise (the previous step's device
+        output, chained without materialization — serving/engine.py reads
+        tokens host-side a few steps LATE, keeping the dispatch pipeline
+        full). Row b writes its K/V at pos[b] and attends cols <= pos[b].
+        The ENGINE owns the park policy for slots that are not decoding
+        (their sampled token is discarded): free slots ride at pos 0 (junk
+        at 0 is rewritten by any future occupant's own sequential writes
+        before its causal mask can reach it) and mid-prefill slots ride at
+        their prefill cursor (the next prefill chunk overwrites exactly
+        that position). Low park positions keep the Pallas kernel's read
+        bound (max_b pos) at the live maximum. live gates ONLY the SSM
+        recurrence (a dead row's junk step must not advance recurrent
+        state — attention caches are position-addressed so parking
+        suffices, recurrences are not; a retired-but-undiscovered slot's
+        junk recurrence is erased by the next occupant's first-chunk
+        reset).
+
+    use_pallas_decode routes decode_all's standard-attention blocks through
+    the per-row-position Pallas kernel (ops/decode_attention): HBM reads
+    stop at max(pos)+1 instead of max_context — the win regime when live
+    positions sit far below the cache length.
+    """
+    freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                         cfg.rope_theta))
+
+    attn_impl = None
+    if use_pallas_decode:
+        from ..ops.decode_attention import CHUNK as _DC
+        from ..ops.decode_attention import decode_attention_batch
+        assert cfg.max_context % _DC == 0, \
+            f"use_pallas_decode needs max_context % {_DC} == 0"
+        assert cfg.ssm is None, "Pallas serving decode needs attn-only stacks"
+
+        def attn_impl(q, st, pos_vec, pads):  # [B,H,1,D] -> [B,H,1,D]
+            out = decode_attention_batch(q[:, :, 0], st["k"], st["v"],
+                                         pos_vec, pads, interpret=interpret)
+            return out[:, :, None]
+
+    @jax.jit
+    def prefill_slot(params, state, first_tok, tokens, slot, start_pos,
+                     n_real, temp, step, base_key):
+        st_b = [jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
+            for s in state]
+        if cfg.ssm is not None:
+            # a new occupant must not inherit the retired request's
+            # recurrent state (attention caches need no reset: positions
+            # <= pos are always rewritten before they can be attended)
+            fresh = start_pos == 0
+            st_b = [jax.tree.map(
+                lambda a: jnp.where(fresh, jnp.zeros_like(a), a), s)
+                if cfg.block_kind(i) == "ssm" else s
+                for i, s in enumerate(st_b)]
+        hidden, st_b = _prefill_hidden(params, cfg, st_b, tokens, start_pos,
+                                       n_real, freqs)
+        hidden = F.rms_norm(hidden, params["output_norm.weight"],
+                            cfg.norm_eps)
+        tok = sample_gumbel(F.linear(hidden, params["output.weight"]),
+                            temp, jax.random.fold_in(base_key, step))
+        state = [jax.tree.map(
+            lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+                full, part.astype(full.dtype), slot, 0), s, sb)
+            for s, sb in zip(state, st_b)]
+        first_tok = jax.lax.dynamic_update_slice(
+            first_tok, tok.astype(first_tok.dtype), (slot,))
+        return first_tok, state
+
+    @jax.jit
+    def decode_all(params, state, prev_tok, first_tok, meta, temps, step,
+                   base_key):
+        pos, live = meta[0], meta[1] != 0
+        token = jnp.where(meta[2] != 0, first_tok, prev_tok)[:, None]
+        hidden, state = forward(
+            params, cfg, state, token, pos, freqs, decode_attn=attn_impl,
+            row_live=live if cfg.ssm is not None else None)
+        logits = logits_at(params, cfg, hidden, jnp.int32(0))
+        tok = sample_gumbel(logits, temps,
+                            jax.random.fold_in(base_key, step))
+        return tok, state
+
+    return prefill_slot, decode_all
 
 
 def make_verify_fn(cfg: TransformerConfig):

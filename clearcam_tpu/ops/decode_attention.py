@@ -142,11 +142,14 @@ def decode_attention_batch(q, k_cache, v_cache, pos, pads=None, *,
                            chunk: int = CHUNK, interpret: bool = False):
     """Batched decode attention: q [B,H,D], caches [B,KvH,S,D] -> [B,H,D].
 
-    pos is the shared live position (every row's current token K/V is at
-    index pos); pads [B] gives each row's left-pad width — right-aligned
-    batched generation (models/llm.generate_batch) leaves rows' first
-    pads[b] cache entries as junk that must not be attended. Row b attends
-    exactly to positions pads[b]..pos.
+    pos: the live position — a shared scalar (right-aligned generate_batch:
+    every row's current token K/V is at index pos) or a per-row [B] vector
+    (continuous-batching serving, models/llm.make_serving_fns: every slot
+    at its own absolute position). pads [B] gives each row's left-pad width
+    (zero in serving). Row b attends exactly to positions pads[b]..pos[b].
+    HBM reads stop at max_b(pos)//chunk — with live positions far below the
+    cache length (the serving steady state) this reads a fraction of what
+    XLA's full-cache attention reads.
 
     Grid is (KvH,) with ALL B rows per program: a first cut with grid
     (B, KvH) ran one tiny [rep, chunk] matmul per small DMA and measured
@@ -169,8 +172,8 @@ def decode_attention_batch(q, k_cache, v_cache, pos, pads=None, *,
     scale = 1.0 / (d ** 0.5)
     if pads is None:
         pads = jnp.zeros((b_n,), jnp.int32)
-    scalars = jnp.concatenate([jnp.asarray([pos], jnp.int32),
-                               jnp.asarray(pads, jnp.int32)])
+    pos_v = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b_n,))
+    scalars = jnp.concatenate([pos_v, jnp.asarray(pads, jnp.int32)])
     q4 = q.reshape(b_n, kvh, rep, d).transpose(1, 0, 2, 3)  # [KvH,B,rep,D]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -195,26 +198,29 @@ def decode_attention_batch(q, k_cache, v_cache, pos, pads=None, *,
 
 
 def _batch_kernel(sc_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
-    """Per-kv-head program over all B rows with per-row windows [lo_b, pos]."""
+    """Per-kv-head program over all B rows, per-row windows [lo_b, pos_b]."""
     kvh = pl.program_id(0)
     b_n, rep, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     s = k_ref.shape[2]
     n_chunks = s // chunk
-    pos = sc_ref[0]
-    # SMEM only supports scalar loads — gather the per-row pad starts
-    # element-wise (b_n is static and small)
-    lo_scalars = [sc_ref[1 + i] for i in range(b_n)]
+    # SMEM only supports scalar loads — gather the per-row positions and
+    # pad starts element-wise (b_n is static and small)
+    pos_scalars = [sc_ref[i] for i in range(b_n)]
+    lo_scalars = [sc_ref[b_n + i] for i in range(b_n)]
+    pos_max = functools.reduce(jnp.maximum, pos_scalars)
     c_lo = functools.reduce(jnp.minimum, lo_scalars) // chunk
 
     def body(k_buf, v_buf, sem_k, sem_v):
         q = q_ref[0].astype(jnp.float32) * scale    # [B, rep, D]
         # Mosaic cannot reshape a 1-D vector to [B,1,1] for broadcasting;
-        # materialize each row's lower bound over [B, rep, chunk] by
-        # selecting scalars against a batch-index iota instead
+        # materialize each row's bounds over [B, rep, chunk] by selecting
+        # scalars against a batch-index iota instead
         bidx = jax.lax.broadcasted_iota(jnp.int32, (b_n, rep, chunk), 0)
         lo_t = jnp.zeros((b_n, rep, chunk), jnp.int32)
-        for i, lo_i in enumerate(lo_scalars):
+        pos_t = jnp.zeros((b_n, rep, chunk), jnp.int32)
+        for i, (lo_i, pos_i) in enumerate(zip(lo_scalars, pos_scalars)):
             lo_t = jnp.where(bidx == i, lo_i, lo_t)
+            pos_t = jnp.where(bidx == i, pos_i, pos_t)
 
         def start_dma(slot, c):
             pltpu.make_async_copy(k_ref.at[:, kvh, pl.ds(c * chunk, chunk), :],
@@ -235,9 +241,9 @@ def _batch_kernel(sc_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
 
         def loop(c, carry):
             acc, m, l = carry
-            attended = (c >= c_lo) & (c * chunk <= pos)
+            attended = (c >= c_lo) & (c * chunk <= pos_max)
 
-            @pl.when(attended & ((c + 1) * chunk <= pos))
+            @pl.when(attended & ((c + 1) * chunk <= pos_max))
             def _():
                 start_dma((c + 1) % 2, c + 1)
 
@@ -251,7 +257,7 @@ def _batch_kernel(sc_ref, q_ref, k_ref, v_ref, out_ref, *, chunk, scale):
                     preferred_element_type=jnp.float32)
                 cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) \
                     + c * chunk
-                live = (cols >= lo_t) & (cols <= pos)
+                live = (cols >= lo_t) & (cols <= pos_t)
                 scores = jnp.where(live, scores, -jnp.inf)
                 m_new = jnp.maximum(m, scores.max(-1, keepdims=True))
                 # a row with NO live cols in this chunk keeps m_new = -inf;
@@ -297,8 +303,8 @@ def decode_attention_batch_q8(q, k_q8, k_s, v_q8, v_s, pos, pads=None, *,
     scale = 1.0 / (d ** 0.5)
     if pads is None:
         pads = jnp.zeros((b_n,), jnp.int32)
-    scalars = jnp.concatenate([jnp.asarray([pos], jnp.int32),
-                               jnp.asarray(pads, jnp.int32)])
+    pos_v = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b_n,))
+    scalars = jnp.concatenate([pos_v, jnp.asarray(pads, jnp.int32)])
     q4 = q.reshape(b_n, kvh, rep, d)
     # scales as [B, KvH, 1, S] — see decode_attention_q8's layout note
     k_s = k_s.reshape(b_n, kvh, 1, s)
@@ -333,9 +339,10 @@ def _batch_kernel_q8(sc_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, out_ref,
     kvh = pl.program_id(1)
     rep, d = q_ref.shape[2], q_ref.shape[3]
     s = k_ref.shape[2]
+    b_n = pl.num_programs(0)
     n_chunks = s // chunk
-    pos = sc_ref[0]
-    lo = sc_ref[1 + b]
+    pos = sc_ref[b]            # per-row position (scalar pos is broadcast)
+    lo = sc_ref[b_n + b]
     c_lo = lo // chunk
 
     def body(k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs):

@@ -1,0 +1,280 @@
+"""Slot-based continuous batching over models/llm.make_serving_fns.
+
+Design (TPU-first): the device only ever sees two compiled programs —
+``prefill_slot`` (one CHUNK of one slot's prompt, B=1 compute scattered
+back into the batch state) and ``decode_all`` (every slot one token at its
+own position). The host-side scheduler here owns admission, the chunked-
+prefill/decode interleave, retirement, and the park-position policy for
+rows that are not decoding (see make_serving_fns' docstring for why the
+park positions are safe). All shapes are static: batch = n_slots, prompt
+chunks = CHUNK — no recompiles as requests come and go.
+
+Scheduling policy: one scheduler "tick" runs EITHER one prefill chunk (the
+oldest admitted, still-prefilling request) OR one decode_all step — so
+admitting a long prompt adds at most one chunk's latency between decode
+steps for running requests (Sarathi/vLLM-style chunked prefill, without
+mixed prefill+decode programs).
+
+Lagged token streaming: sampled tokens chain step-to-step ON DEVICE
+(prefill's first token rides into decode via inject_mask/inject_tok, each
+decode feeds the previous step's device output), and the host materializes
+tokens ``sync_lag`` steps late. The dispatch queue therefore stays full —
+aggregate throughput is the device's, not one round-trip per token (through
+the axon tunnel that is the difference between ~36 ms/step and device
+speed; on a PCIe host it hides the same sync, smaller). The price: EOS /
+max_new are discovered up to sync_lag steps late, so a finishing slot burns
+up to sync_lag junk decode steps before it frees — junk tokens are dropped
+by per-slot occupancy epochs, junk cache writes are overwritten by the next
+occupant before its causal mask can see them.
+
+Reference behavior mirrored: output includes the EOS token and stops there
+(utils/model.py generate loop semantics), temperature 0 = greedy via the
+same Gumbel-max sampler; the reference instead serializes every generation
+onto its single main loop (clearcam.py:1214-1226).
+"""
+from __future__ import annotations
+
+import threading
+from collections import deque
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llm
+
+
+@dataclass
+class Request:
+    """One generation request; ``wait()`` blocks until completion."""
+    prompt: list
+    max_new: int
+    temperature: float = 0.0
+    eos_id: int | None = None
+    tokens: list = field(default_factory=list)   # generated ids (incl. eos)
+    _done: threading.Event = field(default_factory=threading.Event)
+
+    def wait(self, timeout: float | None = None) -> list:
+        if not self._done.wait(timeout):
+            raise TimeoutError("request not finished")
+        return self.tokens
+
+    @property
+    def done(self) -> bool:
+        return self._done.is_set()
+
+
+_FREE, _PREFILL, _LIVE = 0, 1, 2
+
+
+class ServingEngine:
+    """Continuous-batching engine: ``submit()`` from any thread, tokens come
+    from interleaved prefill/decode ticks (``step()``, or the background
+    thread started by ``start()``)."""
+
+    def __init__(self, params, cfg, n_slots: int = 4,
+                 state_dtype=jnp.float32, kv_quant: bool = False,
+                 use_pallas_decode: bool = False, interpret: bool = False,
+                 seed: int = 0, sync_lag: int = 4):
+        assert cfg.max_context % llm.CHUNK == 0
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.sync_lag = sync_lag
+        self.prefill_slot, self.decode_all = llm.make_serving_fns(
+            cfg, use_pallas_decode=use_pallas_decode, interpret=interpret)
+        self.state = llm.init_state(cfg, batch=n_slots, dtype=state_dtype,
+                                    kv_quant=kv_quant)
+        self.phase = [_FREE] * n_slots
+        self.req: list[Request | None] = [None] * n_slots
+        self.epoch = [0] * n_slots                   # occupancy generation
+        self.cursor = np.zeros(n_slots, np.int64)    # prefill progress / pos
+        self.temps = np.zeros(n_slots, np.float32)
+        self._temps_dev = jnp.zeros((n_slots,), jnp.float32)
+        self._temps_dirty = False
+        self._tok_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._first_tok = jnp.zeros((n_slots,), jnp.int32)  # device-resident
+        self._inject = np.zeros(n_slots, bool)       # consume first_tok[b]
+        self._pending: deque = deque()               # unmaterialized tokens
+        self._waiting: deque[Request] = deque()
+        self._lock = threading.Lock()
+        self._work = threading.Condition(self._lock)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._step_n = 0
+        self._thread: threading.Thread | None = None
+        self._stop = False
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, prompt: list, max_new: int, temperature: float = 0.0,
+               eos_id: int | None = None) -> Request:
+        assert len(prompt) >= 1, "empty prompt"
+        assert len(prompt) + max_new <= self.cfg.max_context, \
+            "prompt+max_new overflow ctx"
+        r = Request(list(prompt), max_new, temperature, eos_id)
+        with self._work:
+            self._waiting.append(r)
+            self._work.notify()
+        return r
+
+    def start(self):
+        """Run the scheduler on a daemon thread until ``close()``."""
+        def loop():
+            while True:
+                with self._work:
+                    while not self._stop and not self._has_work():
+                        self._work.wait(timeout=0.5)
+                    if self._stop:
+                        return
+                self.step()
+        self._thread = threading.Thread(target=loop, daemon=True,
+                                        name="llm-serving")
+        self._thread.start()
+        return self
+
+    def close(self):
+        with self._work:
+            self._stop = True
+            self._work.notify_all()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    # -- scheduler ---------------------------------------------------------
+
+    def _has_work(self) -> bool:
+        return bool(self._waiting) or bool(self._pending) \
+            or any(p != _FREE for p in self.phase)
+
+    def _admit(self):
+        for b in range(self.n_slots):
+            if not self._waiting:
+                return
+            if self.phase[b] == _FREE:
+                r = self._waiting.popleft()
+                self.req[b] = r
+                self.phase[b] = _PREFILL
+                self.cursor[b] = 0
+                if self.temps[b] != r.temperature:
+                    self.temps[b] = r.temperature
+                    self._temps_dirty = True
+
+    def _retire(self, b: int, r: Request) -> None:
+        self.phase[b] = _FREE
+        self.req[b] = None
+        self.epoch[b] += 1            # stale pending records become no-ops
+        self.cursor[b] = 0            # free-slot park position
+        self._inject[b] = False
+        r._done.set()
+
+    def _emit(self, b: int, tok: int) -> None:
+        """Record one (lag-materialized) token for slot b; retire on
+        eos / max_new / context exhaustion."""
+        r = self.req[b]
+        r.tokens.append(tok)
+        hit_eos = r.eos_id is not None and tok == r.eos_id
+        ctx_full = len(r.prompt) + len(r.tokens) >= self.cfg.max_context
+        if hit_eos or len(r.tokens) >= r.max_new or ctx_full:
+            self._retire(b, r)
+
+    @staticmethod
+    def _start_fetch(arr) -> None:
+        """Kick off the device->host copy at ISSUE time so the lagged
+        np.asarray at pop time finds the bytes already in flight — through
+        the axon tunnel a blocking materialization costs a full ~30 ms RTT
+        even for long-completed results, the async-prefetched one ~7 ms
+        (tools/tunnel_probe.py)."""
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+
+    def _process(self, rec) -> None:
+        """Materialize one pending record (the device work is usually done
+        by now — this sync is the pipeline's tail, not its critical path)."""
+        if rec[0] == "first":
+            _, b, ep, tok_dev = rec                  # [B] first_tok snapshot
+            if self.phase[b] == _LIVE and self.epoch[b] == ep:
+                self._emit(b, int(np.asarray(tok_dev)[b]))
+            return
+        _, epochs, mask, tok_dev = rec
+        arr = np.asarray(tok_dev)
+        for b in range(self.n_slots):
+            if mask[b] and self.phase[b] == _LIVE and self.epoch[b] == epochs[b]:
+                self._emit(b, int(arr[b]))
+
+    def step(self) -> bool:
+        """One scheduler tick; returns False when there was nothing to do."""
+        with self._lock:
+            self._admit()
+            pre = [b for b in range(self.n_slots)
+                   if self.phase[b] == _PREFILL]
+
+        did = False
+        if pre:
+            b = pre[0]
+            r = self.req[b]
+            cur = int(self.cursor[b])
+            n = min(llm.CHUNK, len(r.prompt) - cur)
+            chunk = r.prompt[cur:cur + n] + [0] * (llm.CHUNK - n)
+            self._step_n += 1
+            self._first_tok, self.state = self.prefill_slot(
+                self.params, self.state, self._first_tok,
+                jnp.asarray([chunk], jnp.int32), b, cur, n,
+                float(self.temps[b]), self._step_n, self._base_key)
+            with self._lock:
+                self.cursor[b] = cur + n
+                if self.cursor[b] == len(r.prompt):
+                    self.phase[b] = _LIVE
+                    self._inject[b] = True           # device value, no sync
+                    self._start_fetch(self._first_tok)
+                    self._pending.append(
+                        ("first", b, self.epoch[b], self._first_tok))
+            did = True
+        else:
+            dec = [b for b in range(self.n_slots)
+                   if self.phase[b] == _LIVE
+                   and self.cursor[b] <= self.cfg.max_context - 1]
+            if dec:
+                mask = np.zeros(self.n_slots, bool)
+                mask[dec] = True
+                # one packed upload per step: [pos, live, inject]
+                meta = np.zeros((3, self.n_slots), np.int32)
+                meta[0] = np.minimum(self.cursor, self.cfg.max_context - 1)
+                meta[1] = mask
+                meta[2] = self._inject
+                self._inject[:] = False
+                if self._temps_dirty:
+                    self._temps_dev = jnp.asarray(self.temps)
+                    self._temps_dirty = False
+                self._step_n += 1
+                tok_dev, self.state = self.decode_all(
+                    self.params, self.state, self._tok_dev, self._first_tok,
+                    jnp.asarray(meta), self._temps_dev, self._step_n,
+                    self._base_key)
+                self._tok_dev = tok_dev
+                self._start_fetch(tok_dev)
+                with self._lock:
+                    for b in dec:
+                        self.cursor[b] += 1
+                self._pending.append(
+                    ("dec", tuple(self.epoch), mask, tok_dev))
+                did = True
+
+        # materialize anything past the lag window (everything, when the
+        # device has no more work to chew on)
+        target = self.sync_lag if did else 0
+        popped = False
+        while len(self._pending) > target:
+            with self._lock:
+                rec = self._pending.popleft()
+            self._process(rec)
+            popped = True
+        return did or popped
+
+    def run_until_idle(self, max_steps: int = 1_000_000):
+        """Drive the scheduler inline (tests / synchronous callers)."""
+        for _ in range(max_steps):
+            if not self.step():
+                return
+        raise RuntimeError("serving engine did not drain")

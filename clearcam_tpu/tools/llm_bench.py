@@ -139,6 +139,44 @@ def bench_batched(cfg, params, batches, steps: int, pos: int = 256,
     return out
 
 
+def bench_serving(cfg, params, n_slots: int, n_requests: int,
+                  prompt_len: int, max_new: int, pallas: bool = False):
+    """Continuous-batching engine throughput (serving/engine.py): submit
+    n_requests with staggered prompt lengths (heterogeneous live positions
+    — the serving steady state), drive the scheduler to drain, report
+    aggregate generated tok/s including prefill+scheduling overheads.
+    Compare against the --modes B=1 decode rate (sequential serving) and
+    the --decode-batch ladder (lock-step batch, no admission overhead)."""
+    from ..serving import ServingEngine
+
+    rng = np.random.default_rng(0)
+    eng = ServingEngine(params, cfg, n_slots=n_slots,
+                        state_dtype=jnp.bfloat16, use_pallas_decode=pallas)
+    # stagger lengths +-25% so slots sit at different absolute positions
+    lens = [max(8, int(prompt_len * f))
+            for f in rng.uniform(0.75, 1.25, n_requests)]
+    prompts = [rng.integers(1, cfg.vocab_size - 1, n).tolist() for n in lens]
+
+    # warm both graphs (prefill_slot + decode_all) outside the timed region
+    w = eng.submit(prompts[0][:8], max_new=2)
+    eng.run_until_idle()
+    assert w.done
+
+    t0 = time.perf_counter()
+    reqs = [eng.submit(p, max_new=max_new) for p in prompts]
+    eng.run_until_idle()
+    dt = time.perf_counter() - t0
+    total = sum(len(r.tokens) for r in reqs)
+    assert all(r.done for r in reqs)
+    r = {"serving": True, "n_slots": n_slots, "n_requests": n_requests,
+         "prompt_len": prompt_len, "max_new": max_new, "pallas": pallas,
+         "wall_s": round(dt, 2), "generated": total,
+         "agg_tok_s": round(total / dt, 1),
+         "prefill_tok_s_incl": round(sum(lens) / dt, 1)}
+    print(json.dumps(r))
+    return r
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=28)
@@ -152,8 +190,15 @@ def main(argv=None):
                     help="comma list of batch sizes: run the batched-decode "
                          "ladder (generate_batch's step) instead of --modes")
     ap.add_argument("--pallas", action="store_true",
-                    help="with --decode-batch: use the batched Pallas "
-                         "prefix kernel instead of the XLA einsum path")
+                    help="with --decode-batch/--serving: use the batched "
+                         "Pallas prefix kernel instead of the XLA einsum")
+    ap.add_argument("--serving", action="store_true",
+                    help="continuous-batching engine throughput "
+                         "(serving/engine.py) under staggered requests")
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=24)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--max-new", type=int, default=48)
     args = ap.parse_args(argv)
 
     cfg = qwen3_2b_cfg(args.blocks, args.ctx)
@@ -161,6 +206,11 @@ def main(argv=None):
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
     print(f"# {args.blocks} blocks, {n_params/1e9:.2f}B params, "
           f"ctx {args.ctx}, backend {jax.default_backend()}")
+    if args.serving:
+        params = llm.quantize_params_int8(params)
+        return bench_serving(cfg, params, args.slots, args.requests,
+                             args.prompt_len, args.max_new,
+                             pallas=args.pallas)
     if args.decode_batch:
         params = llm.quantize_params_int8(params)
         return bench_batched(cfg, params,
