@@ -813,6 +813,26 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     return prefill_slot, decode_all
 
 
+def make_slot_transform(fn):
+    """Lift a B=1 state transform ``fn(state_b, *args) -> state_b`` onto ONE
+    slot of a batched serving state (serving/engine.py custom prefill):
+    the slot's rows are sliced out, transformed at B=1, and scattered back
+    in a single jitted program. Used e.g. to run Qwen3-VL's vision-tower
+    image prefill into one slot while other slots' caches are untouched
+    (serving/vlm.py)."""
+    @jax.jit
+    def wrapped(state, slot, *args):
+        st_b = [jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
+            for s in state]
+        st_b = fn(st_b, *args)
+        return [jax.tree.map(
+            lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+                full, part.astype(full.dtype), slot, 0), s, sb)
+            for s, sb in zip(state, st_b)]
+    return wrapped
+
+
 def make_verify_fn(cfg: TransformerConfig):
     """Jitted speculative-decoding verifier: feed G candidate tokens in one
     pass and return the greedy token AFTER each position ([B,G]). The cache

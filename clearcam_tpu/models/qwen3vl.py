@@ -301,22 +301,28 @@ class Qwen3VL:
                                    hidden_override=hidden, deepstack=deepstack)
         return state
 
+    def letterbox(self, image: np.ndarray) -> np.ndarray:
+        """Host-side letterbox to self.res (qwen3vl.py:252-256 semantics);
+        shared by feed_image and the serving adapter (serving/vlm.py)."""
+        import cv2
+        th, tw = self.res
+        if image.shape[:2] == (th, tw):
+            return image
+        s = min(tw / image.shape[1], th / image.shape[0])
+        r = cv2.resize(image, (int(image.shape[1] * s), int(image.shape[0] * s)))
+        top = (th - r.shape[0]) // 2
+        left = (tw - r.shape[1]) // 2
+        canvas = np.zeros((th, tw, 3), image.dtype)
+        canvas[top:top + r.shape[0], left:left + r.shape[1]] = r
+        return canvas
+
     def feed_image(self, image: np.ndarray, reset: bool = False):
         """BGR-agnostic RGB uint8 frame; letterboxed to self.res on host."""
-        import cv2
         if reset:
             self.start_pos = 0
             self.lang.state = llm_mod.init_state(self.lang.cfg)
             self.lang._cached_tokens = []
-        th, tw = self.res
-        if image.shape[:2] != (th, tw):
-            s = min(tw / image.shape[1], th / image.shape[0])
-            r = cv2.resize(image, (int(image.shape[1] * s), int(image.shape[0] * s)))
-            top = (th - r.shape[0]) // 2
-            left = (tw - r.shape[1]) // 2
-            canvas = np.zeros((th, tw, 3), image.dtype)
-            canvas[top:top + r.shape[0], left:left + r.shape[1]] = r
-            image = canvas
+        image = self.letterbox(image)
         self.lang.state = self._image_prefill(
             self.lang.state, jnp.asarray(image, jnp.float32), self.start_pos)
         self.start_pos += self.toks_per_img + len(self._prefix) + len(self._suffix)

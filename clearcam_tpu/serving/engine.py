@@ -47,13 +47,37 @@ from ..models import llm
 
 @dataclass
 class Request:
-    """One generation request; ``wait()`` blocks until completion."""
-    prompt: list
+    """One generation request; ``wait()`` blocks until completion.
+
+    ``segments`` generalizes the prompt for multimodal serving: a list of
+    ("text", [token ids]) and ("custom", payload, n_positions) entries.
+    Custom segments are executed by the engine's ``custom_prefill`` hook
+    (e.g. a Qwen3-VL image prefill writing n_positions cache entries —
+    serving/vlm.py); the last segment must be text (the first sampled
+    token comes from its final position). eos_id: one id or an iterable
+    (Qwen stops on either im_end or eos — llm_tokenizer.is_end)."""
+    prompt: list | None
     max_new: int
     temperature: float = 0.0
-    eos_id: int | None = None
+    eos_id: object = None
+    segments: list | None = None
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     _done: threading.Event = field(default_factory=threading.Event)
+
+    def __post_init__(self):
+        if self.segments is None:
+            assert self.prompt, "empty prompt"
+            self.segments = [("text", list(self.prompt))]
+        assert self.segments[-1][0] == "text" and self.segments[-1][1], \
+            "last segment must be non-empty text"
+        self.total_len = sum(len(s[1]) if s[0] == "text" else s[2]
+                             for s in self.segments)
+        if self.eos_id is None:
+            self.stop_ids = frozenset()
+        elif isinstance(self.eos_id, int):
+            self.stop_ids = frozenset([self.eos_id])
+        else:
+            self.stop_ids = frozenset(self.eos_id)
 
     def wait(self, timeout: float | None = None) -> list:
         if not self._done.wait(timeout):
@@ -76,7 +100,7 @@ class ServingEngine:
     def __init__(self, params, cfg, n_slots: int = 4,
                  state_dtype=jnp.float32, kv_quant: bool = False,
                  use_pallas_decode: bool = False, interpret: bool = False,
-                 seed: int = 0, sync_lag: int = 4):
+                 seed: int = 0, sync_lag: int = 4, custom_prefill=None):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
@@ -86,10 +110,13 @@ class ServingEngine:
             cfg, use_pallas_decode=use_pallas_decode, interpret=interpret)
         self.state = llm.init_state(cfg, batch=n_slots, dtype=state_dtype,
                                     kv_quant=kv_quant)
+        self.custom_prefill = custom_prefill         # (state,slot,pos,payload)
         self.phase = [_FREE] * n_slots
         self.req: list[Request | None] = [None] * n_slots
         self.epoch = [0] * n_slots                   # occupancy generation
         self.cursor = np.zeros(n_slots, np.int64)    # prefill progress / pos
+        self.seg_idx = [0] * n_slots                 # current prompt segment
+        self.seg_start = np.zeros(n_slots, np.int64)  # its start position
         self.temps = np.zeros(n_slots, np.float32)
         self._temps_dev = jnp.zeros((n_slots,), jnp.float32)
         self._temps_dirty = False
@@ -107,12 +134,28 @@ class ServingEngine:
 
     # -- client API --------------------------------------------------------
 
-    def submit(self, prompt: list, max_new: int, temperature: float = 0.0,
-               eos_id: int | None = None) -> Request:
-        assert len(prompt) >= 1, "empty prompt"
-        assert len(prompt) + max_new <= self.cfg.max_context, \
+    def submit(self, prompt: list | None = None, max_new: int = 64,
+               temperature: float = 0.0, eos_id=None,
+               segments: list | None = None) -> Request:
+        r = Request(list(prompt) if prompt is not None else None,
+                    max_new, temperature, eos_id, segments=segments)
+        assert r.total_len + max_new <= self.cfg.max_context, \
             "prompt+max_new overflow ctx"
-        r = Request(list(prompt), max_new, temperature, eos_id)
+        # every text chunk writes CHUNK-wide at its (segment-offset,
+        # possibly unaligned) start; a start past S-CHUNK would clamp the
+        # dynamic_update_slice and corrupt earlier cache rows
+        pos = 0
+        for s in r.segments:
+            if s[0] == "text":
+                last = pos + (len(s[1]) - 1) // llm.CHUNK * llm.CHUNK
+                assert last + llm.CHUNK <= self.cfg.max_context, \
+                    "a prompt chunk would write past max_context"
+                pos += len(s[1])
+            else:
+                pos += s[2]
+        assert self.custom_prefill is not None or all(
+            s[0] == "text" for s in r.segments), \
+            "custom segments need a custom_prefill hook"
         with self._work:
             self._waiting.append(r)
             self._work.notify()
@@ -155,6 +198,8 @@ class ServingEngine:
                 self.req[b] = r
                 self.phase[b] = _PREFILL
                 self.cursor[b] = 0
+                self.seg_idx[b] = 0
+                self.seg_start[b] = 0
                 if self.temps[b] != r.temperature:
                     self.temps[b] = r.temperature
                     self._temps_dirty = True
@@ -172,9 +217,8 @@ class ServingEngine:
         eos / max_new / context exhaustion."""
         r = self.req[b]
         r.tokens.append(tok)
-        hit_eos = r.eos_id is not None and tok == r.eos_id
-        ctx_full = len(r.prompt) + len(r.tokens) >= self.cfg.max_context
-        if hit_eos or len(r.tokens) >= r.max_new or ctx_full:
+        ctx_full = r.total_len + len(r.tokens) >= self.cfg.max_context
+        if tok in r.stop_ids or len(r.tokens) >= r.max_new or ctx_full:
             self._retire(b, r)
 
     @staticmethod
@@ -215,8 +259,21 @@ class ServingEngine:
             b = pre[0]
             r = self.req[b]
             cur = int(self.cursor[b])
-            n = min(llm.CHUNK, len(r.prompt) - cur)
-            chunk = r.prompt[cur:cur + n] + [0] * (llm.CHUNK - n)
+            seg = r.segments[self.seg_idx[b]]
+            if seg[0] == "custom":
+                # one tick = the whole custom segment (e.g. an image
+                # prefill writing n_positions entries into this slot)
+                _, payload, n = seg
+                self.state = self.custom_prefill(self.state, b, cur, payload)
+                with self._lock:
+                    self.cursor[b] = cur + n
+                    self.seg_idx[b] += 1
+                    self.seg_start[b] = cur + n
+                return True
+            toks = seg[1]
+            off = cur - int(self.seg_start[b])
+            n = min(llm.CHUNK, len(toks) - off)
+            chunk = toks[off:off + n] + [0] * (llm.CHUNK - n)
             self._step_n += 1
             self._first_tok, self.state = self.prefill_slot(
                 self.params, self.state, self._first_tok,
@@ -224,12 +281,15 @@ class ServingEngine:
                 float(self.temps[b]), self._step_n, self._base_key)
             with self._lock:
                 self.cursor[b] = cur + n
-                if self.cursor[b] == len(r.prompt):
-                    self.phase[b] = _LIVE
-                    self._inject[b] = True           # device value, no sync
-                    self._start_fetch(self._first_tok)
-                    self._pending.append(
-                        ("first", b, self.epoch[b], self._first_tok))
+                if off + n == len(toks):
+                    self.seg_idx[b] += 1
+                    self.seg_start[b] = cur + n
+                    if self.seg_idx[b] == len(r.segments):
+                        self.phase[b] = _LIVE
+                        self._inject[b] = True       # device value, no sync
+                        self._start_fetch(self._first_tok)
+                        self._pending.append(
+                            ("first", b, self.epoch[b], self._first_tok))
             did = True
         else:
             dec = [b for b in range(self.n_slots)

@@ -1,0 +1,76 @@
+"""Qwen3-VL summaries through the continuous-batching engine.
+
+The reference runs ONE Qwen generation at a time, blocking its main loop
+for the duration (clearcam.py:494-496); the NVR rebuild improved that to a
+cooperative single summary (runtime/nvr.py _summary_steps). This adapter
+serves MANY cameras' summaries concurrently from one language-model cache:
+each image rides as a "custom" prompt segment executed by the vision-tower
+image prefill into one slot (llm.make_slot_transform over
+qwen3vl._image_prefill_impl), the chat-template text follows as ordinary
+token segments, and decode interleaves all cameras' answers.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models import llm
+from .engine import Request, ServingEngine
+
+
+class VLMServingEngine:
+    """Wraps ServingEngine with Qwen3-VL image segments + chat template."""
+
+    def __init__(self, qwen, n_slots: int = 2, **engine_kw):
+        self.qwen = qwen
+        impl = qwen._image_prefill_impl
+        slotted = llm.make_slot_transform(
+            lambda st_b, p, vp, img, sp: impl(p, vp, st_b, img, sp))
+
+        def custom_prefill(state, slot, start_pos, img):
+            return slotted(state, slot, qwen.lang.params, qwen.vision.p,
+                           img, start_pos)
+
+        self.engine = ServingEngine(qwen.lang.params, qwen.lang.cfg,
+                                    n_slots=n_slots,
+                                    custom_prefill=custom_prefill,
+                                    **engine_kw)
+        self.n_img = (qwen.toks_per_img + len(qwen._prefix)
+                      + len(qwen._suffix))
+
+    def submit(self, images, prompt: str, max_new: int = 256,
+               temperature: float | None = None) -> Request:
+        """images: list of RGB uint8 frames (any size — letterboxed like
+        Qwen3VL.feed_image); returns the engine Request. Decode the answer
+        with ``self.text(request)`` once done."""
+        from ..models.qwen3vl import TEMP
+        q = self.qwen
+        segs = [("custom",
+                 jnp.asarray(q.letterbox(img), jnp.float32), self.n_img)
+                for img in images]
+        toks = q.tok.encode("<|im_start|>user\n" + prompt
+                            + "<|im_end|>\n<|im_start|>assistant\n")
+        segs.append(("text", toks))
+        stop = {q.tok.eos_id}
+        if q.tok.eot_id is not None:
+            stop.add(q.tok.eot_id)
+        return self.engine.submit(
+            segments=segs, max_new=max_new, eos_id=stop,
+            temperature=TEMP if temperature is None else temperature)
+
+    def text(self, request: Request) -> str:
+        toks = [t for t in request.tokens if not self.qwen.tok.is_end(t)]
+        return self.qwen.tok.decode(toks)
+
+    # engine passthroughs
+    def step(self):
+        return self.engine.step()
+
+    def run_until_idle(self):
+        return self.engine.run_until_idle()
+
+    def start(self):
+        self.engine.start()
+        return self
+
+    def close(self):
+        self.engine.close()
