@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 from pathlib import Path
 
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -768,7 +769,12 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                                          pos_vec, pads, interpret=interpret)
             return out[:, :, None]
 
-    @jax.jit
+    # state is donated: the serving cache can be half of HBM (e.g. 7.5 GB
+    # at 8 slots x ctx 8192 on a 2B model) and an undonated update
+    # transiently doubles it — measured RESOURCE_EXHAUSTED at exactly that
+    # size. first_tok/prev_tok are NOT donated: lagged pending records
+    # (serving/engine.py) still hold references to earlier outputs.
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill_slot(params, state, first_tok, tokens, slot, start_pos,
                      n_real, temp, step, base_key):
         st_b = [jax.tree.map(
@@ -797,7 +803,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             first_tok, tok.astype(first_tok.dtype), (slot,))
         return first_tok, state
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_all(params, state, prev_tok, first_tok, meta, temps, step,
                    base_key):
         pos, live = meta[0], meta[1] != 0

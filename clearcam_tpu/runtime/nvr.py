@@ -279,7 +279,8 @@ class NVR:
                  detector: BatchDetector | None = None, object_finder=None,
                  qwen=None, notifier=None, uploader=None,
                  classes: set | None = None, labels=None,
-                 use_native_ingest: bool = True):
+                 use_native_ingest: bool = True,
+                 summary_slots: int | None = None):
         self.db = db
         self.base_dir = Path(base_dir)
         (self.base_dir / "cameras").mkdir(parents=True, exist_ok=True)
@@ -291,6 +292,15 @@ class NVR:
                             "Write in one short sentence")
         self.notifier = notifier          # callable(userID, title, body)
         self.uploader = uploader          # callable(**kw) -> export_and_upload
+        # CLEARCAM_SUMMARY_SLOTS=N (>0): serve alert summaries through the
+        # continuous-batching engine — N cameras' summaries decode
+        # concurrently from one cache instead of the single cooperative
+        # generator (which a second alert would preempt)
+        import os as _os
+        self.summary_slots = summary_slots if summary_slots is not None \
+            else int(_os.environ.get("CLEARCAM_SUMMARY_SLOTS", "0") or 0)
+        self._summary_engine = None
+        self._summaries: list[tuple] = []   # (request, cam_name, notify)
         self.executor = DeviceExecutor()
         # one cross-camera batched tracker (track/multicam.py): the per-camera
         # OCSort loop was the e2e ceiling at 32+ streams
@@ -482,6 +492,10 @@ class NVR:
             from . import metrics
             with metrics.timer("summary_step"):
                 self._advance_summary()
+        if self._summaries:
+            from . import metrics
+            with metrics.timer("summary_step"):
+                self._advance_summary_engine()
 
     def _next_frame(self, cam: CamState):
         if cam.vod:
@@ -732,11 +746,31 @@ class NVR:
                                f"Event Detected ({cam.name})", None),
                          daemon=True).start()
         if self.settings.use_qwen and self.qwen is not None:
-            # cooperative summary: a few decode steps per tick so the detect
-            # loop keeps running (the reference blocks it, clearcam.py:494-496)
-            self._pending_summary = {
-                "cam": cam.name, "notify": notify,
-                "gen": self._summary_steps(cam), "tokens": []}
+            if self.summary_slots > 0:
+                # continuous-batching mode: every alerting camera gets its
+                # own slot; decode interleaves all summaries (serving/vlm)
+                if self._summary_engine is None:
+                    import jax.numpy as jnp
+                    from ..serving.vlm import VLMServingEngine
+                    # bf16 KV: the slots' cache is additional to the solo
+                    # qwen state — half the bytes, serving-grade numerics
+                    self._summary_engine = VLMServingEngine(
+                        self.qwen, n_slots=self.summary_slots,
+                        state_dtype=jnp.bfloat16)
+                frames = []
+                if cam.prev_frame is not None:
+                    frames.append(cam.prev_frame[..., ::-1])
+                frames.append(cam.last_frame[..., ::-1])
+                req = self._summary_engine.submit(frames, self.qwen_prompt,
+                                                  max_new=60)
+                self._summaries.append((req, cam.name, notify))
+            else:
+                # cooperative summary: a few decode steps per tick so the
+                # detect loop keeps running (the reference blocks it,
+                # clearcam.py:494-496)
+                self._pending_summary = {
+                    "cam": cam.name, "notify": notify,
+                    "gen": self._summary_steps(cam), "tokens": []}
         upload = self.uploader
         if upload is None:
             from ..cloud.relay import export_and_upload as upload  # noqa: N813
@@ -786,6 +820,29 @@ class NVR:
         except Exception as e:  # noqa: BLE001
             print(f"qwen summary failed: {e}")
             self._pending_summary = None
+
+    def _advance_summary_engine(self, steps: int = 4):
+        """Engine-mode summaries: run a few scheduler ticks on the main
+        thread (same single-device-consumer discipline as the cooperative
+        path — decode shares the chip with detection at tick granularity),
+        then flush any finished requests as notifications."""
+        eng = self._summary_engine
+        try:
+            for _ in range(steps):
+                if not eng.step():
+                    break
+            done = [s for s in self._summaries if s[0].done]
+            for entry in done:
+                req, cam_name, notify = entry
+                self._summaries.remove(entry)
+                threading.Thread(
+                    target=notify,
+                    args=(self.settings.userID, f"AI Summary ({cam_name}):",
+                          eng.text(req)),
+                    daemon=True).start()
+        except Exception as e:  # noqa: BLE001
+            print(f"qwen summary failed: {e}")
+            self._summaries.clear()
 
     def _sync_kv(self, cam: CamState):
         """5-second KV sync: counters out, alert edits in (clearcam.py:509-536)."""

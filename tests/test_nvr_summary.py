@@ -134,3 +134,36 @@ def test_summary_does_not_block_ticks(tmp_path):
     kinds = [n[1] for n in notifications]
     assert any(k.startswith("Event Detected") for k in kinds)
     assert any(k.startswith("AI Summary") for k in kinds), kinds
+
+
+def test_concurrent_summaries_via_engine(tmp_path):
+    """CLEARCAM_SUMMARY_SLOTS>0: two cameras alert and BOTH summaries decode
+    concurrently through the continuous-batching engine — the cooperative
+    path would have dropped the first (a second alert overwrites
+    _pending_summary)."""
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "cam1", "synthetic://640x360")
+    db.run_put("links", "cam2", "synthetic://640x360")
+    notifications = []
+    nvr = NVR(db, tmp_path / "data",
+              GlobalSettings(userID="uid", key="k", use_qwen=True),
+              detector=ColorKeyDetector(), qwen=tiny_vlm(),
+              notifier=lambda *a: notifications.append(a),
+              uploader=lambda **kw: True, summary_slots=2)
+    links = db.run_get("links", None)
+    for name, src in links.items():
+        nvr.init_cam(name, src)
+    deadline = time.time() + 120
+    def summary_cams():
+        return {n[1] for n in notifications if n[1].startswith("AI Summary")}
+    while len(summary_cams()) < 2 and time.time() < deadline:
+        nvr.tick()
+        time.sleep(0.01)
+    nvr.stop()
+    assert getattr(nvr, "_pending_summary", None) is None  # engine mode only
+    cams = summary_cams()
+    assert cams == {"AI Summary (cam1):", "AI Summary (cam2):"}, \
+        (cams, [n[1] for n in notifications])
+    # both bodies decoded to text
+    bodies = [n[2] for n in notifications if n[1].startswith("AI Summary")]
+    assert all(isinstance(b, str) for b in bodies)
