@@ -27,6 +27,18 @@ up to sync_lag junk decode steps before it frees — junk tokens are dropped
 by per-slot occupancy epochs, junk cache writes are overwritten by the next
 occupant before its causal mask can see them.
 
+Prefix-cache reuse (``prefix_cache=True``, attention-only stacks): each
+slot remembers the token ids validly occupying its cache rows (prompt +
+generated tokens); admission picks the free slot with the longest
+CHUNK-aligned common prefix and starts prefill there — the reference's
+cross-call prefix reuse (utils/model.py:393-395 ``get_start_pos``) lifted
+to multi-slot serving. NVR alert summaries share a fixed system preamble,
+and conversation follow-ups extend prompt+reply, so both skip most of
+their prefill. Correctness hinges on the park policy: a FREE slot still
+rides in every decode_all step writing junk K/V at its park position, so
+retired slots park AT their history length (not 0) to keep the reusable
+rows intact.
+
 Reference behavior mirrored: output includes the EOS token and stops there
 (utils/model.py generate loop semantics), temperature 0 = greedy via the
 same Gumbel-max sampler; the reference instead serializes every generation
@@ -45,8 +57,8 @@ import numpy as np
 from ..models import llm
 
 
-@dataclass
-class Request:
+@dataclass(eq=False)      # identity eq/hash: queue/cancel bookkeeping must
+class Request:            # never conflate two requests with equal prompts
     """One generation request; ``wait()`` blocks until completion.
 
     ``segments`` generalizes the prompt for multimodal serving: a list of
@@ -100,12 +112,20 @@ class ServingEngine:
     def __init__(self, params, cfg, n_slots: int = 4,
                  state_dtype=jnp.float32, kv_quant: bool = False,
                  use_pallas_decode: bool = False, interpret: bool = False,
-                 seed: int = 0, sync_lag: int = 4, custom_prefill=None):
+                 seed: int = 0, sync_lag: int = 4, custom_prefill=None,
+                 prefix_cache: bool = True):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.sync_lag = sync_lag
+        # Prefix reuse needs the reuse boundary's recurrent state, which a
+        # position-addressed cache doesn't hold — attention-only stacks only
+        # (the reference resets SSM state on reuse too, model.py:287-290).
+        self.prefix_cache = prefix_cache and cfg.ssm is None
+        self.hist: list[list[int]] = [[] for _ in range(n_slots)]
+        self.stats = {"prefill_chunks": 0, "prefill_tokens": 0,
+                      "reused_tokens": 0, "decode_steps": 0}
         self.prefill_slot, self.decode_all = llm.make_serving_fns(
             cfg, use_pallas_decode=use_pallas_decode, interpret=interpret)
         self.state = llm.init_state(cfg, batch=n_slots, dtype=state_dtype,
@@ -125,6 +145,7 @@ class ServingEngine:
         self._inject = np.zeros(n_slots, bool)       # consume first_tok[b]
         self._pending: deque = deque()               # unmaterialized tokens
         self._waiting: deque[Request] = deque()
+        self._cancel: set = set()                    # retire at next tick
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._base_key = jax.random.PRNGKey(seed)
@@ -161,6 +182,22 @@ class ServingEngine:
             self._work.notify()
         return r
 
+    def cancel(self, r: Request) -> None:
+        """Abandon a request (client disconnect / timeout): a waiting
+        request is dropped immediately; a running one is retired at the
+        next scheduler tick — only the scheduler thread touches slot
+        state, so cancellation rides a flag, not a direct retire. The
+        slot's written rows stay behind as reusable prefix history."""
+        with self._work:
+            if r.done:
+                return
+            if r in self._waiting:
+                self._waiting.remove(r)
+                r._done.set()
+                return
+            self._cancel.add(r)
+            self._work.notify()
+
     def start(self):
         """Run the scheduler on a daemon thread until ``close()``."""
         def loop():
@@ -189,27 +226,82 @@ class ServingEngine:
         return bool(self._waiting) or bool(self._pending) \
             or any(p != _FREE for p in self.phase)
 
+    def has_work(self) -> bool:
+        """Advisory: pending requests or unmaterialized tokens exist
+        (external drivers — the NVR tick — poll this to decide whether
+        to spend a tick on step())."""
+        return self._has_work()
+
+    def _reuse_len(self, b: int, r: Request) -> int:
+        """CHUNK-aligned shared-prefix length between slot b's valid cache
+        history and r's leading text segment — rows [0, R) need no
+        recompute (reference utils/model.py:393-395 get_start_pos, lifted
+        to multi-slot). CHUNK alignment keeps prefill chunk boundaries
+        identical to the from-zero case (bitwise-equal K/V, and submit()'s
+        chunk-window bound stays valid)."""
+        if not self.prefix_cache or r.segments[0][0] != "text":
+            return 0
+        hist, toks = self.hist[b], r.segments[0][1]
+        n = 0
+        for h, t in zip(hist, toks):
+            if h != t:
+                break
+            n += 1
+        # always leave >=1 token to prefill: the first sampled token comes
+        # from the final prompt position's forward
+        n = min(n, r.total_len - 1)
+        return n // llm.CHUNK * llm.CHUNK
+
     def _admit(self):
-        for b in range(self.n_slots):
-            if not self._waiting:
-                return
-            if self.phase[b] == _FREE:
-                r = self._waiting.popleft()
-                self.req[b] = r
-                self.phase[b] = _PREFILL
-                self.cursor[b] = 0
-                self.seg_idx[b] = 0
-                self.seg_start[b] = 0
-                if self.temps[b] != r.temperature:
-                    self.temps[b] = r.temperature
-                    self._temps_dirty = True
+        free = [b for b in range(self.n_slots) if self.phase[b] == _FREE]
+        while self._waiting and free:
+            r = self._waiting.popleft()
+            b = max(free, key=lambda s: self._reuse_len(s, r))
+            free.remove(b)
+            reuse = self._reuse_len(b, r)
+            self.req[b] = r
+            self.phase[b] = _PREFILL
+            self.cursor[b] = reuse
+            # reuse == len(leading segment) (multimodal follow-up): the
+            # whole text segment is already in cache — start at segment 1
+            covered = reuse == len(r.segments[0][1]) if reuse else False
+            self.seg_idx[b] = 1 if covered else 0
+            self.seg_start[b] = reuse if covered else 0
+            self.stats["reused_tokens"] += reuse
+            if self.temps[b] != r.temperature:
+                self.temps[b] = r.temperature
+                self._temps_dirty = True
 
     def _retire(self, b: int, r: Request) -> None:
         self.phase[b] = _FREE
         self.req[b] = None
         self.epoch[b] += 1            # stale pending records become no-ops
-        self.cursor[b] = 0            # free-slot park position
         self._inject[b] = False
+        if self.prefix_cache:
+            # Cache rows still valid for a future occupant: the leading
+            # text segment, plus (single-segment requests) every generated
+            # token except the last — token i's K/V lands at row
+            # total_len+i when it is CONSUMED producing token i+1; the
+            # final token may only have been consumed by a lag-window junk
+            # step, so its row is not trusted.
+            lead = r.segments[0][1] if r.segments[0][0] == "text" else []
+            if len(r.segments) == 1:
+                h = list(lead) + r.tokens[:-1]
+            else:
+                h = list(lead)
+            # a CANCELLED request may retire mid-prefill: only rows the
+            # cursor actually passed are written (normal retirement has
+            # cursor >= len(h), so this truncation is a no-op there)
+            self.hist[b] = h[:int(self.cursor[b])]
+            # Park AT the history length, not 0: a free slot still rides in
+            # every decode_all step, scribbling junk K/V at its park
+            # position — parking below len(hist) would corrupt the very
+            # prefix a future occupant reuses. (Cost: the Pallas decode
+            # read bound max(pos) now includes parked histories.)
+            self.cursor[b] = min(len(self.hist[b]),
+                                 self.cfg.max_context - 1)
+        else:
+            self.cursor[b] = 0        # lowest-possible park position
         r._done.set()
 
     def _emit(self, b: int, tok: int) -> None:
@@ -250,6 +342,12 @@ class ServingEngine:
     def step(self) -> bool:
         """One scheduler tick; returns False when there was nothing to do."""
         with self._lock:
+            if self._cancel:
+                for b in range(self.n_slots):
+                    if self.req[b] in self._cancel:
+                        self._retire(b, self.req[b])
+                # anything left was already retired on its own
+                self._cancel.clear()
             self._admit()
             pre = [b for b in range(self.n_slots)
                    if self.phase[b] == _PREFILL]
@@ -275,6 +373,8 @@ class ServingEngine:
             n = min(llm.CHUNK, len(toks) - off)
             chunk = toks[off:off + n] + [0] * (llm.CHUNK - n)
             self._step_n += 1
+            self.stats["prefill_chunks"] += 1
+            self.stats["prefill_tokens"] += n
             self._first_tok, self.state = self.prefill_slot(
                 self.params, self.state, self._first_tok,
                 jnp.asarray([chunk], jnp.int32), b, cur, n,
@@ -304,6 +404,7 @@ class ServingEngine:
                 meta[1] = mask
                 meta[2] = self._inject
                 self._inject[:] = False
+                self.stats["decode_steps"] += 1
                 if self._temps_dirty:
                     self._temps_dev = jnp.asarray(self.temps)
                     self._temps_dirty = False

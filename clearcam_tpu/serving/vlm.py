@@ -30,6 +30,10 @@ class VLMServingEngine:
             return slotted(state, slot, qwen.lang.params, qwen.vision.p,
                            img, start_pos)
 
+        # summaries lead with an image segment, so text-prefix reuse never
+        # fires — default it off to keep retired slots parked at 0 (the
+        # lowest Pallas read bound) instead of at their history length
+        engine_kw.setdefault("prefix_cache", False)
         self.engine = ServingEngine(qwen.lang.params, qwen.lang.cfg,
                                     n_slots=n_slots,
                                     custom_prefill=custom_prefill,
@@ -62,6 +66,9 @@ class VLMServingEngine:
         return self.qwen.tok.decode(toks)
 
     # engine passthroughs
+    def has_work(self):
+        return self.engine.has_work()
+
     def step(self):
         return self.engine.step()
 

@@ -140,7 +140,8 @@ def bench_batched(cfg, params, batches, steps: int, pos: int = 256,
 
 
 def bench_serving(cfg, params, n_slots: int, n_requests: int,
-                  prompt_len: int, max_new: int, pallas: bool = False):
+                  prompt_len: int, max_new: int, pallas: bool = False,
+                  shared_prefix: int = 0, prefix_cache: bool = True):
     """Continuous-batching engine throughput (serving/engine.py): submit
     n_requests with staggered prompt lengths (heterogeneous live positions
     — the serving steady state), drive the scheduler to drain, report
@@ -151,11 +152,18 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
 
     rng = np.random.default_rng(0)
     eng = ServingEngine(params, cfg, n_slots=n_slots,
-                        state_dtype=jnp.bfloat16, use_pallas_decode=pallas)
+                        state_dtype=jnp.bfloat16, use_pallas_decode=pallas,
+                        prefix_cache=prefix_cache)
     # stagger lengths +-25% so slots sit at different absolute positions
     lens = [max(8, int(prompt_len * f))
             for f in rng.uniform(0.75, 1.25, n_requests)]
-    prompts = [rng.integers(1, cfg.vocab_size - 1, n).tolist() for n in lens]
+    # shared_prefix: every request opens with the same N tokens (the NVR
+    # summary preamble / a serving system prompt) — with prefix_cache the
+    # engine skips re-prefilling it after each slot's first occupant
+    pre = rng.integers(1, cfg.vocab_size - 1, shared_prefix).tolist()
+    prompts = [pre + rng.integers(1, cfg.vocab_size - 1,
+                                  max(1, n - shared_prefix)).tolist()
+               for n in lens]
 
     # warm both graphs (prefill_slot + decode_all) outside the timed region
     w = eng.submit(prompts[0][:8], max_new=2)
@@ -170,9 +178,12 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     assert all(r.done for r in reqs)
     r = {"serving": True, "n_slots": n_slots, "n_requests": n_requests,
          "prompt_len": prompt_len, "max_new": max_new, "pallas": pallas,
+         "shared_prefix": shared_prefix,
+         "reused_tokens": eng.stats["reused_tokens"],
+         "prefill_tokens": eng.stats["prefill_tokens"],
          "wall_s": round(dt, 2), "generated": total,
          "agg_tok_s": round(total / dt, 1),
-         "prefill_tok_s_incl": round(sum(lens) / dt, 1)}
+         "prefill_tok_s_incl": round(sum(len(p) for p in prompts) / dt, 1)}
     print(json.dumps(r))
     return r
 
@@ -199,6 +210,11 @@ def main(argv=None):
     ap.add_argument("--requests", type=int, default=24)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--max-new", type=int, default=48)
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="with --serving: every prompt opens with the same "
+                         "N tokens (prefix-cache reuse regime)")
+    ap.add_argument("--no-prefix-cache", action="store_true",
+                    help="with --serving: disable slot prefix reuse")
     args = ap.parse_args(argv)
 
     cfg = qwen3_2b_cfg(args.blocks, args.ctx)
@@ -210,7 +226,9 @@ def main(argv=None):
         params = llm.quantize_params_int8(params)
         return bench_serving(cfg, params, args.slots, args.requests,
                              args.prompt_len, args.max_new,
-                             pallas=args.pallas)
+                             pallas=args.pallas,
+                             shared_prefix=args.shared_prefix,
+                             prefix_cache=not args.no_prefix_cache)
     if args.decode_batch:
         params = llm.quantize_params_int8(params)
         return bench_batched(cfg, params,

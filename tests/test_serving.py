@@ -86,6 +86,21 @@ def test_serving_ssm_hybrid():
     assert r3.wait(1) == _solo(params, cfg, [2, 7], 4)
 
 
+def test_serving_moe():
+    """MoE stacks through the engine: per-token expert gather works at
+    per-slot positions, outputs exact vs solo."""
+    cfg = tiny_cfg(num_experts=4, num_experts_per_tok=2,
+                   norm_topk_prob=True, max_context=96)
+    params = llm.init_params(cfg, seed=5)
+    eng = ServingEngine(params, cfg, n_slots=2)
+    r1 = eng.submit([1, 2, 3, 4], max_new=5)
+    eng.step()
+    r2 = eng.submit([6, 5], max_new=4)
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, [1, 2, 3, 4], 5)
+    assert r2.wait(1) == _solo(params, cfg, [6, 5], 4)
+
+
 def test_serving_kv_quant():
     """int8 KV cache serving: identical writes at identical positions make
     the engine's output equal generate_batch's kv_quant oracle."""
@@ -139,6 +154,144 @@ def test_sync_lag_invariance():
         return [r.wait(1) for r in rs]
 
     assert run(0) == run(4) == run(9)
+
+
+def test_prefix_reuse_token_exact():
+    """Requests sharing a long system preamble: the second skips its
+    CHUNK-aligned shared prefix (fewer prefill chunks) yet produces
+    exactly its solo greedy output — reused rows are bitwise what its own
+    prefill would have written (same chunk boundaries, causal masking)."""
+    cfg = tiny_cfg(max_context=160)
+    params = llm.init_params(cfg, seed=4)
+    pre = [(i * 7) % 60 + 1 for i in range(70)]      # 70-token preamble
+    p1, p2 = pre + [9, 9], pre + [3, 5, 3]
+    eng = ServingEngine(params, cfg, n_slots=1)
+    r1 = eng.submit(p1, max_new=4)
+    eng.run_until_idle()
+    chunks_before = eng.stats["prefill_chunks"]
+    r2 = eng.submit(p2, max_new=4)
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, p1, 4)
+    assert r2.wait(1) == _solo(params, cfg, p2, 4)
+    assert eng.stats["reused_tokens"] == 64          # 70 -> CHUNK-aligned
+    # r2 prefilled only ceil((75-64)/32) = 1 chunk vs 3 from scratch
+    assert eng.stats["prefill_chunks"] - chunks_before == 1
+
+
+def test_prefix_reuse_includes_generated_tokens():
+    """Conversation follow-up: prompt2 = prompt1 + reply1 + more. The
+    reply's K/V rows (written while decoding) count as reusable history —
+    the reference's get_start_pos semantics (utils/model.py:393-395)."""
+    cfg = tiny_cfg(max_context=160)
+    params = llm.init_params(cfg, seed=4)
+    p1 = [(i * 5) % 60 + 1 for i in range(40)]
+    eng = ServingEngine(params, cfg, n_slots=1)
+    r1 = eng.submit(p1, max_new=8)
+    eng.run_until_idle()
+    p2 = p1 + r1.tokens + [7, 7, 7]                  # 40+8+3 = 51 tokens
+    r2 = eng.submit(p2, max_new=4)
+    eng.run_until_idle()
+    assert r2.wait(1) == _solo(params, cfg, p2, 4)
+    # lcp = 47 trusted rows (p1 + 7 of 8 generated) -> 32 CHUNK-aligned
+    assert eng.stats["reused_tokens"] == 32
+
+
+def test_prefix_reuse_survives_junk_steps():
+    """Early-EOS retirement under sync_lag leaves junk decode steps
+    scribbling at the PARK position — which must sit at the history
+    length, beyond every reusable row. A later prefix-sharing request
+    must still be exact."""
+    cfg = tiny_cfg(max_context=160)
+    params = llm.init_params(cfg, seed=4)
+    pre = [(i * 3) % 60 + 1 for i in range(40)]
+    probe = _solo(params, cfg, pre + [2], 6)
+    eos = probe[1]                                   # retires early
+    eng = ServingEngine(params, cfg, n_slots=2, sync_lag=6)
+    r1 = eng.submit(pre + [2], max_new=6, eos_id=eos)
+    r2 = eng.submit([5, 4, 3], max_new=8)            # keeps decode running
+    eng.run_until_idle()
+    r3 = eng.submit(pre + [8, 8], max_new=4)         # reuses slot 0's rows
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, pre + [2], 6, eos_id=eos)
+    assert r3.wait(1) == _solo(params, cfg, pre + [8, 8], 4)
+    assert eng.stats["reused_tokens"] == 32
+
+
+def test_prefix_reuse_picks_matching_slot():
+    """Admission prefers the free slot whose history matches: two
+    histories exist, the follow-up must land on (and reuse) the right
+    one rather than round-robin to slot 0."""
+    cfg = tiny_cfg(max_context=160)
+    params = llm.init_params(cfg, seed=4)
+    pa = [(i * 7) % 60 + 1 for i in range(40)]
+    pb = [(i * 11) % 60 + 1 for i in range(40)]
+    eng = ServingEngine(params, cfg, n_slots=2)
+    eng.submit(pa + [1], max_new=3)
+    eng.submit(pb + [1], max_new=3)
+    eng.run_until_idle()
+    r = eng.submit(pb + [2, 2], max_new=4)
+    eng.run_until_idle()
+    assert r.wait(1) == _solo(params, cfg, pb + [2, 2], 4)
+    assert eng.stats["reused_tokens"] == 32          # matched pb's slot
+
+
+def test_prefix_reuse_disabled_for_ssm():
+    """Recurrent state at the reuse boundary isn't position-addressed, so
+    hybrids auto-disable reuse and keep the pos-0 park policy."""
+    ssm = llm.SSMConfig(conv_kernel=3, state_size=8, group_count=2,
+                        time_step_rank=4, inner_size=32)
+    cfg = tiny_cfg(ssm=ssm, full_attention_interval=2, qk_norm=8,
+                   max_context=160)
+    params = llm.init_params(cfg, seed=7)
+    eng = ServingEngine(params, cfg, n_slots=1)
+    assert not eng.prefix_cache
+    pre = [(i * 7) % 60 + 1 for i in range(40)]
+    r1 = eng.submit(pre + [1], max_new=3)
+    r2 = eng.submit(pre + [2], max_new=3)
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, pre + [1], 3)
+    assert r2.wait(1) == _solo(params, cfg, pre + [2], 3)
+    assert eng.stats["reused_tokens"] == 0
+
+
+def test_cancel_waiting_and_running():
+    """cancel(): a waiting request drops immediately; a running one
+    retires at the next tick and frees its slot for later requests,
+    which remain exact."""
+    cfg = tiny_cfg(max_context=160)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1)
+    r1 = eng.submit([1, 2, 3], max_new=30)
+    for _ in range(2):
+        eng.step()
+    r2 = eng.submit([4, 5], max_new=4)       # queued: slot busy
+    eng.cancel(r2)
+    assert r2.done and r2.tokens == []
+    eng.cancel(r1)
+    eng.run_until_idle()
+    assert r1.done and len(r1.tokens) < 30
+    r3 = eng.submit([7, 8, 9], max_new=4)
+    eng.run_until_idle()
+    assert r3.wait(1) == _solo(params, cfg, [7, 8, 9], 4)
+
+
+def test_cancel_midprefill_history_capped():
+    """Cancelling during a multi-chunk prefill leaves history only for
+    rows the cursor actually wrote — a prefix-sharing successor reuses
+    exactly those and recomputes the rest (and stays exact)."""
+    cfg = tiny_cfg(max_context=160)
+    params = llm.init_params(cfg, seed=4)
+    pre = [(i * 7) % 60 + 1 for i in range(70)]
+    eng = ServingEngine(params, cfg, n_slots=1)
+    r1 = eng.submit(pre + [1], max_new=4)
+    eng.step()                               # exactly one 32-token chunk
+    eng.cancel(r1)
+    eng.step()                               # tick processes the cancel
+    assert r1.done
+    r2 = eng.submit(pre + [2], max_new=4)
+    eng.run_until_idle()
+    assert r2.wait(1) == _solo(params, cfg, pre + [2], 4)
+    assert eng.stats["reused_tokens"] == 32  # only the written chunk
 
 
 def test_serving_background_thread():
