@@ -174,11 +174,19 @@ def main(argv=None):
         elif not want_qwen:
             nvr.qwen = None
 
+    def make_gen():
+        """POST /generate backend: text requests share the Qwen summary
+        engine's slots (needs CLEARCAM_SUMMARY_SLOTS>0 and use_qwen)."""
+        if nvr.qwen is None or nvr.summary_slots <= 0:
+            return None
+        from .serving import TextServing
+        return TextServing(nvr.summary_engine(), nvr.qwen.tok)
+
     ctx = AppContext(db, args.data, nvr=nvr, object_finder=object_finder,
                      settings=settings, offload_detect=offload_detect,
                      offload_detect_many=offload_detect_many,
                      on_settings_change=on_settings_change,
-                     api_token=args.api_token)
+                     api_token=args.api_token, gen=make_gen)
     storage.max_gb = ctx.max_gb
     storage.start()
     server = serve(ctx, port=args.port)

@@ -492,7 +492,10 @@ class NVR:
             from . import metrics
             with metrics.timer("summary_step"):
                 self._advance_summary()
-        if self._summaries:
+        if self._summaries or (self._summary_engine is not None
+                               and self._summary_engine.has_work()):
+            # external /generate requests share the engine, so step it
+            # whenever it has work — not only while summaries are pending
             from . import metrics
             with metrics.timer("summary_step"):
                 self._advance_summary_engine()
@@ -737,6 +740,22 @@ class NVR:
                 self._notify_and_upload(cam, fname, ts)
             alert.last_det = now
 
+    def summary_engine(self):
+        """The continuous-batching Qwen engine (lazily built; summary_slots
+        must be > 0). Shared by alert summaries and POST /generate — both
+        kinds of request interleave in the same decode batch, driven by
+        the NVR tick (single-device-consumer discipline)."""
+        assert self.summary_slots > 0 and self.qwen is not None
+        if self._summary_engine is None:
+            import jax.numpy as jnp
+            from ..serving.vlm import VLMServingEngine
+            # bf16 KV: the slots' cache is additional to the solo
+            # qwen state — half the bytes, serving-grade numerics
+            self._summary_engine = VLMServingEngine(
+                self.qwen, n_slots=self.summary_slots,
+                state_dtype=jnp.bfloat16)
+        return self._summary_engine
+
     def _notify_and_upload(self, cam: CamState, thumbnail: Path, ts: float):
         notify = self.notifier
         if notify is None:
@@ -749,20 +768,12 @@ class NVR:
             if self.summary_slots > 0:
                 # continuous-batching mode: every alerting camera gets its
                 # own slot; decode interleaves all summaries (serving/vlm)
-                if self._summary_engine is None:
-                    import jax.numpy as jnp
-                    from ..serving.vlm import VLMServingEngine
-                    # bf16 KV: the slots' cache is additional to the solo
-                    # qwen state — half the bytes, serving-grade numerics
-                    self._summary_engine = VLMServingEngine(
-                        self.qwen, n_slots=self.summary_slots,
-                        state_dtype=jnp.bfloat16)
                 frames = []
                 if cam.prev_frame is not None:
                     frames.append(cam.prev_frame[..., ::-1])
                 frames.append(cam.last_frame[..., ::-1])
-                req = self._summary_engine.submit(frames, self.qwen_prompt,
-                                                  max_new=60)
+                req = self.summary_engine().submit(frames, self.qwen_prompt,
+                                                   max_new=60)
                 self._summaries.append((req, cam.name, notify))
             else:
                 # cooperative summary: a few decode steps per tick so the

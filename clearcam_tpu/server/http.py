@@ -30,6 +30,7 @@ import queue
 import re
 import shutil
 import threading
+import time
 import uuid
 from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -156,7 +157,8 @@ class AppContext:
     def __init__(self, db, base_dir: Path, nvr=None, object_finder=None,
                  settings: GlobalSettings | None = None, max_gb: float = 256.0,
                  labels=None, offload_detect=None, offload_detect_many=None,
-                 on_settings_change=None, api_token: str | None = None):
+                 on_settings_change=None, api_token: str | None = None,
+                 gen=None):
         # optional shared-secret auth (beyond the reference, which serves an
         # unauthenticated API): when set, every request must carry the token
         # in an x-api-token header or ?token= query parameter
@@ -174,12 +176,26 @@ class AppContext:
         # batched variant: concurrent offload clients share one device call
         self.offload_batcher = (OffloadBatcher(offload_detect_many)
                                 if offload_detect_many is not None else None)
+        # LLM text serving for POST /generate: a serving.TextServing, or a
+        # zero-arg factory for one (lazy — the NVR builds its summary
+        # engine on first use)
+        self._gen = gen
         self.on_settings_change = on_settings_change
         stored = db.run_get("max_storage", None)
         if stored == {}:
             db.run_put("max_storage", "all", max_gb)
             stored = {"all": max_gb}
         self.max_gb = stored["all"]
+
+    @property
+    def text_gen(self):
+        """Resolve the /generate backend (factory called once, cached)."""
+        if callable(self._gen) and not hasattr(self._gen, "submit"):
+            made = self._gen()
+            if made is None:      # not configured yet — keep the factory
+                return None       # (qwen may arrive via /edit_settings)
+            self._gen = made
+        return self._gen
 
     # device work goes through the NVR executor when it exists
     def submit(self, fn, *args):
@@ -698,6 +714,8 @@ def make_handler(ctx: AppContext):
                     return self._post_offload(parsed.path == "/diff")
                 if parsed.path == "/federation/register":
                     return self._post_federation_register()
+                if parsed.path == "/generate":
+                    return self._post_generate()
                 self.send_error(404)
             except BrokenPipeError:
                 pass
@@ -728,6 +746,67 @@ def make_handler(ctx: AppContext):
                                            if isinstance(c, str)
                                            and safe_cam_name(c)])
             self._json({"status": "ok"})
+
+        def _post_generate(self):
+            """LLM text generation over the continuous-batching engine
+            (serving/engine.py) — the serving daemon's public surface.
+            Body: {"prompt": str, "max_new": int, "temperature": float,
+            "raw": bool (skip chat framing), "stream": bool}. stream=true
+            returns chunked text deltas as tokens materialize; otherwise
+            one JSON object. Requests from many clients decode
+            concurrently (each gets a slot; the engine interleaves).
+            Beyond the reference, which has no text-serving endpoint —
+            its LLM only runs inside alert summaries (clearcam.py:494)."""
+            gen = ctx.text_gen
+            if gen is None:
+                return self.send_error(
+                    503, "no LLM serving engine configured")
+            data = json.loads(self._body().decode() or "{}")
+            prompt = data.get("prompt")
+            if not isinstance(prompt, str) or not prompt:
+                return self.send_error(400, "prompt (string) required")
+            max_new = min(int(data.get("max_new", 128)), 4096)
+            req = gen.submit(prompt, max_new=max_new,
+                             temperature=float(data.get("temperature", 0.0)),
+                             raw=bool(data.get("raw", False)))
+            deadline = time.time() + float(data.get("timeout", 600))
+            if not data.get("stream"):
+                try:
+                    req.wait(max(deadline - time.time(), 0.001))
+                except TimeoutError:
+                    gen.cancel(req)       # free the slot for other clients
+                    return self.send_error(504, "generation timed out")
+                return self._json({"text": gen.text(req),
+                                   "tokens": len(req.tokens)})
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(s: str):
+                b = s.encode()
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+                self.wfile.flush()
+
+            seen = ""
+            try:
+                while True:
+                    done = req.done   # BEFORE the delta read: tokens are
+                    # complete once done is set, so this order can't drop
+                    # a final delta that lands between the two
+                    delta = gen.text_delta(req, seen)
+                    if delta:
+                        seen += delta
+                        emit(delta)
+                    if done or time.time() > deadline:
+                        break
+                    time.sleep(0.02)
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                if not req.done:      # disconnect/timeout: free the slot
+                    gen.cancel(req)
 
         def _post_edit_settings(self):
             data = json.loads(self._body().decode())

@@ -7,3 +7,4 @@ and leave the running batch at chunk granularity (vLLM-style continuous
 batching with chunked prefill, built on models/llm.make_serving_fns).
 """
 from .engine import Request, ServingEngine  # noqa: F401
+from .text import TextServing  # noqa: F401

@@ -1,0 +1,72 @@
+"""Text-in/text-out adapter over the continuous-batching engine.
+
+Pairs a ServingEngine with an LLMTokenizer so callers (the HTTP
+/generate endpoint, the serve_llm CLI) speak strings while the engine
+speaks token ids. Chat framing uses the tokenizer's preset-aware helpers
+(utils/llm_tokenizer.role/end_turn/prefix — the reference's chat presets,
+qwen3vl.py:71-90); ``raw=True`` skips framing for completion-style use.
+
+Streaming: token ids land on ``Request.tokens`` as the engine
+materializes them; ``text_delta`` re-decodes the full id list each call
+and returns the suffix past what the caller has seen — re-decoding (not
+per-token decode) keeps multi-byte BPE merges correct at chunk borders.
+"""
+from __future__ import annotations
+
+from .engine import Request, ServingEngine
+
+
+class TextServing:
+    """String-level submit/stream over a (engine, tokenizer) pair."""
+
+    def __init__(self, engine, tok, chat: bool = True):
+        # accept a raw ServingEngine or a wrapper exposing .engine (VLM)
+        self.engine: ServingEngine = getattr(engine, "engine", engine)
+        self.tok = tok
+        self.chat = chat
+
+    def has_work(self) -> bool:
+        return self.engine._has_work()
+
+    def cancel(self, req: Request) -> None:
+        self.engine.cancel(req)
+
+    def encode_prompt(self, prompt: str, raw: bool = False) -> list[int]:
+        if raw or not self.chat:
+            return self.tok.encode(prompt)
+        return (self.tok.prefix() + self.tok.role("user")
+                + self.tok.encode(prompt) + self.tok.end_turn()
+                + self.tok.role("assistant"))
+
+    def submit(self, prompt: str, max_new: int = 128,
+               temperature: float = 0.0, raw: bool = False) -> Request:
+        stop = {self.tok.eos_id}
+        if getattr(self.tok, "eot_id", None) is not None:
+            stop.add(self.tok.eot_id)
+        return self.engine.submit(self.encode_prompt(prompt, raw),
+                                  max_new=max_new, temperature=temperature,
+                                  eos_id=stop)
+
+    def _visible(self, req: Request) -> list[int]:
+        toks = list(req.tokens)
+        # only strip a TRAILING end token: re-decoding a stable prefix is
+        # what keeps streamed deltas append-only
+        while toks and self.tok.is_end(toks[-1]):
+            toks.pop()
+        return toks
+
+    def text(self, req: Request) -> str:
+        return self.tok.decode(self._visible(req))
+
+    def text_delta(self, req: Request, seen: str) -> str:
+        """Newly-decodable text past ``seen`` (monotone under streaming).
+
+        BPE ids decode to byte runs, so a char split ACROSS tokens shows
+        up transiently as a trailing U+FFFD (LLMTokenizer.decode uses
+        errors="replace") — hold trailing replacement chars back until
+        the request finishes, which keeps the emitted stream append-only."""
+        full = self.text(req)
+        if not req.done:
+            while full.endswith("�"):
+                full = full[:-1]
+        return full[len(seen):] if full.startswith(seen) else full

@@ -1,0 +1,121 @@
+"""Standalone LLM serving daemon: GGUF in, POST /generate out.
+
+Runs the continuous-batching engine (serving/engine.py) behind the HTTP
+server's /generate endpoint, with no NVR attached — the "just serve a
+model" deployment. Requests from any number of clients join the running
+batch at chunk granularity, share one KV cache, and can reuse common
+prompt prefixes (serving/engine.py prefix_cache).
+
+The reference has no serving daemon — its LLM only runs inside alert
+summaries on the NVR main loop (clearcam.py:494-496,1214-1226); this is
+the rebuild's production-serving surface over the same model runtime.
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python -m clearcam_tpu.tools.serve_llm \
+        --gguf model.gguf [--ctx 8192] [--slots 8] [--port 8081] \
+        [--int8] [--kv-quant] [--pallas] [--api-token SECRET]
+
+    curl -N -X POST localhost:8081/generate \
+        -d '{"prompt": "hello", "max_new": 64, "stream": true}'
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+class _AsciiTok:
+    """Byte-level stand-in tokenizer for --synthetic runs (random weights
+    produce token ids, not language; this maps them to printable ASCII so
+    the serving path is drivable end-to-end without a checkpoint)."""
+    eos_id, eot_id = 0, None
+
+    def __init__(self, vocab: int):
+        self.vocab = vocab
+
+    def encode(self, s):
+        return [1 + (ord(c) % min(self.vocab - 1, 94)) for c in s]
+
+    def decode(self, ids):
+        return "".join(chr(33 + (int(i) % 94)) for i in ids)
+
+    def is_end(self, t):
+        return t == self.eos_id
+
+    def role(self, r):
+        return self.encode("<" + r + ">")
+
+    def end_turn(self):
+        return [self.eos_id]
+
+    def prefix(self):
+        return []
+
+
+def build_engine(args):
+    import jax.numpy as jnp
+
+    from ..models import llm
+    from ..serving import ServingEngine, TextServing
+
+    if args.synthetic:
+        # random weights at Qwen3-2B-class shapes (llm_bench's config):
+        # exercises the full serving path on real hardware when no
+        # checkpoint is downloadable
+        from .llm_bench import qwen3_2b_cfg
+        cfg = qwen3_2b_cfg(args.blocks, args.ctx)
+        params = llm.init_params(cfg, seed=0, dtype=jnp.bfloat16)
+        if args.int8:
+            params = llm.quantize_params_int8(params)
+        tok = _AsciiTok(cfg.vocab_size)
+    else:
+        from ..utils.llm_tokenizer import LLMTokenizer
+        model, kv = llm.Transformer.from_gguf(
+            args.gguf, max_context=args.ctx, quantize=args.int8)
+        cfg, params = model.cfg, model.params
+        tok = LLMTokenizer.from_gguf_kv(kv)
+    eng = ServingEngine(params, cfg, n_slots=args.slots,
+                        state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
+                        use_pallas_decode=args.pallas)
+    return TextServing(eng, tok)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--gguf", type=Path, default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="serve a random-weight 2B-class model (no GGUF "
+                         "needed; ASCII stand-in tokenizer)")
+    ap.add_argument("--blocks", type=int, default=28)
+    ap.add_argument("--ctx", type=int, default=8192)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--port", type=int, default=8081)
+    ap.add_argument("--data", type=Path, default=Path("data"))
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 weight-only serving (ops/quant_matmul)")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache (half the decode HBM reads)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="prefix-aware Pallas decode attention")
+    ap.add_argument("--api-token", default=None)
+    args = ap.parse_args(argv)
+    assert args.gguf is not None or args.synthetic, \
+        "--gguf PATH or --synthetic required"
+
+    gen = build_engine(args)
+    gen.engine.start()                       # own scheduler thread
+
+    from ..server.http import AppContext, serve
+    from ..utils.db import KVStore
+    ctx = AppContext(KVStore(args.data / "cc_cache.db"), args.data,
+                     gen=gen, api_token=args.api_token)
+    print(f"LLM serving on :{args.port} "
+          f"({args.slots} slots, ctx {args.ctx})")
+    try:
+        serve(ctx, port=args.port, background=False)
+    except KeyboardInterrupt:
+        gen.engine.close()
+
+
+if __name__ == "__main__":
+    main()
