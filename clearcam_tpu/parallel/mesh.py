@@ -99,6 +99,40 @@ def shard_llm_params(mesh: Mesh, params: dict):
     return out
 
 
+def shard_llm_state(mesh: Mesh, cfg, state: list) -> list:
+    """Shard a decode/serving KV cache over the `model` axis: attention
+    K/V (and their int8 scales) split on the KV-head dim when divisible —
+    the cache is usually the largest live buffer in serving, so tp splits
+    its HBM footprint alongside the weights. MLA latents (single shared
+    head) and SSM states replicate."""
+    m = mesh.shape["model"]
+    out = []
+    for i, s in enumerate(state):
+        shard_heads = cfg.block_kind(i) == "attn" and cfg.n_kv_heads % m == 0
+
+        def put(a, _sh=shard_heads):
+            spec = (P(None, "model") if _sh and a.ndim >= 2
+                    and a.shape[1] == cfg.n_kv_heads else P())
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        out.append(jax.tree.map(put, s))
+    return out
+
+
+def serving_engine_tp(params: dict, cfg, mesh: Mesh, **engine_kw):
+    """Tensor-parallel continuous-batching serving: one ServingEngine
+    whose params are tp/ep-sharded (shard_llm_params) and whose KV cache
+    is split over the KV-head axis (shard_llm_state). The engine's two
+    graphs (prefill_slot / decode_all) GSPMD-partition over ICI — the
+    scheduler is unchanged, only array placement differs. The TPU-native
+    scale-out for serving models larger than one chip's HBM (reference
+    has no analogue; its LLM is single-device, utils/model.py)."""
+    from ..serving import ServingEngine
+    eng = ServingEngine(shard_llm_params(mesh, params), cfg, **engine_kw)
+    eng.state = shard_llm_state(mesh, cfg, eng.state)
+    return eng
+
+
 def sharded_llm_prefill(mesh: Mesh, params: dict, cfg):
     """Batch-dp + tp/ep jitted prefill step for the LLM."""
     from ..models import llm

@@ -55,6 +55,34 @@ def test_train_step_runs_with_tp(mesh):
     assert not np.allclose(np.asarray(p2[k]), np.asarray(params[k]))
 
 
+def test_tp_serving_engine_matches_solo(mesh):
+    """Tensor-parallel continuous batching: params tp-sharded + KV cache
+    split over the KV-head axis, staggered requests — every request's
+    greedy output equals its single-device solo generation."""
+    cfg = llm.TransformerConfig(
+        num_blocks=2, dim=32, hidden_dim=64, n_heads=4, n_kv_heads=2,
+        norm_eps=1e-5, vocab_size=64, head_dim=8, rope_theta=1e4, rope_dim=8,
+        v_head_dim=8, max_context=96)
+    params = llm.init_params(cfg, seed=4)
+
+    def solo(prompt, n):
+        return [t for t in llm.Transformer(params, cfg, seed=0).generate(
+            list(prompt), temperature=0.0, max_new=n)]
+
+    eng = pmesh.serving_engine_tp(params, cfg, mesh, n_slots=2)
+    # weights and cache really are split over the model axis
+    assert eng.params["blk.0.attn_q.weight"].sharding.spec == P("model", None)
+    if mesh.shape["model"] > 1:
+        assert eng.state[0]["k"].sharding.spec == P(None, "model")
+    r1 = eng.submit([1, 2, 3, 4, 5], max_new=6)
+    for _ in range(2):
+        eng.step()
+    r2 = eng.submit([9, 8, 7], max_new=5)    # joins mid-flight
+    eng.run_until_idle()
+    assert r1.wait(1) == solo([1, 2, 3, 4, 5], 6)
+    assert r2.wait(1) == solo([9, 8, 7], 5)
+
+
 def test_moe_llm_ep_sharding_matches_single(mesh):
     cfg = llm.TransformerConfig(
         num_blocks=2, dim=32, hidden_dim=64, n_heads=4, n_kv_heads=2,
