@@ -194,23 +194,39 @@ def _pos_is_vector(start_pos) -> bool:
     return getattr(start_pos, "ndim", 0) == 1
 
 
-def _cache_update(cache, new, start_pos):
+def _cache_update(cache, new, start_pos, write_mask=None):
     """Write new [B, H, T, D] values (or [B, H, T] scales) into the cache
     at start_pos — a shared scalar position, or a per-row [B] vector
     (continuous batching; vmapped dynamic_update_slice lowers to one
-    scatter, T must be 1 there)."""
+    scatter; T may be a whole prefill chunk). write_mask [B] bool keeps
+    masked rows' cache bytes bit-identical (batched multi-slot prefill:
+    non-participating rows must not scribble — a clamped CHUNK-wide junk
+    write could land BELOW a live row's cursor and corrupt attendable
+    history, unlike decode's 1-wide park writes)."""
     if not _pos_is_vector(start_pos):
+        assert write_mask is None
         idx = (0, 0, start_pos) + (0,) * (cache.ndim - 3)
         return jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype), idx)
 
-    def one(c, n, p):
+    if write_mask is None:
+        def one(c, n, p):
+            idx = (0, p) + (0,) * (c.ndim - 2)
+            return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
+        return jax.vmap(one)(cache, new, start_pos)
+
+    def one_masked(c, n, p, w):
+        # read-modify-write of the T-wide window (tens of KB — noise next
+        # to the weight reads): masked rows write back exactly what was
+        # there, so the scatter is position-safe for every row
         idx = (0, p) + (0,) * (c.ndim - 2)
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
-    return jax.vmap(one)(cache, new, start_pos)
+        old = jax.lax.dynamic_slice(c, idx, n.shape)
+        return jax.lax.dynamic_update_slice(
+            c, jnp.where(w, n.astype(c.dtype), old), idx)
+    return jax.vmap(one_masked)(cache, new, start_pos, write_mask)
 
 
 def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
-                     decode_attn=None, pad_start=None):
+                     decode_attn=None, pad_start=None, write_mask=None):
     """Standard GQA attention with cache (model.py:153-190). decode_attn
     optionally replaces the T=1 attention math (Pallas prefix kernel).
     When the state carries per-token scales ("k_s"/"v_s"), the cache is
@@ -235,7 +251,11 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     if cfg.qk_norm == hd:
         q = F.rms_norm(q, p[f"{pre}.attn_q_norm.weight"], cfg.norm_eps)
         k = F.rms_norm(k, p[f"{pre}.attn_k_norm.weight"], cfg.norm_eps)
-    fr = freqs[start_pos][:, None] if _pos_is_vector(start_pos) \
+    # per-row positions: gather [B,T,D] rope rows at start_pos[b]+0..t-1
+    # (T=1 decode and T=CHUNK batched prefill ride the same expression;
+    # junk rows parked near the table end clamp harmlessly)
+    fr = freqs[start_pos[:, None] + jnp.arange(t)] \
+        if _pos_is_vector(start_pos) \
         else jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
     q = jnp.concatenate([apply_rope(q[..., :cfg.rope_dim], fr),
                          q[..., cfg.rope_dim:]], -1)
@@ -245,10 +265,10 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     if "k_s" in state:
         kq, ks = _kv_quantize(k)
         vq, vs = _kv_quantize(v)
-        ck = _cache_update(state["k"], kq, start_pos)
-        cv = _cache_update(state["v"], vq, start_pos)
-        cks = _cache_update(state["k_s"], ks, start_pos)
-        cvs = _cache_update(state["v_s"], vs, start_pos)
+        ck = _cache_update(state["k"], kq, start_pos, write_mask)
+        cv = _cache_update(state["v"], vq, start_pos, write_mask)
+        cks = _cache_update(state["k_s"], ks, start_pos, write_mask)
+        cvs = _cache_update(state["v_s"], vs, start_pos, write_mask)
         new_state = {"k": ck, "k_s": cks, "v": cv, "v_s": cvs}
         # XLA-path dequant: fused by XLA into the attention einsums' operand
         # reads (measured ≈ −3% vs bf16 KV at 2B/ctx2048 — a materialized
@@ -256,8 +276,8 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
         ck_a = (ck * cks[..., None]).astype(jnp.bfloat16)
         cv_a = (cv * cvs[..., None]).astype(jnp.bfloat16)
     else:
-        ck = _cache_update(state["k"], k, start_pos)
-        cv = _cache_update(state["v"], v, start_pos)
+        ck = _cache_update(state["k"], k, start_pos, write_mask)
+        cv = _cache_update(state["v"], v, start_pos, write_mask)
         new_state = {"k": ck, "v": cv}
         ck_a, cv_a = ck, cv
     if decode_attn is not None and t == 1:
@@ -285,7 +305,7 @@ def _attention_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
 
 
 def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
-               pad_start=None):
+               pad_start=None, write_mask=None):
     """DeepSeek MLA latent-KV attention (model.py:192-238)."""
     b, t, _ = x.shape
     nope = cfg.head_dim - cfg.rope_dim
@@ -296,7 +316,11 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
     else:
         qp = F.linear(x, p[f"{pre}.attn_q.weight"])
     q = qp.reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    fr = freqs[start_pos][:, None] if _pos_is_vector(start_pos) \
+    # per-row positions: gather [B,T,D] rope rows at start_pos[b]+0..t-1
+    # (T=1 decode and T=CHUNK batched prefill ride the same expression;
+    # junk rows parked near the table end clamp harmlessly)
+    fr = freqs[start_pos[:, None] + jnp.arange(t)] \
+        if _pos_is_vector(start_pos) \
         else jax.lax.dynamic_slice_in_dim(freqs, start_pos, t, 0)
     q_nope, q_rope = q[..., :nope], q[..., nope:]
     # project q into the latent space: [H, lora, nope]
@@ -313,12 +337,12 @@ def _mla_block(p, pre, cfg: TransformerConfig, x, state, start_pos, freqs,
         # int8 latent cache: same per-token absmax scheme as the standard
         # blocks (the latent row is the K AND V, so one scale covers both)
         kq, ks = _kv_quantize(k_new)
-        ck = _cache_update(state["kv"], kq, start_pos)
-        cks = _cache_update(state["kv_s"], ks, start_pos)
+        ck = _cache_update(state["kv"], kq, start_pos, write_mask)
+        cks = _cache_update(state["kv_s"], ks, start_pos, write_mask)
         new_state = {"kv": ck, "kv_s": cks}
         k = ck.astype(jnp.float32) * cks[..., None]
     else:
-        ck = _cache_update(state["kv"], k_new, start_pos)
+        ck = _cache_update(state["kv"], k_new, start_pos, write_mask)
         new_state = {"kv": ck}
         k = ck.astype(jnp.float32)
     v = k[..., :cfg.kv_lora_rank]
@@ -439,7 +463,8 @@ def reset_recurrent(cfg: TransformerConfig, state: list) -> list:
 
 def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
             start_pos, freqs, hidden_override=None, deepstack=None,
-            decode_attn=None, pad_start=None, row_live=None):
+            decode_attn=None, pad_start=None, row_live=None,
+            write_mask=None):
     """Core stack: embeds -> blocks -> final hidden states [B,T,D].
 
     hidden_override replaces the token embeddings (VLM image splice);
@@ -447,7 +472,8 @@ def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
     (qwen3vl.py:293-297); pad_start [B] masks each row's left-pad cache
     region (right-aligned batched generation). SSM blocks additionally
     need row_live [B] (T=1 steps only) so the recurrence skips pad rows —
-    see _ssm_block.
+    see _ssm_block. write_mask [B] keeps masked rows' caches bit-identical
+    (batched multi-slot prefill; attention/MLA stacks only).
     """
     if hidden_override is not None:
         x = hidden_override
@@ -462,11 +488,16 @@ def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
         if kind == "attn":
             attn_out, st = _attention_block(p, pre, bc, h, state[i], start_pos,
                                             freqs, decode_attn=decode_attn,
-                                            pad_start=pad_start)
+                                            pad_start=pad_start,
+                                            write_mask=write_mask)
         elif kind == "mla":
             attn_out, st = _mla_block(p, pre, bc, h, state[i], start_pos,
-                                      freqs, pad_start=pad_start)
+                                      freqs, pad_start=pad_start,
+                                      write_mask=write_mask)
         else:  # kind == "ssm" (block_kind returns attn|mla|ssm only)
+            assert write_mask is None, \
+                "batched multi-slot prefill is attention/MLA-only (an SSM " \
+                "recurrence cannot skip masked rows over a whole chunk)"
             assert pad_start is None or row_live is not None, \
                 "batched left-pad generation over SSM blocks needs row_live " \
                 "(the recurrence would ingest the pad junk)"
@@ -748,6 +779,19 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         junk recurrence is erased by the next occupant's first-chunk
         reset).
 
+    prefill_many(params, state, first_tok, tokens[B,CHUNK], meta[3,B] i32,
+                 temps[B], step, base_key) -> (first_tok' [B], state)
+        (attention/MLA stacks only; None for SSM hybrids) advances EVERY
+        mid-prefill slot by one chunk in a single dispatch — per-row start
+        positions with T=CHUNK, one shared weight sweep instead of one per
+        slot (chunks are weight-read-bound at CHUNK=32). meta rows are
+        [start_pos, n_real, valid]; valid rides into the cache writes as a
+        write_mask so non-participating rows' caches stay bit-identical
+        (a clamped CHUNK-wide park write could corrupt attendable rows —
+        see _cache_update). Each valid row's sampled token (from its
+        n_real-1 hidden) lands in first_tok[row]; only rows finishing
+        their prompt keep it (mid-prompt rows' later chunks overwrite).
+
     use_pallas_decode routes decode_all's standard-attention blocks through
     the per-row-position Pallas kernel (ops/decode_attention): HBM reads
     stop at max(pos)+1 instead of max_context — the win regime when live
@@ -816,7 +860,35 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                             jax.random.fold_in(base_key, step))
         return tok, state
 
-    return prefill_slot, decode_all
+    prefill_many = None
+    if cfg.ssm is None:
+        # Batched multi-slot prefill: one weight-read pass advances EVERY
+        # mid-prefill slot by a chunk (per-row start positions; meta rows
+        # are [start_pos, n_real, valid]). A serialized prefill_slot pass
+        # reads all weights per slot per chunk — at 32-token chunks the
+        # dispatch is weight-bound, so k admitted prompts cost k weight
+        # sweeps where one would do; this graph restores the sweep-sharing
+        # that makes chunked prefill cheap (measured: admission bursts are
+        # the mixed-ladder bottleneck, PERF.md). valid gates cache writes
+        # row-wise (write_mask) — invalid rows' caches stay bit-identical.
+        # Attention/MLA only: an SSM recurrence can't skip masked rows
+        # across a chunk (engine falls back to prefill_slot there).
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_many(params, state, first_tok, tokens, meta, temps,
+                         step, base_key):
+            starts, n_real, valid = meta[0], meta[1], meta[2] != 0
+            hidden, state = forward(params, cfg, state, tokens, starts,
+                                    freqs, write_mask=valid)
+            h = jnp.take_along_axis(
+                hidden, jnp.maximum(n_real - 1, 0)[:, None, None], 1)[:, 0]
+            h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
+            tok = sample_gumbel(F.linear(h, params["output.weight"]), temps,
+                                jax.random.fold_in(base_key, step))
+            first_tok = jnp.where(valid, tok, first_tok) \
+                .astype(first_tok.dtype)
+            return first_tok, state
+
+    return prefill_slot, decode_all, prefill_many
 
 
 def make_slot_transform(fn):

@@ -18,7 +18,9 @@ mixed prefill+decode programs).
 Lagged token streaming: sampled tokens chain step-to-step ON DEVICE
 (prefill's first token rides into decode via inject_mask/inject_tok, each
 decode feeds the previous step's device output), and the host materializes
-tokens ``sync_lag`` steps late. The dispatch queue therefore stays full —
+tokens ``sync_lag`` steps late, fetching them as ONE stacked [k, B] array
+per ``fetch_every`` decode steps (one readback round trip per k steps,
+not per token step). The dispatch queue therefore stays full —
 aggregate throughput is the device's, not one round-trip per token (through
 the axon tunnel that is the difference between ~36 ms/step and device
 speed; on a PCIe host it hides the same sync, smaller). The price: EOS /
@@ -113,7 +115,8 @@ class ServingEngine:
                  state_dtype=jnp.float32, kv_quant: bool = False,
                  use_pallas_decode: bool = False, interpret: bool = False,
                  seed: int = 0, sync_lag: int = 4, custom_prefill=None,
-                 prefix_cache: bool = True):
+                 prefix_cache: bool = True, fetch_every: int = 4,
+                 prefill_batch: bool = True):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
@@ -125,9 +128,13 @@ class ServingEngine:
         self.prefix_cache = prefix_cache and cfg.ssm is None
         self.hist: list[list[int]] = [[] for _ in range(n_slots)]
         self.stats = {"prefill_chunks": 0, "prefill_tokens": 0,
-                      "reused_tokens": 0, "decode_steps": 0}
-        self.prefill_slot, self.decode_all = llm.make_serving_fns(
-            cfg, use_pallas_decode=use_pallas_decode, interpret=interpret)
+                      "reused_tokens": 0, "decode_steps": 0,
+                      "prefill_batched_steps": 0}
+        self.prefill_slot, self.decode_all, self.prefill_many = \
+            llm.make_serving_fns(cfg, use_pallas_decode=use_pallas_decode,
+                                 interpret=interpret)
+        if not prefill_batch:
+            self.prefill_many = None     # always one slot-chunk per tick
         self.state = llm.init_state(cfg, batch=n_slots, dtype=state_dtype,
                                     kv_quant=kv_quant)
         self.custom_prefill = custom_prefill         # (state,slot,pos,payload)
@@ -146,10 +153,19 @@ class ServingEngine:
         self._pending: deque = deque()               # unmaterialized tokens
         self._waiting: deque[Request] = deque()
         self._cancel: set = set()                    # retire at next tick
+        # Decode tokens accumulate device-side and are fetched as ONE
+        # stacked [k, B] array every `fetch_every` steps — the lagged
+        # materialization costs one host round trip per k steps instead
+        # of per step (through the axon tunnel each materialization is
+        # ~7 ms even with copy_to_host_async; on PCIe smaller, same shape)
+        self.fetch_every = max(1, fetch_every)
+        self._acc: list = []                         # (epochs, mask, tok_dev)
+        self._stack = jax.jit(lambda *ts: jnp.stack(ts))
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._base_key = jax.random.PRNGKey(seed)
         self._step_n = 0
+        self._tick_n = 0
         self._thread: threading.Thread | None = None
         self._stop = False
 
@@ -224,7 +240,7 @@ class ServingEngine:
 
     def _has_work(self) -> bool:
         return bool(self._waiting) or bool(self._pending) \
-            or any(p != _FREE for p in self.phase)
+            or bool(self._acc) or any(p != _FREE for p in self.phase)
 
     def has_work(self) -> bool:
         """Advisory: pending requests or unmaterialized tokens exist
@@ -325,19 +341,101 @@ class ServingEngine:
         except (AttributeError, NotImplementedError):
             pass
 
+    def _publish_metrics(self) -> None:
+        """Mirror engine state into runtime.metrics (the same registry the
+        NVR publishes to), so /metrics — JSON or Prometheus — shows serving
+        occupancy and throughput counters wherever the engine runs (NVR
+        summaries or the serve_llm daemon)."""
+        from ..runtime import metrics
+        live = sum(1 for p in self.phase if p == _LIVE)
+        pref = sum(1 for p in self.phase if p == _PREFILL)
+        metrics.gauge("serving.slots_live", live)
+        metrics.gauge("serving.slots_prefill", pref)
+        metrics.gauge("serving.slots_free", self.n_slots - live - pref)
+        metrics.gauge("serving.waiting", len(self._waiting))
+        for k, v in self.stats.items():
+            metrics.gauge("serving." + k, v)
+
+    def _flush_acc(self) -> None:
+        """Stack the accumulated decode steps' tokens into one [k, B]
+        device array, kick off its host copy, and queue a single pending
+        record covering all k steps."""
+        if not self._acc:
+            return
+        stacked = self._stack(*[t for _, _, t in self._acc])
+        self._start_fetch(stacked)
+        self._pending.append(
+            ("decs", [(e, m) for e, m, _ in self._acc], stacked,
+             self._step_n))
+        self._acc = []
+
     def _process(self, rec) -> None:
         """Materialize one pending record (the device work is usually done
         by now — this sync is the pipeline's tail, not its critical path)."""
         if rec[0] == "first":
-            _, b, ep, tok_dev = rec                  # [B] first_tok snapshot
+            _, b, ep, tok_dev, _born = rec           # [B] first_tok snapshot
             if self.phase[b] == _LIVE and self.epoch[b] == ep:
                 self._emit(b, int(np.asarray(tok_dev)[b]))
             return
-        _, epochs, mask, tok_dev = rec
-        arr = np.asarray(tok_dev)
-        for b in range(self.n_slots):
-            if mask[b] and self.phase[b] == _LIVE and self.epoch[b] == epochs[b]:
-                self._emit(b, int(arr[b]))
+        _, metas, stacked, _born = rec               # k decode steps at once
+        arr = np.asarray(stacked)                    # [k, B]
+        for j, (epochs, mask) in enumerate(metas):
+            # a retirement at step j bumps the slot's epoch, so that
+            # slot's rows j+1..k-1 of this same record auto-drop
+            for b in range(self.n_slots):
+                if mask[b] and self.phase[b] == _LIVE \
+                        and self.epoch[b] == epochs[b]:
+                    self._emit(b, int(arr[j, b]))
+
+    def _prefill_batched(self, rows: list) -> None:
+        """Advance every row in ``rows`` (all mid-prefill, on text
+        segments) by one chunk with a single prefill_many dispatch. meta
+        rows are [start_pos, n_real, valid]; invalid rows park at their
+        cursor (same policy as decode_all) and their caches are untouched
+        (write_mask inside the graph)."""
+        toks = np.zeros((self.n_slots, llm.CHUNK), np.int32)
+        meta = np.zeros((3, self.n_slots), np.int32)
+        meta[0] = np.minimum(self.cursor, self.cfg.max_context - 1)
+        meta[1] = 1                              # keep n_real-1 >= 0
+        fin = []                                 # (b, request, new_cursor)
+        for b in rows:
+            r = self.req[b]
+            cur = int(self.cursor[b])
+            seg_toks = r.segments[self.seg_idx[b]][1]
+            off = cur - int(self.seg_start[b])
+            n = min(llm.CHUNK, len(seg_toks) - off)
+            toks[b, :n] = seg_toks[off:off + n]
+            meta[0, b] = cur
+            meta[1, b] = n
+            meta[2, b] = 1
+            fin.append((b, r, cur + n, off + n == len(seg_toks)))
+            self.stats["prefill_chunks"] += 1
+            self.stats["prefill_tokens"] += n
+        self.stats["prefill_batched_steps"] += 1
+        if self._temps_dirty:
+            self._temps_dev = jnp.asarray(self.temps)
+            self._temps_dirty = False
+        self._step_n += 1
+        self._first_tok, self.state = self.prefill_many(
+            self.params, self.state, self._first_tok, jnp.asarray(toks),
+            jnp.asarray(meta), self._temps_dev, self._step_n,
+            self._base_key)
+        fetched = False
+        with self._lock:
+            for b, r, new_cur, seg_done in fin:
+                self.cursor[b] = new_cur
+                if seg_done:
+                    self.seg_idx[b] += 1
+                    self.seg_start[b] = new_cur
+                    if self.seg_idx[b] == len(r.segments):
+                        self.phase[b] = _LIVE
+                        self._inject[b] = True   # device value, no sync
+                        if not fetched:
+                            self._start_fetch(self._first_tok)
+                            fetched = True
+                        self._pending.append(
+                            ("first", b, self.epoch[b], self._first_tok,
+                             self._step_n))
 
     def step(self) -> bool:
         """One scheduler tick; returns False when there was nothing to do."""
@@ -353,7 +451,21 @@ class ServingEngine:
                    if self.phase[b] == _PREFILL]
 
         did = False
-        if pre:
+        batch_rows = []
+        if pre and self.prefill_many is not None \
+                and self.req[pre[0]].segments[self.seg_idx[pre[0]]][0] \
+                == "text":
+            # every mid-prefill slot currently on a TEXT segment advances
+            # one chunk in ONE dispatch (shared weight sweep). A slot on a
+            # custom (image) segment waits; it cannot starve — it becomes
+            # pre[0] once lower slots go live, and text prompts finish in
+            # bounded chunks.
+            batch_rows = [b for b in pre if self.req[b]
+                          .segments[self.seg_idx[b]][0] == "text"]
+        if len(batch_rows) >= 2:
+            self._prefill_batched(batch_rows)
+            did = True
+        elif pre:
             b = pre[0]
             r = self.req[b]
             cur = int(self.cursor[b])
@@ -389,7 +501,8 @@ class ServingEngine:
                         self._inject[b] = True       # device value, no sync
                         self._start_fetch(self._first_tok)
                         self._pending.append(
-                            ("first", b, self.epoch[b], self._first_tok))
+                            ("first", b, self.epoch[b], self._first_tok,
+                             self._step_n))
             did = True
         else:
             dec = [b for b in range(self.n_slots)
@@ -414,23 +527,37 @@ class ServingEngine:
                     jnp.asarray(meta), self._temps_dev, self._step_n,
                     self._base_key)
                 self._tok_dev = tok_dev
-                self._start_fetch(tok_dev)
                 with self._lock:
                     for b in dec:
                         self.cursor[b] += 1
-                self._pending.append(
-                    ("dec", tuple(self.epoch), mask, tok_dev))
+                self._acc.append((tuple(self.epoch), mask, tok_dev))
+                if len(self._acc) >= self.fetch_every:
+                    self._flush_acc()
                 did = True
 
-        # materialize anything past the lag window (everything, when the
-        # device has no more work to chew on)
+        # materialize by AGE: a record syncs only once its newest element
+        # is >= sync_lag dispatches behind the head of the pipeline, so the
+        # device always has sync_lag steps in flight when the host blocks —
+        # a count-based target would sync a freshly-flushed [k,B] stack
+        # whose last step is 1 dispatch old and collapse the pipeline
+        # (measured: 540 vs 846 tok/s on the 8x192 ladder). When the device
+        # has nothing left to chew on, flush and drain everything.
         target = self.sync_lag if did else 0
+        if not did:
+            self._flush_acc()
+
         popped = False
-        while len(self._pending) > target:
+        while self._pending and self._step_n - self._pending[0][-1] >= target:
             with self._lock:
                 rec = self._pending.popleft()
             self._process(rec)
             popped = True
+        # publish occupancy/throughput gauges at a bounded rate: every 32
+        # ticks while busy, and once on the busy->idle transition so the
+        # final counters land even for short bursts
+        self._tick_n += 1
+        if self._tick_n % 32 == 0 or not (did or popped):
+            self._publish_metrics()
         return did or popped
 
     def run_until_idle(self, max_steps: int = 1_000_000):

@@ -141,7 +141,8 @@ def bench_batched(cfg, params, batches, steps: int, pos: int = 256,
 
 def bench_serving(cfg, params, n_slots: int, n_requests: int,
                   prompt_len: int, max_new: int, pallas: bool = False,
-                  shared_prefix: int = 0, prefix_cache: bool = True):
+                  shared_prefix: int = 0, prefix_cache: bool = True,
+                  fetch_every: int = 4, prefill_batch: bool = True):
     """Continuous-batching engine throughput (serving/engine.py): submit
     n_requests with staggered prompt lengths (heterogeneous live positions
     — the serving steady state), drive the scheduler to drain, report
@@ -153,7 +154,8 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     rng = np.random.default_rng(0)
     eng = ServingEngine(params, cfg, n_slots=n_slots,
                         state_dtype=jnp.bfloat16, use_pallas_decode=pallas,
-                        prefix_cache=prefix_cache)
+                        prefix_cache=prefix_cache, fetch_every=fetch_every,
+                        prefill_batch=prefill_batch)
     # stagger lengths +-25% so slots sit at different absolute positions
     lens = [max(8, int(prompt_len * f))
             for f in rng.uniform(0.75, 1.25, n_requests)]
@@ -165,10 +167,18 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
                                   max(1, n - shared_prefix)).tolist()
                for n in lens]
 
-    # warm both graphs (prefill_slot + decode_all) outside the timed region
+    # warm all three graphs outside the timed region: a solo submit
+    # (prefill_slot + decode_all), then two concurrent submits so the
+    # batched prefill_many graph compiles too (it only runs when >=2
+    # slots are mid-prefill on the same tick)
     w = eng.submit(prompts[0][:8], max_new=2)
     eng.run_until_idle()
     assert w.done
+    if n_slots >= 2:
+        w2 = [eng.submit([3, 1, 4, 1, 5], max_new=2),
+              eng.submit([2, 7, 1, 8], max_new=2)]
+        eng.run_until_idle()
+        assert all(r.done for r in w2)
 
     t0 = time.perf_counter()
     reqs = [eng.submit(p, max_new=max_new) for p in prompts]
@@ -178,7 +188,9 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     assert all(r.done for r in reqs)
     r = {"serving": True, "n_slots": n_slots, "n_requests": n_requests,
          "prompt_len": prompt_len, "max_new": max_new, "pallas": pallas,
-         "shared_prefix": shared_prefix,
+         "shared_prefix": shared_prefix, "fetch_every": fetch_every,
+         "prefill_batch": prefill_batch,
+         "prefill_batched_steps": eng.stats["prefill_batched_steps"],
          "reused_tokens": eng.stats["reused_tokens"],
          "prefill_tokens": eng.stats["prefill_tokens"],
          "wall_s": round(dt, 2), "generated": total,

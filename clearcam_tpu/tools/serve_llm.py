@@ -76,7 +76,8 @@ def build_engine(args):
         tok = LLMTokenizer.from_gguf_kv(kv)
     eng = ServingEngine(params, cfg, n_slots=args.slots,
                         state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
-                        use_pallas_decode=args.pallas)
+                        use_pallas_decode=args.pallas,
+                        sync_lag=args.sync_lag, fetch_every=args.fetch_every)
     return TextServing(eng, tok)
 
 
@@ -97,6 +98,13 @@ def main(argv=None):
                     help="int8 KV cache (half the decode HBM reads)")
     ap.add_argument("--pallas", action="store_true",
                     help="prefix-aware Pallas decode attention")
+    ap.add_argument("--sync-lag", type=int, default=4, dest="sync_lag",
+                    help="decode steps tokens materialize late (pipeline "
+                         "depth; 0 = synchronous, adds an RTT per step)")
+    ap.add_argument("--fetch-every", type=int, default=4,
+                    dest="fetch_every",
+                    help="decode steps per batched [k,B] token readback "
+                         "(amortizes host round trips; raise on slow links)")
     ap.add_argument("--api-token", default=None)
     args = ap.parse_args(argv)
     assert args.gguf is not None or args.synthetic, \

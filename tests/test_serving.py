@@ -145,15 +145,19 @@ def test_sync_lag_invariance():
     probe = _solo(params, cfg, [1, 2, 3], 4)
     eos = probe[1]                       # retire early -> junk steps happen
 
-    def run(lag):
-        eng = ServingEngine(params, cfg, n_slots=2, sync_lag=lag)
+    def run(lag, fetch=4):
+        eng = ServingEngine(params, cfg, n_slots=2, sync_lag=lag,
+                            fetch_every=fetch)
         rs = [eng.submit([1, 2, 3], max_new=6, eos_id=eos),
               eng.submit([5, 5], max_new=5),
               eng.submit([7, 1, 7, 1], max_new=4)]
         eng.run_until_idle()
         return [r.wait(1) for r in rs]
 
-    assert run(0) == run(4) == run(9)
+    # neither the lag window nor the batched-fetch granularity (tokens
+    # ride home as [fetch_every, B] stacks) may change any output
+    assert run(0) == run(4) == run(9) \
+        == run(0, fetch=1) == run(4, fetch=7) == run(9, fetch=2)
 
 
 def test_prefix_reuse_token_exact():
@@ -308,3 +312,94 @@ def test_serving_background_thread():
         eng.close()
     for p, o in zip([[1, 2, 3], [4, 5], [6, 7, 8, 9]], outs):
         assert o == _solo(params, cfg, p, 4)
+
+
+def test_serving_metrics_published():
+    """Driving the engine mirrors occupancy + throughput into the shared
+    runtime.metrics registry (what /metrics serves, JSON or Prometheus)."""
+    from clearcam_tpu.runtime import metrics
+
+    cfg = tiny_cfg()
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=2)
+    r = eng.submit([1, 2, 3], max_new=4)
+    eng.run_until_idle()
+    assert r.wait(1) == _solo(params, cfg, [1, 2, 3], 4)
+
+    g = metrics.snapshot()["gauges"]
+    assert g["serving.slots_free"] == 2 and g["serving.slots_live"] == 0
+    assert g["serving.waiting"] == 0
+    assert g["serving.decode_steps"] >= 4
+    assert g["serving.prefill_tokens"] >= 3
+
+
+def test_batched_prefill_exact_and_used():
+    """Simultaneous admission fills every slot: prefill advances them all
+    per tick via ONE prefill_many dispatch (stats prove the batched graph
+    ran), outputs stay exactly solo — including ragged chunk tails and a
+    row that is mid-DECODE while others batch-prefill (its cache must be
+    untouched: write_mask)."""
+    cfg = tiny_cfg(max_context=128)
+    params = llm.init_params(cfg, seed=4)
+    prompts = [[1, 2, 3], list(range(1, 40)), [9] * 7, [5, 6]]
+
+    eng = ServingEngine(params, cfg, n_slots=3)
+    r0 = eng.submit(prompts[0], max_new=8)
+    for _ in range(3):
+        eng.step()                       # r0 is decoding...
+    rs = [eng.submit(p, max_new=6) for p in prompts[1:]]
+    eng.run_until_idle()                 # ...while the rest batch-prefill
+    assert eng.stats["prefill_batched_steps"] >= 1
+    assert r0.wait(1) == _solo(params, cfg, prompts[0], 8)
+    for p, r in zip(prompts[1:], rs):
+        assert r.wait(1) == _solo(params, cfg, p, 6)
+
+    # prefill_batch=False must give identical outputs (solo graph path)
+    eng2 = ServingEngine(params, cfg, n_slots=3, prefill_batch=False)
+    rs2 = [eng2.submit(p, max_new=6) for p in prompts[1:]]
+    eng2.run_until_idle()
+    assert eng2.stats["prefill_batched_steps"] == 0
+    for r, r2 in zip(rs, rs2):
+        assert r.wait(1) == r2.wait(1)
+
+
+def test_batched_prefill_kv_quant_and_mla():
+    """The write_mask path covers the int8-KV scale planes and the MLA
+    latent cache too."""
+    for kw, kv_quant in (({}, True),
+                         (dict(kv_lora_rank=16, q_lora_rank=24, head_dim=12,
+                               rope_dim=4, v_head_dim=12), False)):
+        cfg = tiny_cfg(max_context=96, **kw)
+        params = llm.init_params(cfg, seed=6)
+        eng = ServingEngine(params, cfg, n_slots=3, kv_quant=kv_quant,
+                            state_dtype=jnp.float32)
+        prompts = [[1, 2, 3, 4], list(range(2, 36)), [7, 7, 7]]
+        rs = [eng.submit(p, max_new=5) for p in prompts]
+        eng.run_until_idle()
+        assert eng.stats["prefill_batched_steps"] >= 1
+        ref = ServingEngine(params, cfg, n_slots=1, kv_quant=kv_quant,
+                            state_dtype=jnp.float32, prefill_batch=False)
+        for p, r in zip(prompts, rs):
+            q = ref.submit(p, max_new=5)
+            ref.run_until_idle()
+            assert r.wait(1) == q.wait(1)
+
+
+def test_batched_prefill_with_prefix_reuse():
+    """A reused (CHUNK-aligned) prefix shifts a row's start offset; the
+    batched graph must still produce the exact continuation."""
+    cfg = tiny_cfg(max_context=160)
+    params = llm.init_params(cfg, seed=4)
+    pre = [(i * 5) % 50 + 1 for i in range(40)]      # > one CHUNK
+    eng = ServingEngine(params, cfg, n_slots=2)
+    r1 = eng.submit(pre + [1], max_new=4)
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, pre + [1], 4)
+    # both slots prefill together; slot of r1 reuses pre's first chunk(s)
+    r2 = eng.submit(pre + [2], max_new=4)
+    r3 = eng.submit([3, 3, 3], max_new=4)
+    eng.run_until_idle()
+    assert eng.stats["reused_tokens"] >= 32
+    assert eng.stats["prefill_batched_steps"] >= 1
+    assert r2.wait(1) == _solo(params, cfg, pre + [2], 4)
+    assert r3.wait(1) == _solo(params, cfg, [3, 3, 3], 4)
