@@ -766,18 +766,33 @@ def make_handler(ctx: AppContext):
             if not isinstance(prompt, str) or not prompt:
                 return self.send_error(400, "prompt (string) required")
             max_new = min(int(data.get("max_new", 128)), 4096)
-            req = gen.submit(prompt, max_new=max_new,
-                             temperature=float(data.get("temperature", 0.0)),
-                             raw=bool(data.get("raw", False)))
-            deadline = time.time() + float(data.get("timeout", 600))
+            timeout = float(data.get("timeout", 600))
+            from ..serving.engine import QueueFull
+            try:
+                # the engine enforces the deadline too: the slot is
+                # reclaimed even if this HTTP thread dies, and a request
+                # cut mid-generation returns its partial text
+                req = gen.submit(prompt, max_new=max_new,
+                                 temperature=float(
+                                     data.get("temperature", 0.0)),
+                                 raw=bool(data.get("raw", False)),
+                                 timeout_s=timeout)
+            except QueueFull:
+                self.send_response(503)   # admission backpressure
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            deadline = time.time() + timeout
             if not data.get("stream"):
                 try:
-                    req.wait(max(deadline - time.time(), 0.001))
+                    req.wait(timeout + 5)  # engine deadline fires first
                 except TimeoutError:
                     gen.cancel(req)       # free the slot for other clients
                     return self.send_error(504, "generation timed out")
                 return self._json({"text": gen.text(req),
-                                   "tokens": len(req.tokens)})
+                                   "tokens": len(req.tokens),
+                                   "timed_out": req.timed_out})
             self.send_response(200)
             self.send_header("Content-Type", "text/plain; charset=utf-8")
             self.send_header("Transfer-Encoding", "chunked")

@@ -49,6 +49,7 @@ onto its single main loop (clearcam.py:1214-1226).
 from __future__ import annotations
 
 import threading
+import time
 from collections import deque
 from dataclasses import dataclass, field
 
@@ -76,6 +77,8 @@ class Request:            # never conflate two requests with equal prompts
     eos_id: object = None
     segments: list | None = None
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
+    deadline: float | None = None                # monotonic; engine-enforced
+    timed_out: bool = False                      # set when deadline cut it
     _done: threading.Event = field(default_factory=threading.Event)
 
     def __post_init__(self):
@@ -103,6 +106,12 @@ class Request:            # never conflate two requests with equal prompts
         return self._done.is_set()
 
 
+class QueueFull(Exception):
+    """Admission backpressure: the engine's waiting queue is at
+    ``max_waiting``; callers should shed load (HTTP 503 + Retry-After)
+    rather than let latency grow unboundedly."""
+
+
 _FREE, _PREFILL, _LIVE = 0, 1, 2
 
 
@@ -116,7 +125,7 @@ class ServingEngine:
                  use_pallas_decode: bool = False, interpret: bool = False,
                  seed: int = 0, sync_lag: int = 4, custom_prefill=None,
                  prefix_cache: bool = True, fetch_every: int = 4,
-                 prefill_batch: bool = True):
+                 prefill_batch: bool = True, max_waiting: int | None = None):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
@@ -153,6 +162,8 @@ class ServingEngine:
         self._pending: deque = deque()               # unmaterialized tokens
         self._waiting: deque[Request] = deque()
         self._cancel: set = set()                    # retire at next tick
+        self.max_waiting = max_waiting               # admission backpressure
+        self._deadlines = 0                          # live deadline count
         # Decode tokens accumulate device-side and are fetched as ONE
         # stacked [k, B] array every `fetch_every` steps — the lagged
         # materialization costs one host round trip per k steps instead
@@ -173,9 +184,16 @@ class ServingEngine:
 
     def submit(self, prompt: list | None = None, max_new: int = 64,
                temperature: float = 0.0, eos_id=None,
-               segments: list | None = None) -> Request:
+               segments: list | None = None,
+               timeout_s: float | None = None) -> Request:
+        """timeout_s: engine-enforced deadline — a request still waiting
+        when it expires is dropped; a running one is retired at the next
+        tick with whatever tokens it has (``Request.timed_out`` set).
+        Raises QueueFull when the waiting queue is at ``max_waiting``."""
         r = Request(list(prompt) if prompt is not None else None,
                     max_new, temperature, eos_id, segments=segments)
+        if timeout_s is not None:
+            r.deadline = time.monotonic() + timeout_s
         assert r.total_len + max_new <= self.cfg.max_context, \
             "prompt+max_new overflow ctx"
         # every text chunk writes CHUNK-wide at its (segment-offset,
@@ -194,7 +212,13 @@ class ServingEngine:
             s[0] == "text" for s in r.segments), \
             "custom segments need a custom_prefill hook"
         with self._work:
+            if self.max_waiting is not None \
+                    and len(self._waiting) >= self.max_waiting:
+                raise QueueFull(
+                    f"waiting queue at max_waiting={self.max_waiting}")
             self._waiting.append(r)
+            if r.deadline is not None:
+                self._deadlines += 1
             self._work.notify()
         return r
 
@@ -209,6 +233,8 @@ class ServingEngine:
                 return
             if r in self._waiting:
                 self._waiting.remove(r)
+                if r.deadline is not None:
+                    self._deadlines -= 1
                 r._done.set()
                 return
             self._cancel.add(r)
@@ -219,6 +245,10 @@ class ServingEngine:
         def loop():
             while True:
                 with self._work:
+                    if not self._stop and not self._has_work():
+                        # going idle: one final gauge publish so /metrics
+                        # shows the drained state, not the last busy tick
+                        self._publish_metrics()
                     while not self._stop and not self._has_work():
                         self._work.wait(timeout=0.5)
                     if self._stop:
@@ -289,6 +319,8 @@ class ServingEngine:
                 self._temps_dirty = True
 
     def _retire(self, b: int, r: Request) -> None:
+        if r.deadline is not None:
+            self._deadlines -= 1
         self.phase[b] = _FREE
         self.req[b] = None
         self.epoch[b] += 1            # stale pending records become no-ops
@@ -362,7 +394,12 @@ class ServingEngine:
         record covering all k steps."""
         if not self._acc:
             return
-        stacked = self._stack(*[t for _, _, t in self._acc])
+        ts = [t for _, _, t in self._acc]
+        # pad to the one compiled arity (repeat the last step's tokens):
+        # a ragged final flush would otherwise compile a NEW stack graph
+        # per distinct k mid-serving; _process only reads rows with metas
+        ts += [ts[-1]] * (self.fetch_every - len(ts))
+        stacked = self._stack(*ts)
         self._start_fetch(stacked)
         self._pending.append(
             ("decs", [(e, m) for e, m, _ in self._acc], stacked,
@@ -440,6 +477,20 @@ class ServingEngine:
     def step(self) -> bool:
         """One scheduler tick; returns False when there was nothing to do."""
         with self._lock:
+            if self._deadlines:
+                now = time.monotonic()
+                for b in range(self.n_slots):
+                    r = self.req[b]
+                    if r is not None and r.deadline is not None \
+                            and now >= r.deadline:
+                        r.timed_out = True
+                        self._retire(b, r)   # keeps its partial tokens
+                for r in [w for w in self._waiting
+                          if w.deadline is not None and now >= w.deadline]:
+                    self._waiting.remove(r)
+                    r.timed_out = True
+                    self._deadlines -= 1
+                    r._done.set()
             if self._cancel:
                 for b in range(self.n_slots):
                     if self.req[b] in self._cancel:

@@ -39,13 +39,14 @@ class TextServing:
                 + self.tok.role("assistant"))
 
     def submit(self, prompt: str, max_new: int = 128,
-               temperature: float = 0.0, raw: bool = False) -> Request:
+               temperature: float = 0.0, raw: bool = False,
+               timeout_s: float | None = None) -> Request:
         stop = {self.tok.eos_id}
         if getattr(self.tok, "eot_id", None) is not None:
             stop.add(self.tok.eot_id)
         return self.engine.submit(self.encode_prompt(prompt, raw),
                                   max_new=max_new, temperature=temperature,
-                                  eos_id=stop)
+                                  eos_id=stop, timeout_s=timeout_s)
 
     def _visible(self, req: Request) -> list[int]:
         toks = list(req.tokens)

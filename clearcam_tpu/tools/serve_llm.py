@@ -77,7 +77,8 @@ def build_engine(args):
     eng = ServingEngine(params, cfg, n_slots=args.slots,
                         state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
                         use_pallas_decode=args.pallas,
-                        sync_lag=args.sync_lag, fetch_every=args.fetch_every)
+                        sync_lag=args.sync_lag, fetch_every=args.fetch_every,
+                        max_waiting=args.max_waiting)
     return TextServing(eng, tok)
 
 
@@ -105,6 +106,10 @@ def main(argv=None):
                     dest="fetch_every",
                     help="decode steps per batched [k,B] token readback "
                          "(amortizes host round trips; raise on slow links)")
+    ap.add_argument("--max-waiting", type=int, default=64,
+                    dest="max_waiting",
+                    help="admission queue bound; overloaded requests get "
+                         "HTTP 503 + Retry-After instead of piling up")
     ap.add_argument("--api-token", default=None)
     args = ap.parse_args(argv)
     assert args.gguf is not None or args.synthetic, \

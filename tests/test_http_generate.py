@@ -121,3 +121,34 @@ def test_generate_unconfigured_503(tmp_path):
         assert e.value.code == 503
     finally:
         server.shutdown()
+
+
+def test_generate_backpressure_503():
+    """Admission backpressure surfaces as HTTP 503 + Retry-After (the
+    engine's QueueFull), not a hung request."""
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1, max_waiting=8).start()
+    gen = TextServing(eng, TinyTok())
+    ctx = AppContext(KVStore(":memory:"), "/tmp/cc_gen_bp", gen=gen)
+    server = serve(ctx, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        # occupy the single slot so the next submit must queue -> 503
+        first = urllib.request.urlopen(urllib.request.Request(
+            f"{url}/generate", method="POST",
+            data=json.dumps({"prompt": "aaaa", "max_new": 2}).encode()),
+            timeout=60)
+        assert first.status == 200
+        eng.max_waiting = 0          # force: queue len >= 0 always trips
+        req = urllib.request.Request(
+            f"{url}/generate", method="POST",
+            data=json.dumps({"prompt": "bbbb", "max_new": 2}).encode())
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 503")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503 and e.headers.get("Retry-After")
+    finally:
+        server.shutdown()
+        eng.close()

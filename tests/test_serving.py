@@ -403,3 +403,66 @@ def test_batched_prefill_with_prefix_reuse():
     assert eng.stats["prefill_batched_steps"] >= 1
     assert r2.wait(1) == _solo(params, cfg, pre + [2], 4)
     assert r3.wait(1) == _solo(params, cfg, [3, 3, 3], 4)
+
+
+def test_backpressure_and_deadlines():
+    """Production load-shedding: max_waiting bounds the admission queue
+    (QueueFull), a waiting request past its deadline is dropped, and a
+    RUNNING request cut by its deadline retires with partial tokens and
+    timed_out set — the slot is reclaimed for the next request."""
+    import time as _t
+
+    import pytest
+
+    from clearcam_tpu.serving.engine import QueueFull
+
+    cfg = tiny_cfg()
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1, max_waiting=1)
+    r1 = eng.submit([1, 2, 3], max_new=8)
+    eng.step()                                   # r1 admitted to the slot
+    r2 = eng.submit([5, 5], max_new=4)           # fills the waiting queue
+    with pytest.raises(QueueFull):
+        eng.submit([7, 7], max_new=4)
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, [1, 2, 3], 8)
+    assert r2.wait(1) == _solo(params, cfg, [5, 5], 4)
+
+    # waiting request expires before a slot frees
+    eng2 = ServingEngine(params, cfg, n_slots=1)
+    ra = eng2.submit([1, 2, 3], max_new=10)
+    rb = eng2.submit([5, 5], max_new=4, timeout_s=0.0)
+    for _ in range(3):
+        eng2.step()
+    assert rb.done and rb.timed_out and rb.tokens == []
+    assert eng2._deadlines == 0
+
+    # running request cut mid-generation: partial tokens, slot reclaimed
+    rc = eng2.submit([9, 8, 7], max_new=50, timeout_s=0.15)
+    _t.sleep(0.2)
+    eng2.run_until_idle()
+    assert rc.done and rc.timed_out
+    assert 0 < len(rc.tokens) < 50 or rc.tokens == []   # cut early
+    assert eng2._deadlines == 0
+    rd = eng2.submit([4, 4], max_new=4)                 # slot usable again
+    eng2.run_until_idle()
+    assert ra.wait(1) == _solo(params, cfg, [1, 2, 3], 10)
+    assert rd.wait(1) == _solo(params, cfg, [4, 4], 4)
+
+
+def test_flush_padding_single_arity():
+    """Ragged final flushes pad the token stack to fetch_every so only ONE
+    stack graph ever compiles (mid-serving arity churn was measured as
+    multi-minute stalls through a remote-compile link)."""
+    cfg = tiny_cfg()
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=2, fetch_every=4)
+    arities = set()
+    orig = eng._stack
+    eng._stack = lambda *ts: (arities.add(len(ts)), orig(*ts))[1]
+    rs = [eng.submit([1, 2, 3], max_new=5),     # 5 % 4 != 0: ragged flush
+          eng.submit([5, 5], max_new=3)]
+    eng.run_until_idle()
+    assert arities == {4}
+    for p, r, n in zip([[1, 2, 3], [5, 5]], rs, [5, 3]):
+        assert r.wait(1) == _solo(params, cfg, p, n)
