@@ -731,8 +731,15 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
 
 
 def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
-                     interpret: bool = False):
+                     interpret: bool = False, spec_lookup: int = 0):
     """Continuous-batching serving graphs (serving/engine.py drives them).
+
+    spec_lookup=G > 0 returns the SPECULATIVE graphs instead (device-side
+    prompt-lookup drafting + (G+1)-token verify windows, 1..G+1 tokens per
+    decode dispatch — see _make_spec_serving_fns; aux-threading signatures,
+    attention/MLA stacks only, mutually exclusive with use_pallas_decode:
+    the verify window is a T=G+1 prefill-shaped forward the T=1 decode
+    kernel cannot serve).
 
     Unlike generate_batch (one right-aligned batch, all rows at one global
     position), every slot here sits at its OWN absolute position, so
@@ -799,6 +806,14 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     """
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
+
+    if spec_lookup:
+        assert cfg.ssm is None, \
+            "speculative serving needs attention/MLA-only stacks (a " \
+            "rejected draft's recurrent-state update cannot be rolled back)"
+        assert not use_pallas_decode, \
+            "spec_lookup and use_pallas_decode are mutually exclusive"
+        return _make_spec_serving_fns(cfg, int(spec_lookup), freqs)
 
     attn_impl = None
     if use_pallas_decode:
@@ -889,6 +904,189 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             return first_tok, state
 
     return prefill_slot, decode_all, prefill_many
+
+
+def init_serving_aux(cfg: TransformerConfig, batch: int) -> dict:
+    """Device-resident serving bookkeeping for speculative continuous
+    batching (make_serving_fns(spec_lookup=G)):
+
+    - ``ids`` [B, S] int32: per-slot token history — ids[b, p] is the token
+      CONSUMED at cache position p (the token whose K/V row p holds).
+      Prefill chunks and verified decode windows both record here, so the
+      device can draft from its own history without any host round trip
+      (the engine reads sampled tokens ``sync_lag`` steps late — a
+      host-side lookup like Transformer._lookup_draft would stall the
+      dispatch pipeline it exists to keep full).
+    - ``pos`` [B] int32: each slot's next write position. Set by prefill
+      chunks (start + n_real), advanced by verified windows (data-
+      dependent: accepted + 1) — positions must live on device because the
+      host cannot know data-dependent advancement at dispatch time.
+    - ``last`` [B] int32: each slot's most recent emitted token (the next
+      window's first input), device-chained like the non-spec prev_tok.
+    """
+    return {"ids": jnp.zeros((batch, cfg.max_context), jnp.int32),
+            "pos": jnp.zeros((batch,), jnp.int32),
+            "last": jnp.zeros((batch,), jnp.int32)}
+
+
+def _device_lookup_draft(ids, pos, x0, gamma: int):
+    """Vectorized prompt-lookup drafting ON DEVICE: for each row, find the
+    most recent earlier occurrence of the current tail bigram
+    (ids[pos-1], x0) in the consumed history and propose the ``gamma``
+    tokens that followed it (the device analogue of the host-side
+    Transformer._lookup_draft; draft quality only affects speed — any
+    draft is verified, so exactness never depends on it).
+
+    ids [B, S], pos [B], x0 [B] -> [B, gamma] int32. Rows with no match
+    draft ``x0`` repeated (verification then accepts >= 1 token as usual).
+    """
+    S = ids.shape[1]
+    q0 = jnp.take_along_axis(ids, jnp.maximum(pos - 1, 0)[:, None], 1)[:, 0]
+    hit = (ids[:, :-1] == q0[:, None]) & (ids[:, 1:] == x0[:, None])
+    p_idx = jnp.arange(S - 1)[None]
+    # p <= pos-3: the match must be strictly earlier than the tail bigram
+    # itself AND its first continuation token (p+2) must be consumed
+    # history, not junk beyond pos
+    valid = hit & (p_idx <= (pos - 3)[:, None])
+    m = jnp.max(jnp.where(valid, p_idx, -1), axis=1)       # most recent
+    gidx = jnp.clip(m[:, None] + 2 + jnp.arange(gamma)[None], 0, S - 1)
+    d = jnp.take_along_axis(ids, gidx, 1)
+    return jnp.where((m >= 0)[:, None], d, x0[:, None]).astype(jnp.int32)
+
+
+def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
+    """Speculative continuous-batching graphs (make_serving_fns with
+    spec_lookup=G; serving/engine.py drives them).
+
+    Every decode dispatch verifies a (G+1)-token window per LIVE slot —
+    [current token, G device-drafted lookahead tokens] at per-row absolute
+    positions — and advances each row by its accepted-prefix length + 1
+    (1..G+1 tokens per dispatch). Decode is weight-read-bound at these
+    batch sizes, so a window costs roughly one token's latency while
+    emitting up to G+1 tokens on repetitive text (the solo prompt-lookup
+    win, models/llm.Transformer.generate:1283-1299, lifted into
+    continuous batching). Greedy rows only: temperature>0 rows force
+    accept=0 and emit their 1 sampled token per dispatch, exactly the
+    non-spec behavior.
+
+    Exactness argument (same invariant the solo verify path relies on,
+    make_verify_fn): within a window, position j's K/V holds token x_j,
+    and the causal mask lets position j attend in-window only to
+    x_0..x_j — exactly the true context for every ACCEPTED prefix
+    position. Rejected positions' cache rows are junk, but the next
+    window starts exactly at the first rejected position and is G+1 wide,
+    so junk rows are overwritten before any later query can attend them.
+
+    Unlike the non-spec graphs, non-live rows write NOTHING (write_mask
+    rides the live mask into every cache update): a (G+1)-wide park write
+    could not use the 1-wide-junk park argument, so parked slots' caches
+    stay bit-identical instead — which also makes prefix-reuse history
+    trivially safe across idle periods.
+
+    Signatures (aux = init_serving_aux; state and aux are donated):
+      prefill_slot(params, state, aux, first_tok, tokens[1,CHUNK], slot,
+                   start_pos, n_real, temp, step, base_key)
+          -> (first_tok', state, aux)   # also records ids, sets pos[slot]
+      decode_spec(params, state, aux, first_tok, meta[2,B] i32 [live,
+                  inject], temps, step, base_key)
+          -> (out [B, G+2] i32, state, aux)
+          out[b, :G+1] = the window's emitted-token candidates y_0..y_G
+          (y_j = greedy token after consuming position pos+j; y_0 is
+          Gumbel-sampled where temps[b] > 0); out[b, G+1] = n_emit, the
+          number of leading candidates actually emitted (accepted + 1).
+          The engine materializes these LATE like non-spec tokens and
+          truncates at eos/max_new host-side.
+      prefill_many(params, state, aux, first_tok, tokens[B,CHUNK],
+                   meta[3,B] i32 [start,n_real,valid], temps, step,
+                   base_key) -> (first_tok', state, aux)
+    """
+    S = cfg.max_context
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def prefill_slot(params, state, aux, first_tok, tokens, slot, start_pos,
+                     n_real, temp, step, base_key):
+        st_b = [jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
+            for s in state]
+        hidden, st_b = _prefill_hidden(params, cfg, st_b, tokens, start_pos,
+                                       n_real, freqs)
+        hidden = F.rms_norm(hidden, params["output_norm.weight"],
+                            cfg.norm_eps)
+        tok = sample_gumbel(F.linear(hidden, params["output.weight"]),
+                            temp, jax.random.fold_in(base_key, step))
+        state = [jax.tree.map(
+            lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+                full, part.astype(full.dtype), slot, 0), s, sb)
+            for s, sb in zip(state, st_b)]
+        first_tok = jax.lax.dynamic_update_slice(
+            first_tok, tok.astype(first_tok.dtype), (slot,))
+        # record the chunk's ids (pads beyond n_real are junk the draft
+        # lookup never reads: its validity mask stops below pos) and park
+        # the slot's write position at its prefill cursor
+        ids = jax.lax.dynamic_update_slice(
+            aux["ids"], tokens.astype(jnp.int32), (slot, start_pos))
+        pos = aux["pos"].at[slot].set(
+            (start_pos + n_real).astype(jnp.int32))
+        return first_tok, state, {"ids": ids, "pos": pos,
+                                  "last": aux["last"]}
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def decode_spec(params, state, aux, first_tok, meta, temps, step,
+                    base_key):
+        live = meta[0] != 0
+        pos = jnp.minimum(aux["pos"], S - 1 - G)   # junk steps clamp; live
+        x0 = jnp.where(meta[1] != 0, first_tok, aux["last"])  # rows never
+        draft = _device_lookup_draft(aux["ids"], pos, x0, G)  # bind (engine
+        xs = jnp.concatenate([x0[:, None], draft], 1)   # asserts capacity)
+        hidden, state = forward(params, cfg, state, xs, pos, freqs,
+                                write_mask=live)
+        h = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
+        logits = F.linear(h, params["output.weight"])        # [B, G+1, V]
+        greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+        sampled0 = sample_gumbel(logits[:, 0], temps,
+                                 jax.random.fold_in(base_key, step))
+        stochastic = temps > 0.0
+        y = greedy.at[:, 0].set(
+            jnp.where(stochastic, sampled0.astype(jnp.int32), greedy[:, 0]))
+        acc = (xs[:, 1:] == y[:, :-1]).astype(jnp.int32)
+        n_match = jnp.where(stochastic, 0, jnp.sum(jnp.cumprod(acc, 1), 1))
+        n_emit = jnp.where(live, n_match + 1, 0)
+        # record the window's ids at [pos, pos+G]; entries beyond
+        # pos+n_match are junk the NEXT window (starting there) overwrites
+        ids2 = jax.vmap(lambda row, xr, p:
+                        jax.lax.dynamic_update_slice(row, xr, (p,)))(
+            aux["ids"], xs, pos)
+        aux = {"ids": jnp.where(live[:, None], ids2, aux["ids"]),
+               "pos": jnp.where(live, jnp.minimum(pos + n_match + 1,
+                                                  S - 1 - G), aux["pos"]),
+               "last": jnp.where(
+                   live, jnp.take_along_axis(y, n_match[:, None], 1)[:, 0],
+                   aux["last"])}
+        out = jnp.concatenate([y, n_emit[:, None]], 1)       # [B, G+2]
+        return out, state, aux
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def prefill_many(params, state, aux, first_tok, tokens, meta, temps,
+                     step, base_key):
+        starts, n_real, valid = meta[0], meta[1], meta[2] != 0
+        hidden, state = forward(params, cfg, state, tokens, starts,
+                                freqs, write_mask=valid)
+        h = jnp.take_along_axis(
+            hidden, jnp.maximum(n_real - 1, 0)[:, None, None], 1)[:, 0]
+        h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
+        tok = sample_gumbel(F.linear(h, params["output.weight"]), temps,
+                            jax.random.fold_in(base_key, step))
+        first_tok = jnp.where(valid, tok, first_tok).astype(first_tok.dtype)
+        ids2 = jax.vmap(lambda row, xr, p:
+                        jax.lax.dynamic_update_slice(row, xr, (p,)))(
+            aux["ids"], tokens.astype(jnp.int32), starts)
+        aux = {"ids": jnp.where(valid[:, None], ids2, aux["ids"]),
+               "pos": jnp.where(valid, (starts + n_real).astype(jnp.int32),
+                                aux["pos"]),
+               "last": aux["last"]}
+        return first_tok, state, aux
+
+    return prefill_slot, decode_spec, prefill_many
 
 
 def make_slot_transform(fn):

@@ -158,7 +158,10 @@ class AppContext:
                  settings: GlobalSettings | None = None, max_gb: float = 256.0,
                  labels=None, offload_detect=None, offload_detect_many=None,
                  on_settings_change=None, api_token: str | None = None,
-                 gen=None):
+                 gen=None, served_model: str = "clearcam-llm"):
+        # model id reported by the OpenAI-compatible surface (/v1/models,
+        # completion objects) — the GGUF basename in tools/serve_llm.py
+        self.served_model = served_model
         # optional shared-secret auth (beyond the reference, which serves an
         # unauthenticated API): when set, every request must carry the token
         # in an x-api-token header or ?token= query parameter
@@ -246,7 +249,9 @@ def make_handler(ctx: AppContext):
                 return True
             import hmac
             q = parse_qs(urlparse(self.path).query)
+            auth = self.headers.get("Authorization", "")
             supplied = self.headers.get("x-api-token") \
+                or (auth[7:] if auth.startswith("Bearer ") else "") \
                 or (q.get("token") or [""])[0]
             if hmac.compare_digest(supplied or "", ctx.api_token):
                 return True
@@ -716,6 +721,10 @@ def make_handler(ctx: AppContext):
                     return self._post_federation_register()
                 if parsed.path == "/generate":
                     return self._post_generate()
+                if parsed.path == "/v1/completions":
+                    return self._post_openai(chat=False)
+                if parsed.path == "/v1/chat/completions":
+                    return self._post_openai(chat=True)
                 self.send_error(404)
             except BrokenPipeError:
                 pass
@@ -821,6 +830,169 @@ def make_handler(ctx: AppContext):
                 pass
             finally:
                 if not req.done:      # disconnect/timeout: free the slot
+                    gen.cancel(req)
+
+        def _get_v1_models(self, q, cam):
+            """OpenAI-compatible model listing (one served model)."""
+            if ctx.text_gen is None:
+                return self.send_error(503, "no LLM serving engine")
+            self._json({"object": "list", "data": [
+                {"id": ctx.served_model, "object": "model",
+                 "created": 0, "owned_by": "clearcam_tpu"}]})
+
+        def _post_openai(self, chat: bool):
+            """OpenAI-compatible serving surface over the continuous-
+            batching engine: /v1/completions (prompt string) and
+            /v1/chat/completions (messages list), non-streamed JSON or
+            SSE streaming (``data: {chunk}`` lines, terminated by
+            ``data: [DONE]``) — so off-the-shelf OpenAI SDK clients /
+            LangChain / curl recipes can point at the serving daemon
+            (tools/serve_llm.py) unchanged. Supports max_tokens,
+            temperature, stop (string or list, host-side truncation),
+            stream; n>1 is rejected. Auth accepts ``Authorization:
+            Bearer <token>`` when --api-token is set."""
+            gen = ctx.text_gen
+            if gen is None:
+                return self.send_error(
+                    503, "no LLM serving engine configured")
+            try:
+                data = json.loads(self._body().decode() or "{}")
+            except json.JSONDecodeError:
+                return self.send_error(400, "invalid JSON body")
+            if int(data.get("n", 1)) != 1:
+                return self.send_error(400, "only n=1 is supported")
+            max_new = min(int(data.get("max_tokens") or 128), 4096)
+            temp = float(data.get("temperature", 1.0))
+            timeout = float(data.get("timeout", 600))
+            stops = data.get("stop") or []
+            if isinstance(stops, str):
+                stops = [stops]
+            model = str(data.get("model") or ctx.served_model)
+            if chat:
+                msgs = data.get("messages")
+                if not isinstance(msgs, list) or not msgs:
+                    return self.send_error(400,
+                                           "messages (list) required")
+                make = lambda: gen.submit_messages(  # noqa: E731
+                    msgs, max_new=max_new, temperature=temp,
+                    timeout_s=timeout)
+            else:
+                prompt = data.get("prompt")
+                if isinstance(prompt, list):
+                    prompt = prompt[0] if prompt else None
+                if not isinstance(prompt, str) or not prompt:
+                    return self.send_error(400, "prompt (string) required")
+                make = lambda: gen.submit(prompt, max_new=max_new,  # noqa: E731
+                                          temperature=temp, raw=True,
+                                          timeout_s=timeout)
+            from ..serving.engine import QueueFull
+            try:
+                req = make()
+            except QueueFull:
+                self.send_response(429)   # OpenAI's rate-limit status
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            rid = f"{'chatcmpl' if chat else 'cmpl'}-{id(req):x}"
+            created = int(time.time())
+
+            def cut(text: str):
+                """Host-side stop-sequence truncation (returns text,
+                hit?). The engine decodes past a stop string by at most
+                the polling interval; tokens past it are dropped here —
+                same contract as OpenAI's server-side stop."""
+                first = len(text)
+                for s in stops:
+                    i = text.find(s)
+                    if i >= 0:
+                        first = min(first, i)
+                return text[:first], first < len(text)
+
+            def finish_reason(stopped: bool):
+                if stopped:
+                    return "stop"
+                if req.timed_out or len(req.tokens) >= max_new:
+                    return "length"
+                return "stop"             # retired on eos
+
+            if not data.get("stream"):
+                try:
+                    req.wait(timeout + 5)
+                except TimeoutError:
+                    gen.cancel(req)
+                    return self.send_error(504, "generation timed out")
+                text, hit = cut(gen.text(req))
+                prompt_toks = (len(gen.encode_messages(msgs)) if chat
+                               else len(gen.encode_prompt(prompt, True)))
+                choice = {"index": 0, "finish_reason": finish_reason(hit),
+                          "logprobs": None}
+                if chat:
+                    choice["message"] = {"role": "assistant",
+                                         "content": text}
+                else:
+                    choice["text"] = text
+                return self._json({
+                    "id": rid, "created": created, "model": model,
+                    "object": ("chat.completion" if chat
+                               else "text_completion"),
+                    "choices": [choice],
+                    "usage": {"prompt_tokens": prompt_toks,
+                              "completion_tokens": len(req.tokens),
+                              "total_tokens": prompt_toks
+                              + len(req.tokens)}})
+
+            # --- SSE streaming ------------------------------------------
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(obj):
+                b = b"data: " + json.dumps(obj).encode() + b"\n\n"
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+                self.wfile.flush()
+
+            def chunk_obj(delta_choice):
+                o = {"id": rid, "created": created, "model": model,
+                     "object": ("chat.completion.chunk" if chat
+                                else "text_completion"),
+                     "choices": [delta_choice]}
+                return o
+
+            deadline = time.time() + timeout
+            seen, hit = "", False
+            try:
+                if chat:                  # role preamble chunk
+                    emit(chunk_obj({"index": 0, "finish_reason": None,
+                                    "delta": {"role": "assistant"}}))
+                while True:
+                    done = req.done       # read BEFORE the delta (see
+                    # _post_generate: this order can't drop a final delta)
+                    full, hit = cut(seen + gen.text_delta(req, seen))
+                    delta = full[len(seen):]
+                    if delta:
+                        seen = full
+                        c = ({"index": 0, "finish_reason": None,
+                              "delta": {"content": delta}} if chat else
+                             {"index": 0, "finish_reason": None,
+                              "text": delta, "logprobs": None})
+                        emit(chunk_obj(c))
+                    if hit or done or time.time() > deadline:
+                        break
+                    time.sleep(0.02)
+                fr = finish_reason(hit)
+                emit(chunk_obj({"index": 0, "finish_reason": fr,
+                                **({"delta": {}} if chat
+                                   else {"text": "", "logprobs": None})}))
+                b = b"data: [DONE]\n\n"
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                if not req.done:          # disconnect / stop-hit / timeout
                     gen.cancel(req)
 
         def _post_edit_settings(self):

@@ -79,7 +79,27 @@ class Request:            # never conflate two requests with equal prompts
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     deadline: float | None = None                # monotonic; engine-enforced
     timed_out: bool = False                      # set when deadline cut it
+    # client-observed latency marks (monotonic): set at submit / first
+    # materialized token / retirement — deliberately measured at HOST
+    # materialization time, so TTFT includes the lagged-pipeline depth a
+    # streaming client actually experiences
+    t_submit: float = 0.0
+    t_first: float | None = None
+    t_done: float | None = None
     _done: threading.Event = field(default_factory=threading.Event)
+
+    @property
+    def ttft_s(self) -> float | None:
+        """Submit -> first token (client-observed), seconds."""
+        return None if self.t_first is None else self.t_first - self.t_submit
+
+    @property
+    def tpot_s(self) -> float | None:
+        """Mean inter-token time past the first (decode cadence), seconds."""
+        if self.t_done is None or self.t_first is None \
+                or len(self.tokens) < 2:
+            return None
+        return (self.t_done - self.t_first) / (len(self.tokens) - 1)
 
     def __post_init__(self):
         if self.segments is None:
@@ -125,7 +145,8 @@ class ServingEngine:
                  use_pallas_decode: bool = False, interpret: bool = False,
                  seed: int = 0, sync_lag: int = 4, custom_prefill=None,
                  prefix_cache: bool = True, fetch_every: int = 4,
-                 prefill_batch: bool = True, max_waiting: int | None = None):
+                 prefill_batch: bool = True, max_waiting: int | None = None,
+                 spec_lookup: int = 0):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
@@ -135,17 +156,25 @@ class ServingEngine:
         # position-addressed cache doesn't hold — attention-only stacks only
         # (the reference resets SSM state on reuse too, model.py:287-290).
         self.prefix_cache = prefix_cache and cfg.ssm is None
+        # Speculative decoding: device-drafted (G+1)-token verify windows,
+        # 1..G+1 tokens per decode dispatch (greedy rows). Attention/MLA
+        # stacks only (rejected drafts can't roll back a recurrence) and
+        # not composable with the T=1 Pallas decode kernel — silently
+        # disabled there, same convention as prefix_cache.
+        self.spec = int(spec_lookup) \
+            if cfg.ssm is None and not use_pallas_decode else 0
         self.hist: list[list[int]] = [[] for _ in range(n_slots)]
         self.stats = {"prefill_chunks": 0, "prefill_tokens": 0,
                       "reused_tokens": 0, "decode_steps": 0,
-                      "prefill_batched_steps": 0}
+                      "prefill_batched_steps": 0, "spec_emitted": 0}
         self.prefill_slot, self.decode_all, self.prefill_many = \
             llm.make_serving_fns(cfg, use_pallas_decode=use_pallas_decode,
-                                 interpret=interpret)
+                                 interpret=interpret, spec_lookup=self.spec)
         if not prefill_batch:
             self.prefill_many = None     # always one slot-chunk per tick
         self.state = llm.init_state(cfg, batch=n_slots, dtype=state_dtype,
                                     kv_quant=kv_quant)
+        self.aux = llm.init_serving_aux(cfg, n_slots) if self.spec else None
         self.custom_prefill = custom_prefill         # (state,slot,pos,payload)
         self.phase = [_FREE] * n_slots
         self.req: list[Request | None] = [None] * n_slots
@@ -174,6 +203,8 @@ class ServingEngine:
         self._stack = jax.jit(lambda *ts: jnp.stack(ts))
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
+        self._ttft_ewma: float | None = None
+        self._tpot_ewma: float | None = None
         self._base_key = jax.random.PRNGKey(seed)
         self._step_n = 0
         self._tick_n = 0
@@ -192,10 +223,12 @@ class ServingEngine:
         Raises QueueFull when the waiting queue is at ``max_waiting``."""
         r = Request(list(prompt) if prompt is not None else None,
                     max_new, temperature, eos_id, segments=segments)
+        r.t_submit = time.monotonic()
         if timeout_s is not None:
-            r.deadline = time.monotonic() + timeout_s
-        assert r.total_len + max_new <= self.cfg.max_context, \
-            "prompt+max_new overflow ctx"
+            r.deadline = r.t_submit + timeout_s
+        assert r.total_len + max_new + self.spec <= self.cfg.max_context, \
+            "prompt+max_new overflow ctx"  # spec verify windows are G+1
+        # wide: the last real window must fit below max_context
         # every text chunk writes CHUNK-wide at its (segment-offset,
         # possibly unaligned) start; a start past S-CHUNK would clamp the
         # dynamic_update_slice and corrupt earlier cache rows
@@ -319,6 +352,16 @@ class ServingEngine:
                 self._temps_dirty = True
 
     def _retire(self, b: int, r: Request) -> None:
+        mid_prefill = self.phase[b] == _PREFILL
+        r.t_done = time.monotonic()
+        # fold client-observed latency into engine EWMAs (alpha 0.2 —
+        # same smoothing as runtime.metrics stage timers)
+        if r.ttft_s is not None:
+            self._ttft_ewma = (r.ttft_s if self._ttft_ewma is None
+                               else 0.8 * self._ttft_ewma + 0.2 * r.ttft_s)
+        if r.tpot_s is not None:
+            self._tpot_ewma = (r.tpot_s if self._tpot_ewma is None
+                               else 0.8 * self._tpot_ewma + 0.2 * r.tpot_s)
         if r.deadline is not None:
             self._deadlines -= 1
         self.phase[b] = _FREE
@@ -331,16 +374,20 @@ class ServingEngine:
             # token except the last — token i's K/V lands at row
             # total_len+i when it is CONSUMED producing token i+1; the
             # final token may only have been consumed by a lag-window junk
-            # step, so its row is not trusted.
+            # step, so its row is not trusted. (Spec windows hold the same
+            # invariant: accepted token y_j is consumed at window position
+            # pos+j+1 in the SAME dispatch, the bonus token at the next
+            # window's start.)
             lead = r.segments[0][1] if r.segments[0][0] == "text" else []
             if len(r.segments) == 1:
                 h = list(lead) + r.tokens[:-1]
             else:
                 h = list(lead)
             # a CANCELLED request may retire mid-prefill: only rows the
-            # cursor actually passed are written (normal retirement has
-            # cursor >= len(h), so this truncation is a no-op there)
-            self.hist[b] = h[:int(self.cursor[b])]
+            # cursor actually passed are written. Live retirements keep h
+            # whole — under spec decoding the host cursor intentionally
+            # lags the device position, so it must not truncate here.
+            self.hist[b] = h[:int(self.cursor[b])] if mid_prefill else h
             # Park AT the history length, not 0: a free slot still rides in
             # every decode_all step, scribbling junk K/V at its park
             # position — parking below len(hist) would corrupt the very
@@ -357,6 +404,8 @@ class ServingEngine:
         eos / max_new / context exhaustion."""
         r = self.req[b]
         r.tokens.append(tok)
+        if r.t_first is None:
+            r.t_first = time.monotonic()
         ctx_full = r.total_len + len(r.tokens) >= self.cfg.max_context
         if tok in r.stop_ids or len(r.tokens) >= r.max_new or ctx_full:
             self._retire(b, r)
@@ -385,6 +434,10 @@ class ServingEngine:
         metrics.gauge("serving.slots_prefill", pref)
         metrics.gauge("serving.slots_free", self.n_slots - live - pref)
         metrics.gauge("serving.waiting", len(self._waiting))
+        if self._ttft_ewma is not None:
+            metrics.gauge("serving.ttft_ms", round(self._ttft_ewma * 1e3, 2))
+        if self._tpot_ewma is not None:
+            metrics.gauge("serving.tpot_ms", round(self._tpot_ewma * 1e3, 2))
         for k, v in self.stats.items():
             metrics.gauge("serving." + k, v)
 
@@ -415,14 +468,27 @@ class ServingEngine:
                 self._emit(b, int(np.asarray(tok_dev)[b]))
             return
         _, metas, stacked, _born = rec               # k decode steps at once
-        arr = np.asarray(stacked)                    # [k, B]
+        arr = np.asarray(stacked)             # [k, B] / spec: [k, B, G+2]
         for j, (epochs, mask) in enumerate(metas):
             # a retirement at step j bumps the slot's epoch, so that
             # slot's rows j+1..k-1 of this same record auto-drop
             for b in range(self.n_slots):
                 if mask[b] and self.phase[b] == _LIVE \
                         and self.epoch[b] == epochs[b]:
-                    self._emit(b, int(arr[j, b]))
+                    if not self.spec:
+                        self._emit(b, int(arr[j, b]))
+                        continue
+                    # spec window: n_emit leading candidates; _emit may
+                    # retire mid-window (eos/max_new/deadline), dropping
+                    # the rest — the junk the device consumed past the
+                    # stop point is never claimed as prefix history
+                    n = min(int(arr[j, b, -1]), self.spec + 1)
+                    self.stats["spec_emitted"] += max(n, 0)
+                    for t in arr[j, b, :n]:
+                        if self.phase[b] != _LIVE \
+                                or self.epoch[b] != epochs[b]:
+                            break
+                        self._emit(b, int(t))
 
     def _prefill_batched(self, rows: list) -> None:
         """Advance every row in ``rows`` (all mid-prefill, on text
@@ -453,10 +519,16 @@ class ServingEngine:
             self._temps_dev = jnp.asarray(self.temps)
             self._temps_dirty = False
         self._step_n += 1
-        self._first_tok, self.state = self.prefill_many(
-            self.params, self.state, self._first_tok, jnp.asarray(toks),
-            jnp.asarray(meta), self._temps_dev, self._step_n,
-            self._base_key)
+        if self.spec:
+            self._first_tok, self.state, self.aux = self.prefill_many(
+                self.params, self.state, self.aux, self._first_tok,
+                jnp.asarray(toks), jnp.asarray(meta), self._temps_dev,
+                self._step_n, self._base_key)
+        else:
+            self._first_tok, self.state = self.prefill_many(
+                self.params, self.state, self._first_tok, jnp.asarray(toks),
+                jnp.asarray(meta), self._temps_dev, self._step_n,
+                self._base_key)
         fetched = False
         with self._lock:
             for b, r, new_cur, seg_done in fin:
@@ -538,10 +610,16 @@ class ServingEngine:
             self._step_n += 1
             self.stats["prefill_chunks"] += 1
             self.stats["prefill_tokens"] += n
-            self._first_tok, self.state = self.prefill_slot(
-                self.params, self.state, self._first_tok,
-                jnp.asarray([chunk], jnp.int32), b, cur, n,
-                float(self.temps[b]), self._step_n, self._base_key)
+            if self.spec:
+                self._first_tok, self.state, self.aux = self.prefill_slot(
+                    self.params, self.state, self.aux, self._first_tok,
+                    jnp.asarray([chunk], jnp.int32), b, cur, n,
+                    float(self.temps[b]), self._step_n, self._base_key)
+            else:
+                self._first_tok, self.state = self.prefill_slot(
+                    self.params, self.state, self._first_tok,
+                    jnp.asarray([chunk], jnp.int32), b, cur, n,
+                    float(self.temps[b]), self._step_n, self._base_key)
             with self._lock:
                 self.cursor[b] = cur + n
                 if off + n == len(toks):
@@ -558,30 +636,45 @@ class ServingEngine:
         else:
             dec = [b for b in range(self.n_slots)
                    if self.phase[b] == _LIVE
-                   and self.cursor[b] <= self.cfg.max_context - 1]
+                   and (self.spec
+                        or self.cursor[b] <= self.cfg.max_context - 1)]
             if dec:
                 mask = np.zeros(self.n_slots, bool)
                 mask[dec] = True
-                # one packed upload per step: [pos, live, inject]
-                meta = np.zeros((3, self.n_slots), np.int32)
-                meta[0] = np.minimum(self.cursor, self.cfg.max_context - 1)
-                meta[1] = mask
-                meta[2] = self._inject
-                self._inject[:] = False
                 self.stats["decode_steps"] += 1
                 if self._temps_dirty:
                     self._temps_dev = jnp.asarray(self.temps)
                     self._temps_dirty = False
                 self._step_n += 1
-                tok_dev, self.state = self.decode_all(
-                    self.params, self.state, self._tok_dev, self._first_tok,
-                    jnp.asarray(meta), self._temps_dev, self._step_n,
-                    self._base_key)
-                self._tok_dev = tok_dev
-                with self._lock:
-                    for b in dec:
-                        self.cursor[b] += 1
-                self._acc.append((tuple(self.epoch), mask, tok_dev))
+                if self.spec:
+                    # positions are DEVICE-resident in spec mode (advance
+                    # is data-dependent); meta carries only [live, inject]
+                    meta = np.zeros((2, self.n_slots), np.int32)
+                    meta[0] = mask
+                    meta[1] = self._inject
+                    self._inject[:] = False
+                    out_dev, self.state, self.aux = self.decode_all(
+                        self.params, self.state, self.aux, self._first_tok,
+                        jnp.asarray(meta), self._temps_dev, self._step_n,
+                        self._base_key)
+                    self._acc.append((tuple(self.epoch), mask, out_dev))
+                else:
+                    # one packed upload per step: [pos, live, inject]
+                    meta = np.zeros((3, self.n_slots), np.int32)
+                    meta[0] = np.minimum(self.cursor,
+                                         self.cfg.max_context - 1)
+                    meta[1] = mask
+                    meta[2] = self._inject
+                    self._inject[:] = False
+                    tok_dev, self.state = self.decode_all(
+                        self.params, self.state, self._tok_dev,
+                        self._first_tok, jnp.asarray(meta), self._temps_dev,
+                        self._step_n, self._base_key)
+                    self._tok_dev = tok_dev
+                    with self._lock:
+                        for b in dec:
+                            self.cursor[b] += 1
+                    self._acc.append((tuple(self.epoch), mask, tok_dev))
                 if len(self._acc) >= self.fetch_every:
                     self._flush_acc()
                 did = True

@@ -38,15 +38,37 @@ class TextServing:
                 + self.tok.encode(prompt) + self.tok.end_turn()
                 + self.tok.role("assistant"))
 
-    def submit(self, prompt: str, max_new: int = 128,
-               temperature: float = 0.0, raw: bool = False,
-               timeout_s: float | None = None) -> Request:
+    def encode_messages(self, messages) -> list[int]:
+        """OpenAI-style ``[{"role": .., "content": ..}]`` history -> chat-
+        framed ids (every turn via the tokenizer preset), ending with the
+        assistant role header so generation continues the reply."""
+        ids = list(self.tok.prefix())
+        for m in messages:
+            ids += (self.tok.role(str(m.get("role", "user")))
+                    + self.tok.encode(str(m.get("content", "")))
+                    + self.tok.end_turn())
+        return ids + self.tok.role("assistant")
+
+    def _stops(self):
         stop = {self.tok.eos_id}
         if getattr(self.tok, "eot_id", None) is not None:
             stop.add(self.tok.eot_id)
+        return stop
+
+    def submit(self, prompt: str, max_new: int = 128,
+               temperature: float = 0.0, raw: bool = False,
+               timeout_s: float | None = None) -> Request:
         return self.engine.submit(self.encode_prompt(prompt, raw),
                                   max_new=max_new, temperature=temperature,
-                                  eos_id=stop, timeout_s=timeout_s)
+                                  eos_id=self._stops(), timeout_s=timeout_s)
+
+    def submit_messages(self, messages, max_new: int = 128,
+                        temperature: float = 0.0,
+                        timeout_s: float | None = None) -> Request:
+        """Multi-turn chat submission (the /v1/chat/completions body)."""
+        return self.engine.submit(self.encode_messages(messages),
+                                  max_new=max_new, temperature=temperature,
+                                  eos_id=self._stops(), timeout_s=timeout_s)
 
     def _visible(self, req: Request) -> list[int]:
         toks = list(req.tokens)

@@ -11,6 +11,8 @@ token segments, and decode interleaves all cameras' answers.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 from ..models import llm
@@ -34,6 +36,11 @@ class VLMServingEngine:
         # fires — default it off to keep retired slots parked at 0 (the
         # lowest Pallas read bound) instead of at their history length
         engine_kw.setdefault("prefix_cache", False)
+        # CLEARCAM_SPEC_LOOKUP=G: speculative verify windows (greedy
+        # requests only — Qwen summaries default to TEMP>0, so this fires
+        # when the deployment pins temperature 0 for deterministic alerts)
+        engine_kw.setdefault("spec_lookup", int(
+            os.environ.get("CLEARCAM_SPEC_LOOKUP", "0") or 0))
         self.engine = ServingEngine(qwen.lang.params, qwen.lang.cfg,
                                     n_slots=n_slots,
                                     custom_prefill=custom_prefill,

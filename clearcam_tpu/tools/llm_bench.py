@@ -142,7 +142,8 @@ def bench_batched(cfg, params, batches, steps: int, pos: int = 256,
 def bench_serving(cfg, params, n_slots: int, n_requests: int,
                   prompt_len: int, max_new: int, pallas: bool = False,
                   shared_prefix: int = 0, prefix_cache: bool = True,
-                  fetch_every: int = 4, prefill_batch: bool = True):
+                  fetch_every: int = 4, prefill_batch: bool = True,
+                  spec: int = 0, loop_prompts: int = 0):
     """Continuous-batching engine throughput (serving/engine.py): submit
     n_requests with staggered prompt lengths (heterogeneous live positions
     — the serving steady state), drive the scheduler to drain, report
@@ -155,7 +156,7 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     eng = ServingEngine(params, cfg, n_slots=n_slots,
                         state_dtype=jnp.bfloat16, use_pallas_decode=pallas,
                         prefix_cache=prefix_cache, fetch_every=fetch_every,
-                        prefill_batch=prefill_batch)
+                        prefill_batch=prefill_batch, spec_lookup=spec)
     # stagger lengths +-25% so slots sit at different absolute positions
     lens = [max(8, int(prompt_len * f))
             for f in rng.uniform(0.75, 1.25, n_requests)]
@@ -163,9 +164,20 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     # summary preamble / a serving system prompt) — with prefix_cache the
     # engine skips re-prefilling it after each slot's first occupant
     pre = rng.integers(1, cfg.vocab_size - 1, shared_prefix).tolist()
-    prompts = [pre + rng.integers(1, cfg.vocab_size - 1,
-                                  max(1, n - shared_prefix)).tolist()
-               for n in lens]
+    if loop_prompts:
+        # loop-prompts k: each prompt is a k-token pattern repeated — the
+        # upper-bound regime for prompt-lookup drafting (speedup is
+        # content-dependent; random prompts bound it from below)
+        prompts = []
+        for n in lens:
+            pat = rng.integers(1, cfg.vocab_size - 1, loop_prompts).tolist()
+            prompts.append(pre + (pat * (max(1, n - shared_prefix)
+                                         // loop_prompts + 1))
+                           [:max(1, n - shared_prefix)])
+    else:
+        prompts = [pre + rng.integers(1, cfg.vocab_size - 1,
+                                      max(1, n - shared_prefix)).tolist()
+                   for n in lens]
 
     # warm all three graphs outside the timed region: a solo submit
     # (prefill_slot + decode_all), then two concurrent submits so the
@@ -189,13 +201,24 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     r = {"serving": True, "n_slots": n_slots, "n_requests": n_requests,
          "prompt_len": prompt_len, "max_new": max_new, "pallas": pallas,
          "shared_prefix": shared_prefix, "fetch_every": fetch_every,
-         "prefill_batch": prefill_batch,
+         "prefill_batch": prefill_batch, "spec": spec,
          "prefill_batched_steps": eng.stats["prefill_batched_steps"],
          "reused_tokens": eng.stats["reused_tokens"],
          "prefill_tokens": eng.stats["prefill_tokens"],
          "wall_s": round(dt, 2), "generated": total,
          "agg_tok_s": round(total / dt, 1),
          "prefill_tok_s_incl": round(sum(len(p) for p in prompts) / dt, 1)}
+    ttfts = [q.ttft_s for q in reqs if q.ttft_s is not None]
+    tpots = [q.tpot_s for q in reqs if q.tpot_s is not None]
+    if ttfts:
+        r["ttft_ms_mean"] = round(1e3 * sum(ttfts) / len(ttfts), 1)
+    if tpots:
+        r["tpot_ms_mean"] = round(1e3 * sum(tpots) / len(tpots), 2)
+    if spec:
+        # emitted per verify window (incl. junk-epoch windows in the
+        # denominator): the speculative multiplier actually realized
+        r["tokens_per_window"] = round(
+            eng.stats["spec_emitted"] / max(1, eng.stats["decode_steps"]), 2)
     print(json.dumps(r))
     return r
 
@@ -227,6 +250,12 @@ def main(argv=None):
                          "N tokens (prefix-cache reuse regime)")
     ap.add_argument("--no-prefix-cache", action="store_true",
                     help="with --serving: disable slot prefix reuse")
+    ap.add_argument("--spec", type=int, default=0,
+                    help="with --serving: speculative decoding with "
+                         "G-token device-drafted verify windows")
+    ap.add_argument("--loop-prompts", type=int, default=0,
+                    help="with --serving: k-token repeated-pattern prompts "
+                         "(prompt-lookup's upper-bound regime)")
     args = ap.parse_args(argv)
 
     cfg = qwen3_2b_cfg(args.blocks, args.ctx)
@@ -240,7 +269,8 @@ def main(argv=None):
                              args.prompt_len, args.max_new,
                              pallas=args.pallas,
                              shared_prefix=args.shared_prefix,
-                             prefix_cache=not args.no_prefix_cache)
+                             prefix_cache=not args.no_prefix_cache,
+                             spec=args.spec, loop_prompts=args.loop_prompts)
     if args.decode_batch:
         params = llm.quantize_params_int8(params)
         return bench_batched(cfg, params,

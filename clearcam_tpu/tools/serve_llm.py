@@ -13,10 +13,18 @@ the rebuild's production-serving surface over the same model runtime.
 Usage:
     PYTHONPATH=/root/repo:/root/.axon_site python -m clearcam_tpu.tools.serve_llm \
         --gguf model.gguf [--ctx 8192] [--slots 8] [--port 8081] \
-        [--int8] [--kv-quant] [--pallas] [--api-token SECRET]
+        [--int8] [--kv-quant] [--pallas | --spec G] [--api-token SECRET]
 
     curl -N -X POST localhost:8081/generate \
         -d '{"prompt": "hello", "max_new": 64, "stream": true}'
+
+The OpenAI-compatible surface is served too — point any OpenAI SDK
+client at the same port (server/http._post_openai):
+
+    curl localhost:8081/v1/chat/completions -d '{"messages": \
+        [{"role": "user", "content": "hi"}], "max_tokens": 64}'
+    # also /v1/completions (+"stream": true SSE) and GET /v1/models;
+    # --api-token is accepted as "Authorization: Bearer <token>"
 """
 from __future__ import annotations
 
@@ -78,7 +86,7 @@ def build_engine(args):
                         state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
                         use_pallas_decode=args.pallas,
                         sync_lag=args.sync_lag, fetch_every=args.fetch_every,
-                        max_waiting=args.max_waiting)
+                        max_waiting=args.max_waiting, spec_lookup=args.spec)
     return TextServing(eng, tok)
 
 
@@ -99,6 +107,10 @@ def main(argv=None):
                     help="int8 KV cache (half the decode HBM reads)")
     ap.add_argument("--pallas", action="store_true",
                     help="prefix-aware Pallas decode attention")
+    ap.add_argument("--spec", type=int, default=0,
+                    help="speculative decoding: G-token device-drafted "
+                         "verify windows (greedy requests; excludes "
+                         "--pallas)")
     ap.add_argument("--sync-lag", type=int, default=4, dest="sync_lag",
                     help="decode steps tokens materialize late (pipeline "
                          "depth; 0 = synchronous, adds an RTT per step)")
@@ -121,7 +133,9 @@ def main(argv=None):
     from ..server.http import AppContext, serve
     from ..utils.db import KVStore
     ctx = AppContext(KVStore(args.data / "cc_cache.db"), args.data,
-                     gen=gen, api_token=args.api_token)
+                     gen=gen, api_token=args.api_token,
+                     served_model=(args.gguf.stem if args.gguf
+                                   else "clearcam-synthetic"))
     print(f"LLM serving on :{args.port} "
           f"({args.slots} slots, ctx {args.ctx})")
     try:

@@ -152,3 +152,148 @@ def test_generate_backpressure_503():
     finally:
         server.shutdown()
         eng.close()
+
+
+# --- OpenAI-compatible surface (/v1/*) -----------------------------------
+
+def test_openai_models(served):
+    url, *_ = served
+    out = json.loads(urllib.request.urlopen(f"{url}/v1/models",
+                                            timeout=30).read())
+    assert out["object"] == "list" and out["data"][0]["id"]
+
+
+def test_openai_completions_matches_solo(served):
+    """/v1/completions with temperature 0 returns the raw (unframed)
+    solo greedy text plus OpenAI-shaped metadata."""
+    url, gen, params, cfg = served
+    ids = gen.encode_prompt("open ai", raw=True)
+    toks, tok = [], TinyTok()
+    for t in llm.Transformer(params, cfg, seed=0).generate(
+            ids, temperature=0.0, max_new=8):
+        toks.append(t)
+        if tok.is_end(t):
+            break
+    while toks and tok.is_end(toks[-1]):
+        toks.pop()
+    want = tok.decode(toks)
+    with _post(f"{url}/v1/completions",
+               {"prompt": "open ai", "max_tokens": 8,
+                "temperature": 0}) as r:
+        out = json.loads(r.read())
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["text"] == want
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+    assert out["usage"]["prompt_tokens"] == len(ids)
+    assert out["usage"]["total_tokens"] == (len(ids)
+                                            + out["usage"]
+                                            ["completion_tokens"])
+
+
+def test_openai_chat_matches_message_framing(served):
+    """/v1/chat/completions frames the message history exactly like
+    TextServing.encode_messages and returns the assistant message."""
+    url, gen, params, cfg = served
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hello"}]
+    ids = gen.encode_messages(msgs)
+    toks, tok = [], TinyTok()
+    for t in llm.Transformer(params, cfg, seed=0).generate(
+            ids, temperature=0.0, max_new=6):
+        toks.append(t)
+        if tok.is_end(t):
+            break
+    while toks and tok.is_end(toks[-1]):
+        toks.pop()
+    want = tok.decode(toks)
+    with _post(f"{url}/v1/chat/completions",
+               {"messages": msgs, "max_tokens": 6, "temperature": 0}) as r:
+        out = json.loads(r.read())
+    assert out["object"] == "chat.completion"
+    m = out["choices"][0]["message"]
+    assert m["role"] == "assistant" and m["content"] == want
+
+
+def _sse_events(body: str):
+    return [line[6:] for line in body.split("\n")
+            if line.startswith("data: ")]
+
+
+def test_openai_chat_stream(served):
+    """SSE streaming: role preamble chunk, content deltas that concatenate
+    to the non-streamed answer, a finish_reason chunk, then [DONE]."""
+    url, gen, params, cfg = served
+    msgs = [{"role": "user", "content": "stream chat"}]
+    with _post(f"{url}/v1/chat/completions",
+               {"messages": msgs, "max_tokens": 6, "temperature": 0}) as r:
+        want = json.loads(r.read())["choices"][0]["message"]["content"]
+    with _post(f"{url}/v1/chat/completions",
+               {"messages": msgs, "max_tokens": 6, "temperature": 0,
+                "stream": True}) as r:
+        events = _sse_events(r.read().decode())
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert text == want
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_openai_completions_stream_and_stop(served):
+    """Completions streaming concatenates to the plain result; a stop
+    sequence truncates the text before it and reports finish 'stop'."""
+    url, gen, params, cfg = served
+    body = {"prompt": "sss", "max_tokens": 8, "temperature": 0}
+    with _post(f"{url}/v1/completions", body) as r:
+        plain = json.loads(r.read())["choices"][0]["text"]
+    with _post(f"{url}/v1/completions", {**body, "stream": True}) as r:
+        events = _sse_events(r.read().decode())
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert "".join(c["choices"][0]["text"] for c in chunks) == plain
+    if len(plain) >= 2:           # stop on a substring the answer contains
+        stop = plain[1]
+        with _post(f"{url}/v1/completions", {**body, "stop": stop}) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["text"] == plain[:plain.find(stop)]
+        assert out["choices"][0]["finish_reason"] == "stop"
+
+
+def test_openai_rejects_multi_choice(served):
+    url, *_ = served
+    try:
+        _post(f"{url}/v1/completions", {"prompt": "x", "n": 2})
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_openai_bearer_auth():
+    """Authorization: Bearer satisfies --api-token (OpenAI SDK clients)."""
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1).start()
+    gen = TextServing(eng, TinyTok())
+    ctx = AppContext(KVStore(":memory:"), "/tmp/cc_gen_auth", gen=gen,
+                     api_token="sekret")
+    server = serve(ctx, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        body = json.dumps({"prompt": "x", "max_tokens": 2,
+                           "temperature": 0}).encode()
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{url}/v1/completions", data=body, method="POST"),
+                timeout=30)
+            raise AssertionError("expected HTTP 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"{url}/v1/completions", data=body, method="POST",
+            headers={"Authorization": "Bearer sekret"}), timeout=60)
+        assert r.status == 200
+    finally:
+        server.shutdown()
+        eng.close()

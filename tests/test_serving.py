@@ -466,3 +466,20 @@ def test_flush_padding_single_arity():
     assert arities == {4}
     for p, r, n in zip([[1, 2, 3], [5, 5]], rs, [5, 3]):
         assert r.wait(1) == _solo(params, cfg, p, n)
+
+
+def test_request_latency_marks():
+    """TTFT/TPOT are recorded per request (client-observed: materialization
+    time, not dispatch time) and folded into the serving.* gauges."""
+    from clearcam_tpu.runtime import metrics
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1)
+    r = eng.submit([1, 2, 3, 4], max_new=6)
+    eng.run_until_idle()
+    r.wait(1)
+    assert r.ttft_s is not None and r.ttft_s > 0
+    assert r.tpot_s is not None and r.tpot_s >= 0
+    snap = metrics.snapshot()
+    assert snap["gauges"]["serving.ttft_ms"] > 0
+    assert "serving.tpot_ms" in snap["gauges"]
