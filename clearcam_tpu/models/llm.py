@@ -529,6 +529,126 @@ def sample_gumbel(logits, temperature, key):
     return jnp.argmax(logits / jnp.maximum(t, 1e-12) + g, -1)
 
 
+SAMP_W = 7      # packed sampling-spec row width (pack_samp columns)
+
+
+def pack_samp(temperature=0.0, top_p=1.0, top_k=0, min_p=0.0,
+              presence=0.0, frequency=0.0, repetition=1.0):
+    """Pack a sampling spec into the [7] f32 row the jitted samplers take:
+    (temperature, top_p, top_k, min_p, presence, frequency, repetition).
+    Passed as a traced ARGUMENT so any per-request spec runs under one
+    compiled graph. Everything-off = (t, 1.0, 0, 0.0, 0, 0, 1.0) — the
+    reference samples with temperature only (model.py:318-319); the
+    filters and penalties are standard serving-surface extras
+    (OpenAI presence/frequency penalties, HF repetition penalty)."""
+    return jnp.asarray([temperature, top_p, float(top_k), min_p,
+                        presence, frequency, repetition], jnp.float32)
+
+
+def _samp_of(t):
+    """Normalize a sampler's spec argument: a 0-d temperature becomes the
+    everything-off [7] row; packed [4] rows (the pre-penalty layout) pad to
+    [7] with penalties off; per-row [B, 4|7] rows pass through likewise
+    (serving paths always pack — a bare [B] temps vector is NOT accepted
+    there, it would be ambiguous with a packed row at B=4)."""
+    t = jnp.asarray(t, jnp.float32)
+    if t.ndim == 0:
+        t = t[None]
+        t = jnp.concatenate([t, jnp.asarray([1.0, 0.0, 0.0], jnp.float32)])
+    if t.shape[-1] == 4:                          # pad: penalties off
+        off = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                               t.shape[:-1] + (3,))
+        t = jnp.concatenate([t, off], -1)
+    return t
+
+
+def sample_filtered(logits, samp, key, counts_p=None, counts_o=None):
+    """Gumbel-max sampling with device-side penalties + top-p/k/min-p.
+
+    samp: packed pack_samp row(s) — [7] shared across rows or [B, 7]
+    per-row (continuous batching; [4] legacy rows pad penalties-off).
+    Processor order matches HF/vLLM: penalties -> temperature -> filters.
+
+    Penalties (need counts; silently off when counts are None):
+    - repetition (samp[...,6], 1.0 = off): HF semantics — every token seen
+      in prompt OR output (counts_p + counts_o > 0) has logit/r if
+      positive else logit*r.
+    - presence (samp[...,4], 0 = off) / frequency (samp[...,5], 0 = off):
+      vLLM/OpenAI semantics — subtract presence*(count>0) +
+      frequency*count over OUTPUT tokens only (counts_o).
+    counts_p/counts_o: int32 [*, V] prompt / generated-token histograms
+    aligned with logits' leading axes.
+
+    Filters apply to the TEMPERATURE-SCALED distribution (the usual
+    server semantics): top_k keeps the k highest logits (0 = off), top_p
+    the smallest prefix of the sorted distribution with mass >= top_p
+    (1.0 = off), min_p drops tokens with prob < min_p * max_prob (0 =
+    off). Greedy rows (temp 0) are unaffected by any filter — the max
+    always survives — but penalties DO change greedy output (their
+    point), so penalty-carrying rows are excluded from exactness-tested
+    greedy fast paths (spec windows). Penalty math and the filter sort
+    each ride a lax.cond on "any active": the all-off steady state pays
+    neither.
+
+    Determinism note (measured on a real v5e): penalty division
+    compresses logit gaps, manufacturing near-ties, and bf16 matmul
+    tiling differs across batch shapes — so penalized greedy output is
+    deterministic PER graph shape but may flip tokens between e.g. B=1
+    generate_batch and a B=3 engine. Same-shape graphs agree
+    token-for-token (engine == generate_batch at equal batch width);
+    unpenalized greedy stays batch-shape-robust.
+    """
+    samp = _samp_of(samp)
+    lg = logits.astype(jnp.float32)
+    t, top_p, top_k, min_p = (samp[..., 0], samp[..., 1],
+                              samp[..., 2], samp[..., 3])
+    pres, freq, rep = samp[..., 4], samp[..., 5], samp[..., 6]
+
+    def col(x):  # align a per-row scalar against logits' last (vocab) axis
+        return x[..., None] if x.ndim == lg.ndim - 1 else x
+
+    if counts_o is not None:
+        c_o = counts_o.astype(jnp.float32)
+        c_all = c_o if counts_p is None \
+            else c_o + counts_p.astype(jnp.float32)
+
+        def penalized(x):
+            r = col(rep)
+            x = jnp.where(c_all > 0,
+                          jnp.where(x > 0, x / r, x * r), x)
+            return (x - col(freq) * c_o
+                    - col(pres) * (c_o > 0).astype(jnp.float32))
+
+        pen_on = jnp.any((pres != 0.0) | (freq != 0.0) | (rep != 1.0))
+        lg = jax.lax.cond(pen_on, penalized, lambda x: x, lg)
+
+    scaled = lg / jnp.maximum(col(t), 1e-12)
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+
+    def filtered(x):
+        s = jnp.flip(jnp.sort(x, -1), -1)                     # descending
+        V = s.shape[-1]
+        k = jnp.clip(col(top_k).astype(jnp.int32) - 1, 0, V - 1)
+        kth = jnp.take_along_axis(s, jnp.broadcast_to(k, s.shape[:-1] + (1,)),
+                                  -1)
+        thr_k = jnp.where(col(top_k) > 0.5, kth, neg)
+        p = jax.nn.softmax(s, -1)
+        before = jnp.cumsum(p, -1) - p            # mass strictly above each
+        keep = (before < col(top_p)).at[..., :1].set(True)
+        n_keep = jnp.sum(keep.astype(jnp.int32), -1, keepdims=True)
+        thr_p = jnp.take_along_axis(s, n_keep - 1, -1)
+        thr_m = jnp.where(col(min_p) > 0.0,
+                          s[..., :1] + jnp.log(jnp.maximum(col(min_p),
+                                                           1e-12)), neg)
+        thr = jnp.maximum(jnp.maximum(thr_k, thr_p), thr_m)
+        return jnp.where(x >= thr, x, neg)
+
+    active = jnp.any((top_p < 1.0) | (top_k > 0.5) | (min_p > 0.0))
+    scaled = jax.lax.cond(active, filtered, lambda x: x, scaled)
+    g = jax.random.gumbel(key, lg.shape, jnp.float32)
+    return jnp.argmax(scaled + g, -1)
+
+
 def _prefill_hidden(params, cfg: TransformerConfig, state, tokens, start_pos,
                     n_real, freqs, pad_start=None):
     """One CHUNK of prefill -> (pre-norm hidden [B, D] at token n_real-1,
@@ -573,6 +693,9 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         -> (token [B], new_state)   (logits taken at n_real-1)
     decode(params, state, token[B,1], start_pos, temp, key) -> (token, state)
 
+    ``temp`` is a scalar temperature or a packed pack_samp() row
+    (temperature, top_p, top_k, min_p).
+
     use_pallas_decode: route standard-attention blocks through the prefix-
     aware Pallas decode kernel (ops/decode_attention) — HBM reads scale with
     the live context instead of max_context. Batch-1, plain GQA blocks only.
@@ -586,7 +709,7 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                                         start_pos, n_real, freqs)
         hidden = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
         logits = F.linear(hidden, params["output.weight"])
-        return sample_gumbel(logits, temperature, key), state
+        return sample_filtered(logits, temperature, key), state
 
     attn_impl = None
     if use_pallas_decode:
@@ -614,7 +737,7 @@ def make_step_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         hidden, state = forward(params, cfg, state, token, start_pos, freqs,
                                 decode_attn=attn_impl)
         logits = logits_at(params, cfg, hidden, jnp.int32(0))
-        return sample_gumbel(logits, temperature, key), state
+        return sample_filtered(logits, temperature, key), state
 
     return prefill, decode
 
@@ -623,7 +746,11 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                    max_new: int, temperature: float = 0.0, seed: int = 0,
                    eos_id: int | None = None, state_dtype=jnp.float32,
                    kv_quant: bool = False, use_pallas_decode: bool = False,
-                   interpret: bool = False) -> list:
+                   interpret: bool = False, top_p: float = 1.0,
+                   top_k: int = 0, min_p: float = 0.0,
+                   presence_penalty: float = 0.0,
+                   frequency_penalty: float = 0.0,
+                   repetition_penalty: float = 1.0) -> list:
     """Batched generation: B prompts in ONE cache, ONE prefill/decode graph.
 
     Prompts are RIGHT-ALIGNED (left-padded to the longest) and each row's
@@ -675,17 +802,23 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                                              interpret=interpret)
                 return out[:, :, None]
 
+    # static branch: the no-penalty graphs stay bit-identical to before
+    # (no counts buffers, no extra args — existing compile-cache keys)
+    pen = (presence_penalty != 0.0 or frequency_penalty != 0.0
+           or repetition_penalty != 1.0)
+
     # pad_start rides as a traced ARGUMENT: baking it as a closure constant
     # would recompile both graphs for every new prompt-length profile
     @jax.jit
-    def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads):
+    def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads,
+                cnt_p=None, cnt_o=None):
         hidden, state = _prefill_hidden(params_, cfg, state, tokens,
                                         start_pos, n_real, freqs,
                                         pad_start=pads)
         hidden = F.rms_norm(hidden, params_["output_norm.weight"],
                             cfg.norm_eps)
         logits = F.linear(hidden, params_["output.weight"])
-        return sample_gumbel(logits, temp, key), state
+        return sample_filtered(logits, temp, key, cnt_p, cnt_o), state
 
     all_live = jnp.ones((b_n,), bool)
 
@@ -695,10 +828,29 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                                 freqs, pad_start=pads, decode_attn=attn_impl,
                                 row_live=all_live if cfg.ssm else None)
         logits = logits_at(params_, cfg, hidden, jnp.int32(0))
-        return sample_gumbel(logits, temp, key), state
+        return sample_filtered(logits, temp, key), state
+
+    @jax.jit
+    def decode_pen(params_, state, cnt_o, token, start_pos, temp, key, pads,
+                   cnt_p):
+        # consumed token joins the output histogram before sampling
+        cnt_o = cnt_o.at[jnp.arange(b_n), token[:, 0]].add(1)
+        hidden, state = forward(params_, cfg, state, token, start_pos,
+                                freqs, pad_start=pads, decode_attn=attn_impl,
+                                row_live=all_live if cfg.ssm else None)
+        logits = logits_at(params_, cfg, hidden, jnp.int32(0))
+        return (sample_filtered(logits, temp, key, cnt_p, cnt_o), state,
+                cnt_o)
 
     state = init_state(cfg, batch=b_n, dtype=state_dtype, kv_quant=kv_quant)
-    temp = jnp.float32(temperature)
+    temp = pack_samp(temperature, top_p, top_k, min_p, presence_penalty,
+                     frequency_penalty, repetition_penalty)
+    cnt_p = cnt_o = None
+    if pen:
+        cnt_p = jnp.asarray(np.stack([np.bincount(
+            np.asarray(p, np.int64), minlength=cfg.vocab_size)
+            for p in prompts]), jnp.int32)
+        cnt_o = jnp.zeros((b_n, cfg.vocab_size), jnp.int32)
     key = jax.random.PRNGKey(seed)
     pos = 0
     tok = None
@@ -706,8 +858,9 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         n = min(CHUNK, longest - pos)
         chunk = [r[pos:pos + n] + [0] * (CHUNK - n) for r in rows]
         key, sub = jax.random.split(key)
-        tok, state = prefill(params, state, jnp.asarray(chunk, jnp.int32),
-                             pos, jnp.int32(n), temp, sub, pad_arr)
+        args = (params, state, jnp.asarray(chunk, jnp.int32),
+                pos, jnp.int32(n), temp, sub, pad_arr)
+        tok, state = prefill(*args, cnt_p, cnt_o) if pen else prefill(*args)
         pos += n
 
     out: list = [[] for _ in range(b_n)]
@@ -722,9 +875,14 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         if all(done) or pos >= cfg.max_context - 1:
             break
         key, sub = jax.random.split(key)
-        tok, state = decode(params, state,
-                            jnp.asarray(cur[:, None], jnp.int32), pos, temp,
-                            sub, pad_arr)
+        if pen:
+            tok, state, cnt_o = decode_pen(
+                params, state, cnt_o, jnp.asarray(cur[:, None], jnp.int32),
+                pos, temp, sub, pad_arr, cnt_p)
+        else:
+            tok, state = decode(params, state,
+                                jnp.asarray(cur[:, None], jnp.int32), pos,
+                                temp, sub, pad_arr)
         pos += 1
         cur = np.asarray(tok)
     return out
@@ -757,7 +915,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     arrays).
 
     prefill_slot(params, state, first_tok[B], tokens[1,CHUNK], slot,
-                 start_pos, n_real, temp, step, base_key)
+                 start_pos, n_real, temp, step, base_key, cnt_p, cnt_o)
         -> (first_tok' [B], state)
         advances ONE slot's request by one chunk (other slots' cache rows
         untouched — sliced out, computed at B=1, scattered back); the
@@ -766,7 +924,8 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         so admitting a long prompt never stalls running requests for more
         than one chunk's latency.
     decode_all(params, state, prev_tok[B], first_tok[B], meta[3,B] i32,
-               temps[B], step, base_key) -> (token [B], state)
+               samp[B,7], step, base_key, cnt_o, cnt_p)
+        -> (token [B], state, cnt_o')
         one token for every slot; meta rows are [pos, live, inject]. Row b
         consumes first_tok[b] where inject (a slot's FIRST decode after
         prefill) and prev_tok[b] otherwise (the previous step's device
@@ -787,7 +946,16 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         reset).
 
     prefill_many(params, state, first_tok, tokens[B,CHUNK], meta[3,B] i32,
-                 temps[B], step, base_key) -> (first_tok' [B], state)
+                 samp[B,7], step, base_key, cnt_p, cnt_o)
+        -> (first_tok' [B], state)
+
+    Every sampling argument (``temp`` / ``samp``) is packed per pack_samp:
+    (temperature, top_p, top_k, min_p, presence, frequency, repetition) —
+    [7] for the single-slot prefill, [B, 7] rows elsewhere (each slot
+    keeps its request's own spec). cnt_p / cnt_o are the [B, V] i32
+    penalty histograms (engine-owned; see ServingEngine): decode_all adds
+    each live row's consumed token to cnt_o before sampling and returns
+    the updated buffer; prefills only read.
         (attention/MLA stacks only; None for SSM hybrids) advances EVERY
         mid-prefill slot by one chunk in a single dispatch — per-row start
         positions with T=CHUNK, one shared weight sweep instead of one per
@@ -835,7 +1003,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     # (serving/engine.py) still hold references to earlier outputs.
     @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill_slot(params, state, first_tok, tokens, slot, start_pos,
-                     n_real, temp, step, base_key):
+                     n_real, temp, step, base_key, cnt_p, cnt_o):
         st_b = [jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
             for s in state]
@@ -852,8 +1020,10 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                                        n_real, freqs)
         hidden = F.rms_norm(hidden, params["output_norm.weight"],
                             cfg.norm_eps)
-        tok = sample_gumbel(F.linear(hidden, params["output.weight"]),
-                            temp, jax.random.fold_in(base_key, step))
+        tok = sample_filtered(F.linear(hidden, params["output.weight"]),
+                              temp, jax.random.fold_in(base_key, step),
+                              jax.lax.dynamic_slice_in_dim(cnt_p, slot, 1, 0),
+                              jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0))
         state = [jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
                 full, part.astype(full.dtype), slot, 0), s, sb)
@@ -862,18 +1032,25 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             first_tok, tok.astype(first_tok.dtype), (slot,))
         return first_tok, state
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def decode_all(params, state, prev_tok, first_tok, meta, temps, step,
-                   base_key):
+    @functools.partial(jax.jit, donate_argnums=(1, 8))
+    def decode_all(params, state, prev_tok, first_tok, meta, samp, step,
+                   base_key, cnt_o, cnt_p):
         pos, live = meta[0], meta[1] != 0
         token = jnp.where(meta[2] != 0, first_tok, prev_tok)[:, None]
+        # the consumed token joins the row's output histogram BEFORE
+        # sampling (penalties must see every generated token so far);
+        # dead rows' junk tokens are gated out — their counts survive a
+        # retire/lagged-discovery window and are reset at re-admission
+        cnt_o = cnt_o.at[jnp.arange(token.shape[0]), token[:, 0]].add(
+            live.astype(cnt_o.dtype))
         hidden, state = forward(
             params, cfg, state, token, pos, freqs, decode_attn=attn_impl,
             row_live=live if cfg.ssm is not None else None)
         logits = logits_at(params, cfg, hidden, jnp.int32(0))
-        tok = sample_gumbel(logits, temps,
-                            jax.random.fold_in(base_key, step))
-        return tok, state
+        tok = sample_filtered(logits, samp,
+                              jax.random.fold_in(base_key, step),
+                              cnt_p, cnt_o)
+        return tok, state, cnt_o
 
     prefill_many = None
     if cfg.ssm is None:
@@ -889,16 +1066,17 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # Attention/MLA only: an SSM recurrence can't skip masked rows
         # across a chunk (engine falls back to prefill_slot there).
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_many(params, state, first_tok, tokens, meta, temps,
-                         step, base_key):
+        def prefill_many(params, state, first_tok, tokens, meta, samp,
+                         step, base_key, cnt_p, cnt_o):
             starts, n_real, valid = meta[0], meta[1], meta[2] != 0
             hidden, state = forward(params, cfg, state, tokens, starts,
                                     freqs, write_mask=valid)
             h = jnp.take_along_axis(
                 hidden, jnp.maximum(n_real - 1, 0)[:, None, None], 1)[:, 0]
             h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
-            tok = sample_gumbel(F.linear(h, params["output.weight"]), temps,
-                                jax.random.fold_in(base_key, step))
+            tok = sample_filtered(F.linear(h, params["output.weight"]),
+                                  samp, jax.random.fold_in(base_key, step),
+                                  cnt_p, cnt_o)
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
             return first_tok, state
@@ -983,28 +1161,33 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
     stay bit-identical instead — which also makes prefix-reuse history
     trivially safe across idle periods.
 
-    Signatures (aux = init_serving_aux; state and aux are donated):
+    Signatures (aux = init_serving_aux; state, aux and decode's cnt_o are
+    donated; cnt_p/cnt_o are the [B, V] penalty histograms, see
+    make_serving_fns):
       prefill_slot(params, state, aux, first_tok, tokens[1,CHUNK], slot,
-                   start_pos, n_real, temp, step, base_key)
+                   start_pos, n_real, temp, step, base_key, cnt_p, cnt_o)
           -> (first_tok', state, aux)   # also records ids, sets pos[slot]
       decode_spec(params, state, aux, first_tok, meta[2,B] i32 [live,
-                  inject], temps, step, base_key)
-          -> (out [B, G+2] i32, state, aux)
+                  inject], samp[B,7], step, base_key, cnt_o, cnt_p)
+          -> (out [B, G+2] i32, state, aux, cnt_o')
           out[b, :G+1] = the window's emitted-token candidates y_0..y_G
           (y_j = greedy token after consuming position pos+j; y_0 is
-          Gumbel-sampled where temps[b] > 0); out[b, G+1] = n_emit, the
+          Gumbel-sampled where row b is stochastic: temperature > 0 OR
+          any penalty active — penalties perturb the greedy argmax, so
+          penalized rows cannot ride the pure-greedy window verification
+          and emit 1 token per dispatch); out[b, G+1] = n_emit, the
           number of leading candidates actually emitted (accepted + 1).
           The engine materializes these LATE like non-spec tokens and
           truncates at eos/max_new host-side.
       prefill_many(params, state, aux, first_tok, tokens[B,CHUNK],
-                   meta[3,B] i32 [start,n_real,valid], temps, step,
-                   base_key) -> (first_tok', state, aux)
+                   meta[3,B] i32 [start,n_real,valid], samp[B,7], step,
+                   base_key, cnt_p, cnt_o) -> (first_tok', state, aux)
     """
     S = cfg.max_context
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def prefill_slot(params, state, aux, first_tok, tokens, slot, start_pos,
-                     n_real, temp, step, base_key):
+                     n_real, temp, step, base_key, cnt_p, cnt_o):
         st_b = [jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
             for s in state]
@@ -1012,8 +1195,10 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
                                        n_real, freqs)
         hidden = F.rms_norm(hidden, params["output_norm.weight"],
                             cfg.norm_eps)
-        tok = sample_gumbel(F.linear(hidden, params["output.weight"]),
-                            temp, jax.random.fold_in(base_key, step))
+        tok = sample_filtered(F.linear(hidden, params["output.weight"]),
+                              temp, jax.random.fold_in(base_key, step),
+                              jax.lax.dynamic_slice_in_dim(cnt_p, slot, 1, 0),
+                              jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0))
         state = [jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
                 full, part.astype(full.dtype), slot, 0), s, sb)
@@ -1030,9 +1215,9 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
         return first_tok, state, {"ids": ids, "pos": pos,
                                   "last": aux["last"]}
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def decode_spec(params, state, aux, first_tok, meta, temps, step,
-                    base_key):
+    @functools.partial(jax.jit, donate_argnums=(1, 2, 8))
+    def decode_spec(params, state, aux, first_tok, meta, samp, step,
+                    base_key, cnt_o, cnt_p):
         live = meta[0] != 0
         pos = jnp.minimum(aux["pos"], S - 1 - G)   # junk steps clamp; live
         x0 = jnp.where(meta[1] != 0, first_tok, aux["last"])  # rows never
@@ -1043,9 +1228,18 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
         h = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
         logits = F.linear(h, params["output.weight"])        # [B, G+1, V]
         greedy = jnp.argmax(logits, -1).astype(jnp.int32)
-        sampled0 = sample_gumbel(logits[:, 0], temps,
-                                 jax.random.fold_in(base_key, step))
-        stochastic = temps > 0.0
+        # penalty-carrying rows ride the stochastic path (1 token/window):
+        # penalties change the greedy argmax, so the pure-greedy window
+        # verification below would accept tokens the penalized sampler
+        # never emits. x0 (the consumed token) joins the histogram before
+        # sampling, exactly like the non-spec decode_all.
+        cnt_o = cnt_o.at[jnp.arange(x0.shape[0]), x0].add(
+            live.astype(cnt_o.dtype))
+        sampled0 = sample_filtered(logits[:, 0], samp,
+                                   jax.random.fold_in(base_key, step),
+                                   cnt_p, cnt_o)
+        stochastic = ((samp[:, 0] > 0.0) | (samp[:, 4] != 0.0)
+                      | (samp[:, 5] != 0.0) | (samp[:, 6] != 1.0))
         y = greedy.at[:, 0].set(
             jnp.where(stochastic, sampled0.astype(jnp.int32), greedy[:, 0]))
         acc = (xs[:, 1:] == y[:, :-1]).astype(jnp.int32)
@@ -1063,19 +1257,20 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
                    live, jnp.take_along_axis(y, n_match[:, None], 1)[:, 0],
                    aux["last"])}
         out = jnp.concatenate([y, n_emit[:, None]], 1)       # [B, G+2]
-        return out, state, aux
+        return out, state, aux, cnt_o
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def prefill_many(params, state, aux, first_tok, tokens, meta, temps,
-                     step, base_key):
+    def prefill_many(params, state, aux, first_tok, tokens, meta, samp,
+                     step, base_key, cnt_p, cnt_o):
         starts, n_real, valid = meta[0], meta[1], meta[2] != 0
         hidden, state = forward(params, cfg, state, tokens, starts,
                                 freqs, write_mask=valid)
         h = jnp.take_along_axis(
             hidden, jnp.maximum(n_real - 1, 0)[:, None, None], 1)[:, 0]
         h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
-        tok = sample_gumbel(F.linear(h, params["output.weight"]), temps,
-                            jax.random.fold_in(base_key, step))
+        tok = sample_filtered(F.linear(h, params["output.weight"]), samp,
+                              jax.random.fold_in(base_key, step),
+                              cnt_p, cnt_o)
         first_tok = jnp.where(valid, tok, first_tok).astype(first_tok.dtype)
         ids2 = jax.vmap(lambda row, xr, p:
                         jax.lax.dynamic_update_slice(row, xr, (p,)))(
@@ -1448,12 +1643,15 @@ class Transformer:
         return n
 
     def generate(self, tokens: list[int], temperature: float = 0.0,
-                 cache_offset: int = 0, max_new: int | None = None):
+                 cache_offset: int = 0, max_new: int | None = None,
+                 top_p: float = 1.0, top_k: int = 0, min_p: float = 0.0):
         """Yields sampled token ids until max_context (caller checks eos).
 
         cache_offset: absolute cache position where the prompt begins —
         nonzero when earlier context (e.g. VLM image embeddings) already
         occupies the cache. Prefix-cache reuse applies only at offset 0.
+        top_p/top_k/min_p filter the temperature-scaled distribution on
+        device (sample_filtered); they never change greedy outputs.
         """
         cfg = self.cfg
         pos = 0  # tokens of the prompt already consumed
@@ -1463,7 +1661,7 @@ class Transformer:
                 self.state = reset_recurrent(cfg, self.state)
         tokens = list(tokens)
         prompt_len = len(tokens)
-        temp = jnp.float32(temperature)
+        temp = pack_samp(temperature, top_p, top_k, min_p)
         out_tok = None
         produced = 0
         while cache_offset + len(tokens) < cfg.max_context:

@@ -207,6 +207,17 @@ class AppContext:
         return fn(*args)
 
 
+def _samp_of(data: dict) -> dict:
+    """Sampling kwargs for ServingEngine.submit from a /generate or
+    OpenAI-style JSON body (absent fields = feature off)."""
+    return {"top_p": float(data.get("top_p", 1.0)),
+            "top_k": int(data.get("top_k", 0)),
+            "min_p": float(data.get("min_p", 0.0)),
+            "presence_penalty": float(data.get("presence_penalty", 0.0)),
+            "frequency_penalty": float(data.get("frequency_penalty", 0.0)),
+            "repetition_penalty": float(data.get("repetition_penalty", 1.0))}
+
+
 def event_img_info(stem: str) -> dict:
     """Parse `<ts>_<object>_<class>` crop names (clearcam.py:1193)."""
     parts = stem.split("_")
@@ -785,7 +796,7 @@ def make_handler(ctx: AppContext):
                                  temperature=float(
                                      data.get("temperature", 0.0)),
                                  raw=bool(data.get("raw", False)),
-                                 timeout_s=timeout)
+                                 timeout_s=timeout, **_samp_of(data))
             except QueueFull:
                 self.send_response(503)   # admission backpressure
                 self.send_header("Retry-After", "1")
@@ -864,6 +875,10 @@ def make_handler(ctx: AppContext):
             max_new = min(int(data.get("max_tokens") or 128), 4096)
             temp = float(data.get("temperature", 1.0))
             timeout = float(data.get("timeout", 600))
+            # top_p / presence_penalty / frequency_penalty are OpenAI-
+            # standard; top_k / min_p / repetition_penalty are the common
+            # serving extensions (all run on device, llm.sample_filtered)
+            samp = _samp_of(data)
             stops = data.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
@@ -875,7 +890,7 @@ def make_handler(ctx: AppContext):
                                            "messages (list) required")
                 make = lambda: gen.submit_messages(  # noqa: E731
                     msgs, max_new=max_new, temperature=temp,
-                    timeout_s=timeout)
+                    timeout_s=timeout, **samp)
             else:
                 prompt = data.get("prompt")
                 if isinstance(prompt, list):
@@ -884,7 +899,7 @@ def make_handler(ctx: AppContext):
                     return self.send_error(400, "prompt (string) required")
                 make = lambda: gen.submit(prompt, max_new=max_new,  # noqa: E731
                                           temperature=temp, raw=True,
-                                          timeout_s=timeout)
+                                          timeout_s=timeout, **samp)
             from ..serving.engine import QueueFull
             try:
                 req = make()

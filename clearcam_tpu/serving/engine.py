@@ -75,6 +75,18 @@ class Request:            # never conflate two requests with equal prompts
     max_new: int
     temperature: float = 0.0
     eos_id: object = None
+    # sampling filters (device-side, llm.sample_filtered): applied to the
+    # temperature-scaled distribution; all-off defaults never change greedy
+    top_p: float = 1.0
+    top_k: int = 0
+    min_p: float = 0.0
+    # sampling penalties (device-side, over per-slot token histograms):
+    # presence/frequency act on generated tokens (vLLM/OpenAI semantics),
+    # repetition on prompt+generated (HF semantics). Unlike the filters,
+    # penalties DO change temperature-0 outputs — that is their point.
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    repetition_penalty: float = 1.0
     segments: list | None = None
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     deadline: float | None = None                # monotonic; engine-enforced
@@ -87,6 +99,11 @@ class Request:            # never conflate two requests with equal prompts
     t_first: float | None = None
     t_done: float | None = None
     _done: threading.Event = field(default_factory=threading.Event)
+
+    @property
+    def pen_active(self) -> bool:
+        return (self.presence_penalty != 0.0 or self.frequency_penalty != 0.0
+                or self.repetition_penalty != 1.0)
 
     @property
     def ttft_s(self) -> float | None:
@@ -182,9 +199,25 @@ class ServingEngine:
         self.cursor = np.zeros(n_slots, np.int64)    # prefill progress / pos
         self.seg_idx = [0] * n_slots                 # current prompt segment
         self.seg_start = np.zeros(n_slots, np.int64)  # its start position
-        self.temps = np.zeros(n_slots, np.float32)
-        self._temps_dev = jnp.zeros((n_slots,), jnp.float32)
+        # packed per-slot sampling spec rows (llm.pack_samp columns:
+        # temperature, top_p, top_k, min_p, presence, frequency,
+        # repetition) — uploaded only when dirty
+        self.samp = np.zeros((n_slots, llm.SAMP_W), np.float32)
+        self.samp[:, 1] = 1.0                        # top_p off
+        self.samp[:, 6] = 1.0                        # repetition off
+        self._temps_dev = jnp.asarray(self.samp)
         self._temps_dirty = False
+        # per-slot token histograms for the sampling penalties: _cnt_p over
+        # the prompt (host-computed at admission — covers reused prefixes
+        # the device never re-reads), _cnt_o over generated tokens (the
+        # decode graphs scatter-add each consumed token). Device-resident;
+        # rows are refreshed at admission ONLY for penalty-carrying
+        # requests (stale rows are harmless: their samp coefficients are
+        # off, and the graphs' penalty math rides a lax.cond)
+        self._cnt_p = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
+        self._cnt_o = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
+        self._cnt_row_set = jax.jit(
+            lambda c, v, b: jax.lax.dynamic_update_slice(c, v[None], (b, 0)))
         self._tok_dev = jnp.zeros((n_slots,), jnp.int32)
         self._first_tok = jnp.zeros((n_slots,), jnp.int32)  # device-resident
         self._inject = np.zeros(n_slots, bool)       # consume first_tok[b]
@@ -216,13 +249,27 @@ class ServingEngine:
     def submit(self, prompt: list | None = None, max_new: int = 64,
                temperature: float = 0.0, eos_id=None,
                segments: list | None = None,
-               timeout_s: float | None = None) -> Request:
+               timeout_s: float | None = None, top_p: float = 1.0,
+               top_k: int = 0, min_p: float = 0.0,
+               presence_penalty: float = 0.0,
+               frequency_penalty: float = 0.0,
+               repetition_penalty: float = 1.0) -> Request:
         """timeout_s: engine-enforced deadline — a request still waiting
         when it expires is dropped; a running one is retired at the next
         tick with whatever tokens it has (``Request.timed_out`` set).
-        Raises QueueFull when the waiting queue is at ``max_waiting``."""
+        Raises QueueFull when the waiting queue is at ``max_waiting``.
+        top_p/top_k/min_p: device-side sampling filters (per request,
+        llm.sample_filtered); they never change temperature-0 outputs.
+        presence_penalty/frequency_penalty (OpenAI semantics, generated
+        tokens) and repetition_penalty (HF semantics, prompt+generated)
+        run on device over per-slot token histograms — these DO change
+        greedy outputs."""
         r = Request(list(prompt) if prompt is not None else None,
-                    max_new, temperature, eos_id, segments=segments)
+                    max_new, temperature, eos_id, segments=segments,
+                    top_p=top_p, top_k=top_k, min_p=min_p,
+                    presence_penalty=presence_penalty,
+                    frequency_penalty=frequency_penalty,
+                    repetition_penalty=repetition_penalty)
         r.t_submit = time.monotonic()
         if timeout_s is not None:
             r.deadline = r.t_submit + timeout_s
@@ -347,9 +394,27 @@ class ServingEngine:
             self.seg_idx[b] = 1 if covered else 0
             self.seg_start[b] = reuse if covered else 0
             self.stats["reused_tokens"] += reuse
-            if self.temps[b] != r.temperature:
-                self.temps[b] = r.temperature
+            row = np.asarray([r.temperature, r.top_p, float(r.top_k),
+                              r.min_p, r.presence_penalty,
+                              r.frequency_penalty, r.repetition_penalty],
+                             np.float32)
+            if not np.array_equal(self.samp[b], row):
+                self.samp[b] = row
                 self._temps_dirty = True
+            if r.pen_active:
+                # fresh histograms for this occupant: prompt counts over
+                # every text token (incl. any reused prefix — the graphs
+                # never see those rows again), zero generated counts
+                cp = np.zeros(self.cfg.vocab_size, np.int64)
+                for s in r.segments:
+                    if s[0] == "text" and s[1]:
+                        cp += np.bincount(np.asarray(s[1], np.int64),
+                                          minlength=self.cfg.vocab_size)
+                self._cnt_p = self._cnt_row_set(
+                    self._cnt_p, jnp.asarray(cp, jnp.int32), b)
+                self._cnt_o = self._cnt_row_set(
+                    self._cnt_o, jnp.zeros((self.cfg.vocab_size,),
+                                           jnp.int32), b)
 
     def _retire(self, b: int, r: Request) -> None:
         mid_prefill = self.phase[b] == _PREFILL
@@ -516,19 +581,19 @@ class ServingEngine:
             self.stats["prefill_tokens"] += n
         self.stats["prefill_batched_steps"] += 1
         if self._temps_dirty:
-            self._temps_dev = jnp.asarray(self.temps)
+            self._temps_dev = jnp.asarray(self.samp)
             self._temps_dirty = False
         self._step_n += 1
         if self.spec:
             self._first_tok, self.state, self.aux = self.prefill_many(
                 self.params, self.state, self.aux, self._first_tok,
                 jnp.asarray(toks), jnp.asarray(meta), self._temps_dev,
-                self._step_n, self._base_key)
+                self._step_n, self._base_key, self._cnt_p, self._cnt_o)
         else:
             self._first_tok, self.state = self.prefill_many(
                 self.params, self.state, self._first_tok, jnp.asarray(toks),
                 jnp.asarray(meta), self._temps_dev, self._step_n,
-                self._base_key)
+                self._base_key, self._cnt_p, self._cnt_o)
         fetched = False
         with self._lock:
             for b, r, new_cur, seg_done in fin:
@@ -614,12 +679,14 @@ class ServingEngine:
                 self._first_tok, self.state, self.aux = self.prefill_slot(
                     self.params, self.state, self.aux, self._first_tok,
                     jnp.asarray([chunk], jnp.int32), b, cur, n,
-                    float(self.temps[b]), self._step_n, self._base_key)
+                    jnp.asarray(self.samp[b]), self._step_n, self._base_key,
+                    self._cnt_p, self._cnt_o)
             else:
                 self._first_tok, self.state = self.prefill_slot(
                     self.params, self.state, self._first_tok,
                     jnp.asarray([chunk], jnp.int32), b, cur, n,
-                    float(self.temps[b]), self._step_n, self._base_key)
+                    jnp.asarray(self.samp[b]), self._step_n, self._base_key,
+                    self._cnt_p, self._cnt_o)
             with self._lock:
                 self.cursor[b] = cur + n
                 if off + n == len(toks):
@@ -643,7 +710,7 @@ class ServingEngine:
                 mask[dec] = True
                 self.stats["decode_steps"] += 1
                 if self._temps_dirty:
-                    self._temps_dev = jnp.asarray(self.temps)
+                    self._temps_dev = jnp.asarray(self.samp)
                     self._temps_dirty = False
                 self._step_n += 1
                 if self.spec:
@@ -653,10 +720,12 @@ class ServingEngine:
                     meta[0] = mask
                     meta[1] = self._inject
                     self._inject[:] = False
-                    out_dev, self.state, self.aux = self.decode_all(
-                        self.params, self.state, self.aux, self._first_tok,
-                        jnp.asarray(meta), self._temps_dev, self._step_n,
-                        self._base_key)
+                    out_dev, self.state, self.aux, self._cnt_o = \
+                        self.decode_all(
+                            self.params, self.state, self.aux,
+                            self._first_tok, jnp.asarray(meta),
+                            self._temps_dev, self._step_n, self._base_key,
+                            self._cnt_o, self._cnt_p)
                     self._acc.append((tuple(self.epoch), mask, out_dev))
                 else:
                     # one packed upload per step: [pos, live, inject]
@@ -666,10 +735,11 @@ class ServingEngine:
                     meta[1] = mask
                     meta[2] = self._inject
                     self._inject[:] = False
-                    tok_dev, self.state = self.decode_all(
+                    tok_dev, self.state, self._cnt_o = self.decode_all(
                         self.params, self.state, self._tok_dev,
                         self._first_tok, jnp.asarray(meta), self._temps_dev,
-                        self._step_n, self._base_key)
+                        self._step_n, self._base_key, self._cnt_o,
+                        self._cnt_p)
                     self._tok_dev = tok_dev
                     with self._lock:
                         for b in dec:

@@ -57,18 +57,22 @@ class TextServing:
 
     def submit(self, prompt: str, max_new: int = 128,
                temperature: float = 0.0, raw: bool = False,
-               timeout_s: float | None = None) -> Request:
+               timeout_s: float | None = None, **samp) -> Request:
+        """``samp``: any engine sampling knobs (top_p, top_k, min_p,
+        presence_penalty, frequency_penalty, repetition_penalty)."""
         return self.engine.submit(self.encode_prompt(prompt, raw),
                                   max_new=max_new, temperature=temperature,
-                                  eos_id=self._stops(), timeout_s=timeout_s)
+                                  eos_id=self._stops(), timeout_s=timeout_s,
+                                  **samp)
 
     def submit_messages(self, messages, max_new: int = 128,
                         temperature: float = 0.0,
-                        timeout_s: float | None = None) -> Request:
+                        timeout_s: float | None = None, **samp) -> Request:
         """Multi-turn chat submission (the /v1/chat/completions body)."""
         return self.engine.submit(self.encode_messages(messages),
                                   max_new=max_new, temperature=temperature,
-                                  eos_id=self._stops(), timeout_s=timeout_s)
+                                  eos_id=self._stops(), timeout_s=timeout_s,
+                                  **samp)
 
     def _visible(self, req: Request) -> list[int]:
         toks = list(req.tokens)
