@@ -529,26 +529,31 @@ def sample_gumbel(logits, temperature, key):
     return jnp.argmax(logits / jnp.maximum(t, 1e-12) + g, -1)
 
 
-SAMP_W = 7      # packed sampling-spec row width (pack_samp columns)
+SAMP_W = 8      # packed sampling-spec row width (pack_samp columns)
 
 
 def pack_samp(temperature=0.0, top_p=1.0, top_k=0, min_p=0.0,
-              presence=0.0, frequency=0.0, repetition=1.0):
-    """Pack a sampling spec into the [7] f32 row the jitted samplers take:
-    (temperature, top_p, top_k, min_p, presence, frequency, repetition).
-    Passed as a traced ARGUMENT so any per-request spec runs under one
-    compiled graph. Everything-off = (t, 1.0, 0, 0.0, 0, 0, 1.0) — the
-    reference samples with temperature only (model.py:318-319); the
-    filters and penalties are standard serving-surface extras
-    (OpenAI presence/frequency penalties, HF repetition penalty)."""
+              presence=0.0, frequency=0.0, repetition=1.0,
+              bias_active=0.0):
+    """Pack a sampling spec into the [8] f32 row the jitted samplers take:
+    (temperature, top_p, top_k, min_p, presence, frequency, repetition,
+    bias_active). Passed as a traced ARGUMENT so any per-request spec runs
+    under one compiled graph. Everything-off = (t, 1.0, 0, 0, 0, 0, 1, 0)
+    — the reference samples with temperature only (model.py:318-319); the
+    filters, penalties and logit bias are standard serving-surface extras
+    (OpenAI presence/frequency penalties + logit_bias, HF repetition
+    penalty). bias_active flags whether the caller's [.., V] bias buffer
+    row carries non-zeros (the flag lets the sampler skip reading the
+    buffer entirely when no row uses it)."""
     return jnp.asarray([temperature, top_p, float(top_k), min_p,
-                        presence, frequency, repetition], jnp.float32)
+                        presence, frequency, repetition, bias_active],
+                       jnp.float32)
 
 
 def _samp_of(t):
     """Normalize a sampler's spec argument: a 0-d temperature becomes the
-    everything-off [7] row; packed [4] rows (the pre-penalty layout) pad to
-    [7] with penalties off; per-row [B, 4|7] rows pass through likewise
+    everything-off [8] row; packed [4] / [7] rows (earlier layouts) pad to
+    [8] with the extras off; per-row [B, 4|7|8] rows pass through likewise
     (serving paths always pack — a bare [B] temps vector is NOT accepted
     there, it would be ambiguous with a packed row at B=4)."""
     t = jnp.asarray(t, jnp.float32)
@@ -559,11 +564,21 @@ def _samp_of(t):
         off = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
                                t.shape[:-1] + (3,))
         t = jnp.concatenate([t, off], -1)
+    if t.shape[-1] == 7:                          # pad: logit bias off
+        t = jnp.concatenate(
+            [t, jnp.zeros(t.shape[:-1] + (1,), jnp.float32)], -1)
     return t
 
 
-def sample_filtered(logits, samp, key, counts_p=None, counts_o=None):
-    """Gumbel-max sampling with device-side penalties + top-p/k/min-p.
+def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
+                    bias=None):
+    """Gumbel-max sampling with device-side penalties, logit bias, and
+    top-p/k/min-p filters.
+
+    bias: optional [*, V] f32 additive logit bias (OpenAI logit_bias,
+    densified per row by the caller), applied after penalties and before
+    temperature; rows flag participation via samp[..., 7] so the buffer
+    is only read when some row uses it.
 
     samp: packed pack_samp row(s) — [7] shared across rows or [B, 7]
     per-row (continuous batching; [4] legacy rows pad penalties-off).
@@ -621,6 +636,13 @@ def sample_filtered(logits, samp, key, counts_p=None, counts_o=None):
 
         pen_on = jnp.any((pres != 0.0) | (freq != 0.0) | (rep != 1.0))
         lg = jax.lax.cond(pen_on, penalized, lambda x: x, lg)
+
+    if bias is not None:
+        has_bias = col(samp[..., 7])
+        lg = jax.lax.cond(jnp.any(has_bias != 0.0),
+                          lambda x: x + jnp.where(has_bias != 0.0, bias,
+                                                  0.0),
+                          lambda x: x, lg)
 
     scaled = lg / jnp.maximum(col(t), 1e-12)
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
@@ -750,7 +772,8 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                    top_k: int = 0, min_p: float = 0.0,
                    presence_penalty: float = 0.0,
                    frequency_penalty: float = 0.0,
-                   repetition_penalty: float = 1.0) -> list:
+                   repetition_penalty: float = 1.0,
+                   logit_bias: dict | None = None) -> list:
     """Batched generation: B prompts in ONE cache, ONE prefill/decode graph.
 
     Prompts are RIGHT-ALIGNED (left-padded to the longest) and each row's
@@ -802,23 +825,25 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                                              interpret=interpret)
                 return out[:, :, None]
 
-    # static branch: the no-penalty graphs stay bit-identical to before
-    # (no counts buffers, no extra args — existing compile-cache keys)
+    # static branch: the plain graphs stay bit-identical to before (no
+    # histogram/bias buffers, no extra args — existing compile-cache keys);
+    # any penalty or logit_bias switches both graphs to the extras variant
     pen = (presence_penalty != 0.0 or frequency_penalty != 0.0
            or repetition_penalty != 1.0)
+    extras = pen or bool(logit_bias)
 
     # pad_start rides as a traced ARGUMENT: baking it as a closure constant
     # would recompile both graphs for every new prompt-length profile
     @jax.jit
     def prefill(params_, state, tokens, start_pos, n_real, temp, key, pads,
-                cnt_p=None, cnt_o=None):
+                cnt_p=None, cnt_o=None, bias=None):
         hidden, state = _prefill_hidden(params_, cfg, state, tokens,
                                         start_pos, n_real, freqs,
                                         pad_start=pads)
         hidden = F.rms_norm(hidden, params_["output_norm.weight"],
                             cfg.norm_eps)
         logits = F.linear(hidden, params_["output.weight"])
-        return sample_filtered(logits, temp, key, cnt_p, cnt_o), state
+        return sample_filtered(logits, temp, key, cnt_p, cnt_o, bias), state
 
     all_live = jnp.ones((b_n,), bool)
 
@@ -831,26 +856,31 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         return sample_filtered(logits, temp, key), state
 
     @jax.jit
-    def decode_pen(params_, state, cnt_o, token, start_pos, temp, key, pads,
-                   cnt_p):
+    def decode_ex(params_, state, cnt_o, token, start_pos, temp, key, pads,
+                  cnt_p, bias):
         # consumed token joins the output histogram before sampling
         cnt_o = cnt_o.at[jnp.arange(b_n), token[:, 0]].add(1)
         hidden, state = forward(params_, cfg, state, token, start_pos,
                                 freqs, pad_start=pads, decode_attn=attn_impl,
                                 row_live=all_live if cfg.ssm else None)
         logits = logits_at(params_, cfg, hidden, jnp.int32(0))
-        return (sample_filtered(logits, temp, key, cnt_p, cnt_o), state,
-                cnt_o)
+        return (sample_filtered(logits, temp, key, cnt_p, cnt_o, bias),
+                state, cnt_o)
 
     state = init_state(cfg, batch=b_n, dtype=state_dtype, kv_quant=kv_quant)
     temp = pack_samp(temperature, top_p, top_k, min_p, presence_penalty,
-                     frequency_penalty, repetition_penalty)
-    cnt_p = cnt_o = None
-    if pen:
+                     frequency_penalty, repetition_penalty,
+                     1.0 if logit_bias else 0.0)
+    cnt_p = cnt_o = bias = None
+    if extras:
         cnt_p = jnp.asarray(np.stack([np.bincount(
             np.asarray(p, np.int64), minlength=cfg.vocab_size)
             for p in prompts]), jnp.int32)
         cnt_o = jnp.zeros((b_n, cfg.vocab_size), jnp.int32)
+        brow = np.zeros(cfg.vocab_size, np.float32)
+        for t, v in (logit_bias or {}).items():
+            brow[int(t)] = float(v)
+        bias = jnp.broadcast_to(jnp.asarray(brow), (b_n, cfg.vocab_size))
     key = jax.random.PRNGKey(seed)
     pos = 0
     tok = None
@@ -860,7 +890,8 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         key, sub = jax.random.split(key)
         args = (params, state, jnp.asarray(chunk, jnp.int32),
                 pos, jnp.int32(n), temp, sub, pad_arr)
-        tok, state = prefill(*args, cnt_p, cnt_o) if pen else prefill(*args)
+        tok, state = (prefill(*args, cnt_p, cnt_o, bias) if extras
+                      else prefill(*args))
         pos += n
 
     out: list = [[] for _ in range(b_n)]
@@ -875,10 +906,10 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         if all(done) or pos >= cfg.max_context - 1:
             break
         key, sub = jax.random.split(key)
-        if pen:
-            tok, state, cnt_o = decode_pen(
+        if extras:
+            tok, state, cnt_o = decode_ex(
                 params, state, cnt_o, jnp.asarray(cur[:, None], jnp.int32),
-                pos, temp, sub, pad_arr, cnt_p)
+                pos, temp, sub, pad_arr, cnt_p, bias)
         else:
             tok, state = decode(params, state,
                                 jnp.asarray(cur[:, None], jnp.int32), pos,
@@ -1003,7 +1034,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     # (serving/engine.py) still hold references to earlier outputs.
     @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill_slot(params, state, first_tok, tokens, slot, start_pos,
-                     n_real, temp, step, base_key, cnt_p, cnt_o):
+                     n_real, temp, step, base_key, cnt_p, cnt_o, bias):
         st_b = [jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
             for s in state]
@@ -1023,7 +1054,8 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         tok = sample_filtered(F.linear(hidden, params["output.weight"]),
                               temp, jax.random.fold_in(base_key, step),
                               jax.lax.dynamic_slice_in_dim(cnt_p, slot, 1, 0),
-                              jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0))
+                              jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0),
+                              jax.lax.dynamic_slice_in_dim(bias, slot, 1, 0))
         state = [jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
                 full, part.astype(full.dtype), slot, 0), s, sb)
@@ -1034,7 +1066,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
 
     @functools.partial(jax.jit, donate_argnums=(1, 8))
     def decode_all(params, state, prev_tok, first_tok, meta, samp, step,
-                   base_key, cnt_o, cnt_p):
+                   base_key, cnt_o, cnt_p, bias):
         pos, live = meta[0], meta[1] != 0
         token = jnp.where(meta[2] != 0, first_tok, prev_tok)[:, None]
         # the consumed token joins the row's output histogram BEFORE
@@ -1049,7 +1081,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         logits = logits_at(params, cfg, hidden, jnp.int32(0))
         tok = sample_filtered(logits, samp,
                               jax.random.fold_in(base_key, step),
-                              cnt_p, cnt_o)
+                              cnt_p, cnt_o, bias)
         return tok, state, cnt_o
 
     prefill_many = None
@@ -1067,7 +1099,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # across a chunk (engine falls back to prefill_slot there).
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_many(params, state, first_tok, tokens, meta, samp,
-                         step, base_key, cnt_p, cnt_o):
+                         step, base_key, cnt_p, cnt_o, bias):
             starts, n_real, valid = meta[0], meta[1], meta[2] != 0
             hidden, state = forward(params, cfg, state, tokens, starts,
                                     freqs, write_mask=valid)
@@ -1076,7 +1108,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
             tok = sample_filtered(F.linear(h, params["output.weight"]),
                                   samp, jax.random.fold_in(base_key, step),
-                                  cnt_p, cnt_o)
+                                  cnt_p, cnt_o, bias)
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
             return first_tok, state
@@ -1187,7 +1219,7 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def prefill_slot(params, state, aux, first_tok, tokens, slot, start_pos,
-                     n_real, temp, step, base_key, cnt_p, cnt_o):
+                     n_real, temp, step, base_key, cnt_p, cnt_o, bias):
         st_b = [jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
             for s in state]
@@ -1198,7 +1230,8 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
         tok = sample_filtered(F.linear(hidden, params["output.weight"]),
                               temp, jax.random.fold_in(base_key, step),
                               jax.lax.dynamic_slice_in_dim(cnt_p, slot, 1, 0),
-                              jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0))
+                              jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0),
+                              jax.lax.dynamic_slice_in_dim(bias, slot, 1, 0))
         state = [jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
                 full, part.astype(full.dtype), slot, 0), s, sb)
@@ -1217,7 +1250,7 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
 
     @functools.partial(jax.jit, donate_argnums=(1, 2, 8))
     def decode_spec(params, state, aux, first_tok, meta, samp, step,
-                    base_key, cnt_o, cnt_p):
+                    base_key, cnt_o, cnt_p, bias):
         live = meta[0] != 0
         pos = jnp.minimum(aux["pos"], S - 1 - G)   # junk steps clamp; live
         x0 = jnp.where(meta[1] != 0, first_tok, aux["last"])  # rows never
@@ -1237,9 +1270,10 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
             live.astype(cnt_o.dtype))
         sampled0 = sample_filtered(logits[:, 0], samp,
                                    jax.random.fold_in(base_key, step),
-                                   cnt_p, cnt_o)
+                                   cnt_p, cnt_o, bias)
         stochastic = ((samp[:, 0] > 0.0) | (samp[:, 4] != 0.0)
-                      | (samp[:, 5] != 0.0) | (samp[:, 6] != 1.0))
+                      | (samp[:, 5] != 0.0) | (samp[:, 6] != 1.0)
+                      | (samp[:, 7] != 0.0))
         y = greedy.at[:, 0].set(
             jnp.where(stochastic, sampled0.astype(jnp.int32), greedy[:, 0]))
         acc = (xs[:, 1:] == y[:, :-1]).astype(jnp.int32)
@@ -1261,7 +1295,7 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def prefill_many(params, state, aux, first_tok, tokens, meta, samp,
-                     step, base_key, cnt_p, cnt_o):
+                     step, base_key, cnt_p, cnt_o, bias):
         starts, n_real, valid = meta[0], meta[1], meta[2] != 0
         hidden, state = forward(params, cfg, state, tokens, starts,
                                 freqs, write_mask=valid)
@@ -1270,7 +1304,7 @@ def _make_spec_serving_fns(cfg: TransformerConfig, G: int, freqs):
         h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
         tok = sample_filtered(F.linear(h, params["output.weight"]), samp,
                               jax.random.fold_in(base_key, step),
-                              cnt_p, cnt_o)
+                              cnt_p, cnt_o, bias)
         first_tok = jnp.where(valid, tok, first_tok).astype(first_tok.dtype)
         ids2 = jax.vmap(lambda row, xr, p:
                         jax.lax.dynamic_update_slice(row, xr, (p,)))(

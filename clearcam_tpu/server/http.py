@@ -209,13 +209,18 @@ class AppContext:
 
 def _samp_of(data: dict) -> dict:
     """Sampling kwargs for ServingEngine.submit from a /generate or
-    OpenAI-style JSON body (absent fields = feature off)."""
-    return {"top_p": float(data.get("top_p", 1.0)),
-            "top_k": int(data.get("top_k", 0)),
-            "min_p": float(data.get("min_p", 0.0)),
-            "presence_penalty": float(data.get("presence_penalty", 0.0)),
-            "frequency_penalty": float(data.get("frequency_penalty", 0.0)),
-            "repetition_penalty": float(data.get("repetition_penalty", 1.0))}
+    OpenAI-style JSON body (absent fields = feature off). logit_bias
+    arrives with string token-id keys per the OpenAI schema."""
+    out = {"top_p": float(data.get("top_p", 1.0)),
+           "top_k": int(data.get("top_k", 0)),
+           "min_p": float(data.get("min_p", 0.0)),
+           "presence_penalty": float(data.get("presence_penalty", 0.0)),
+           "frequency_penalty": float(data.get("frequency_penalty", 0.0)),
+           "repetition_penalty": float(data.get("repetition_penalty", 1.0))}
+    lb = data.get("logit_bias")
+    if lb:
+        out["logit_bias"] = {int(k): float(v) for k, v in lb.items()}
+    return out
 
 
 def event_img_info(stem: str) -> dict:
@@ -860,7 +865,9 @@ def make_handler(ctx: AppContext):
             LangChain / curl recipes can point at the serving daemon
             (tools/serve_llm.py) unchanged. Supports max_tokens,
             temperature, stop (string or list, host-side truncation),
-            stream; n>1 is rejected. Auth accepts ``Authorization:
+            stream, and n>1 (non-streamed: each choice is its own engine
+            request, so they decode concurrently in the batch; streamed
+            n>1 is rejected). Auth accepts ``Authorization:
             Bearer <token>`` when --api-token is set."""
             gen = ctx.text_gen
             if gen is None:
@@ -870,8 +877,9 @@ def make_handler(ctx: AppContext):
                 data = json.loads(self._body().decode() or "{}")
             except json.JSONDecodeError:
                 return self.send_error(400, "invalid JSON body")
-            if int(data.get("n", 1)) != 1:
-                return self.send_error(400, "only n=1 is supported")
+            n_choices = max(1, min(int(data.get("n", 1)), 16))
+            if data.get("stream") and n_choices != 1:
+                return self.send_error(400, "streaming requires n=1")
             max_new = min(int(data.get("max_tokens") or 128), 4096)
             temp = float(data.get("temperature", 1.0))
             timeout = float(data.get("timeout", 600))
@@ -901,14 +909,19 @@ def make_handler(ctx: AppContext):
                                           temperature=temp, raw=True,
                                           timeout_s=timeout, **samp)
             from ..serving.engine import QueueFull
+            reqs = []
             try:
-                req = make()
+                for _ in range(n_choices):
+                    reqs.append(make())
             except QueueFull:
+                for r in reqs:            # partial fan-out: roll back
+                    gen.cancel(r)
                 self.send_response(429)   # OpenAI's rate-limit status
                 self.send_header("Retry-After", "1")
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
+            req = reqs[0]
             rid = f"{'chatcmpl' if chat else 'cmpl'}-{id(req):x}"
             created = int(time.time())
 
@@ -924,38 +937,44 @@ def make_handler(ctx: AppContext):
                         first = min(first, i)
                 return text[:first], first < len(text)
 
-            def finish_reason(stopped: bool):
+            def finish_reason(r, stopped: bool):
                 if stopped:
                     return "stop"
-                if req.timed_out or len(req.tokens) >= max_new:
+                if r.timed_out or len(r.tokens) >= max_new:
                     return "length"
                 return "stop"             # retired on eos
 
             if not data.get("stream"):
                 try:
-                    req.wait(timeout + 5)
+                    for r in reqs:
+                        r.wait(timeout + 5)
                 except TimeoutError:
-                    gen.cancel(req)
+                    for r in reqs:
+                        gen.cancel(r)
                     return self.send_error(504, "generation timed out")
-                text, hit = cut(gen.text(req))
                 prompt_toks = (len(gen.encode_messages(msgs)) if chat
                                else len(gen.encode_prompt(prompt, True)))
-                choice = {"index": 0, "finish_reason": finish_reason(hit),
-                          "logprobs": None}
-                if chat:
-                    choice["message"] = {"role": "assistant",
-                                         "content": text}
-                else:
-                    choice["text"] = text
+                choices, done_toks = [], 0
+                for i, r in enumerate(reqs):
+                    text, hit = cut(gen.text(r))
+                    done_toks += len(r.tokens)
+                    choice = {"index": i,
+                              "finish_reason": finish_reason(r, hit),
+                              "logprobs": None}
+                    if chat:
+                        choice["message"] = {"role": "assistant",
+                                             "content": text}
+                    else:
+                        choice["text"] = text
+                    choices.append(choice)
                 return self._json({
                     "id": rid, "created": created, "model": model,
                     "object": ("chat.completion" if chat
                                else "text_completion"),
-                    "choices": [choice],
+                    "choices": choices,
                     "usage": {"prompt_tokens": prompt_toks,
-                              "completion_tokens": len(req.tokens),
-                              "total_tokens": prompt_toks
-                              + len(req.tokens)}})
+                              "completion_tokens": done_toks,
+                              "total_tokens": prompt_toks + done_toks}})
 
             # --- SSE streaming ------------------------------------------
             self.send_response(200)
@@ -997,7 +1016,7 @@ def make_handler(ctx: AppContext):
                     if hit or done or time.time() > deadline:
                         break
                     time.sleep(0.02)
-                fr = finish_reason(hit)
+                fr = finish_reason(req, hit)
                 emit(chunk_obj({"index": 0, "finish_reason": fr,
                                 **({"delta": {}} if chat
                                    else {"text": "", "logprobs": None})}))

@@ -87,6 +87,9 @@ class Request:            # never conflate two requests with equal prompts
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    # OpenAI logit_bias: {token_id: additive bias} applied before
+    # temperature (after penalties); like penalties, it changes greedy
+    logit_bias: dict | None = None
     segments: list | None = None
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     deadline: float | None = None                # monotonic; engine-enforced
@@ -216,6 +219,11 @@ class ServingEngine:
         # off, and the graphs' penalty math rides a lax.cond)
         self._cnt_p = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
         self._cnt_o = jnp.zeros((n_slots, cfg.vocab_size), jnp.int32)
+        # per-slot dense logit-bias rows (densified from the request's
+        # sparse {token: bias} at admission); samp col 7 flags live rows,
+        # so stale rows are inert and the sampler skips the read entirely
+        # while no slot carries a bias
+        self._bias = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
         self._cnt_row_set = jax.jit(
             lambda c, v, b: jax.lax.dynamic_update_slice(c, v[None], (b, 0)))
         self._tok_dev = jnp.zeros((n_slots,), jnp.int32)
@@ -253,7 +261,8 @@ class ServingEngine:
                top_k: int = 0, min_p: float = 0.0,
                presence_penalty: float = 0.0,
                frequency_penalty: float = 0.0,
-               repetition_penalty: float = 1.0) -> Request:
+               repetition_penalty: float = 1.0,
+               logit_bias: dict | None = None) -> Request:
         """timeout_s: engine-enforced deadline — a request still waiting
         when it expires is dropped; a running one is retired at the next
         tick with whatever tokens it has (``Request.timed_out`` set).
@@ -263,13 +272,15 @@ class ServingEngine:
         presence_penalty/frequency_penalty (OpenAI semantics, generated
         tokens) and repetition_penalty (HF semantics, prompt+generated)
         run on device over per-slot token histograms — these DO change
-        greedy outputs."""
+        greedy outputs, as does logit_bias ({token_id: additive bias},
+        OpenAI semantics, applied before temperature)."""
         r = Request(list(prompt) if prompt is not None else None,
                     max_new, temperature, eos_id, segments=segments,
                     top_p=top_p, top_k=top_k, min_p=min_p,
                     presence_penalty=presence_penalty,
                     frequency_penalty=frequency_penalty,
-                    repetition_penalty=repetition_penalty)
+                    repetition_penalty=repetition_penalty,
+                    logit_bias=dict(logit_bias) if logit_bias else None)
         r.t_submit = time.monotonic()
         if timeout_s is not None:
             r.deadline = r.t_submit + timeout_s
@@ -396,11 +407,17 @@ class ServingEngine:
             self.stats["reused_tokens"] += reuse
             row = np.asarray([r.temperature, r.top_p, float(r.top_k),
                               r.min_p, r.presence_penalty,
-                              r.frequency_penalty, r.repetition_penalty],
-                             np.float32)
+                              r.frequency_penalty, r.repetition_penalty,
+                              1.0 if r.logit_bias else 0.0], np.float32)
             if not np.array_equal(self.samp[b], row):
                 self.samp[b] = row
                 self._temps_dirty = True
+            if r.logit_bias:
+                brow = np.zeros(self.cfg.vocab_size, np.float32)
+                for t, v in r.logit_bias.items():
+                    brow[int(t)] = float(v)
+                self._bias = self._cnt_row_set(self._bias,
+                                               jnp.asarray(brow), b)
             if r.pen_active:
                 # fresh histograms for this occupant: prompt counts over
                 # every text token (incl. any reused prefix — the graphs
@@ -588,12 +605,13 @@ class ServingEngine:
             self._first_tok, self.state, self.aux = self.prefill_many(
                 self.params, self.state, self.aux, self._first_tok,
                 jnp.asarray(toks), jnp.asarray(meta), self._temps_dev,
-                self._step_n, self._base_key, self._cnt_p, self._cnt_o)
+                self._step_n, self._base_key, self._cnt_p, self._cnt_o,
+                self._bias)
         else:
             self._first_tok, self.state = self.prefill_many(
                 self.params, self.state, self._first_tok, jnp.asarray(toks),
                 jnp.asarray(meta), self._temps_dev, self._step_n,
-                self._base_key, self._cnt_p, self._cnt_o)
+                self._base_key, self._cnt_p, self._cnt_o, self._bias)
         fetched = False
         with self._lock:
             for b, r, new_cur, seg_done in fin:
@@ -680,13 +698,13 @@ class ServingEngine:
                     self.params, self.state, self.aux, self._first_tok,
                     jnp.asarray([chunk], jnp.int32), b, cur, n,
                     jnp.asarray(self.samp[b]), self._step_n, self._base_key,
-                    self._cnt_p, self._cnt_o)
+                    self._cnt_p, self._cnt_o, self._bias)
             else:
                 self._first_tok, self.state = self.prefill_slot(
                     self.params, self.state, self._first_tok,
                     jnp.asarray([chunk], jnp.int32), b, cur, n,
                     jnp.asarray(self.samp[b]), self._step_n, self._base_key,
-                    self._cnt_p, self._cnt_o)
+                    self._cnt_p, self._cnt_o, self._bias)
             with self._lock:
                 self.cursor[b] = cur + n
                 if off + n == len(toks):
@@ -725,7 +743,7 @@ class ServingEngine:
                             self.params, self.state, self.aux,
                             self._first_tok, jnp.asarray(meta),
                             self._temps_dev, self._step_n, self._base_key,
-                            self._cnt_o, self._cnt_p)
+                            self._cnt_o, self._cnt_p, self._bias)
                     self._acc.append((tuple(self.epoch), mask, out_dev))
                 else:
                     # one packed upload per step: [pos, live, inject]
@@ -739,7 +757,7 @@ class ServingEngine:
                         self.params, self.state, self._tok_dev,
                         self._first_tok, jnp.asarray(meta), self._temps_dev,
                         self._step_n, self._base_key, self._cnt_o,
-                        self._cnt_p)
+                        self._cnt_p, self._bias)
                     self._tok_dev = tok_dev
                     with self._lock:
                         for b in dec:

@@ -261,10 +261,14 @@ def test_openai_completions_stream_and_stop(served):
         assert out["choices"][0]["finish_reason"] == "stop"
 
 
-def test_openai_rejects_multi_choice(served):
+def test_openai_rejects_streamed_multi_choice(served):
+    """Non-streamed n>1 is supported (each choice its own engine
+    request — see test_sampling.test_http_openai_logit_bias_and_n);
+    streaming still requires n=1."""
     url, *_ = served
     try:
-        _post(f"{url}/v1/completions", {"prompt": "x", "n": 2})
+        _post(f"{url}/v1/completions",
+              {"prompt": "x", "n": 2, "stream": True})
         raise AssertionError("expected HTTP 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400

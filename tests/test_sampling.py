@@ -331,3 +331,132 @@ def test_http_openai_penalties_passthrough():
     finally:
         server.shutdown()
         eng.close()
+
+
+# ---------------------------------------------------------------------------
+# logit bias (OpenAI logit_bias: {token_id: additive bias}, applied after
+# penalties, before temperature; samp col 7 flags rows that carry a bias)
+# ---------------------------------------------------------------------------
+
+def _argmax_bias(logits, bias, active=1.0):
+    fn = jax.jit(llm.sample_filtered)
+    samp = llm.pack_samp(0.0, bias_active=active)
+    return int(fn(jnp.asarray([logits], jnp.float32), samp,
+                  jax.random.PRNGKey(0),
+                  bias=jnp.asarray([bias], jnp.float32))[0])
+
+
+def test_logit_bias_unit():
+    logits = [2.0, 1.5, 0.0, -1.0]
+    # +3 on token 2 lifts it past the leader
+    assert _argmax_bias(logits, [0.0, 0.0, 3.0, 0.0]) == 2
+    # -100 on the leader forbids it
+    assert _argmax_bias(logits, [-100.0, 0.0, 0.0, 0.0]) == 1
+    # bias_active=0: the buffer is inert even when it carries values
+    assert _argmax_bias(logits, [-100.0, 0.0, 3.0, 0.0], active=0.0) == 0
+
+
+def test_logit_bias_per_row_masked():
+    """[B] rows share one bias buffer; only rows flagged via samp col 7
+    read their row (stale engine-slot rows must be inert)."""
+    logits = jnp.asarray([[2.0, 1.5, 0.0, -1.0]] * 2, jnp.float32)
+    bias = jnp.asarray([[-100.0, 0.0, 0.0, 0.0]] * 2, jnp.float32)
+    samp = jnp.stack([llm.pack_samp(0.0, bias_active=1.0),
+                      llm.pack_samp(0.0, bias_active=0.0)])
+    got = jax.jit(llm.sample_filtered)(logits, samp, jax.random.PRNGKey(0),
+                                       bias=bias)
+    assert int(got[0]) == 1 and int(got[1]) == 0
+
+
+def test_generate_batch_logit_bias():
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    plain = llm.generate_batch(params, cfg, [[1, 2, 3, 4]], max_new=10)[0]
+    # +1000 on token 5 at temp 0 forces every step to emit 5
+    forced = llm.generate_batch(params, cfg, [[1, 2, 3, 4]], max_new=10,
+                                logit_bias={5: 1000.0})[0]
+    assert forced == [5] * 10 != plain
+    # a -inf-ish bias bans a token from the whole generation
+    banned = llm.generate_batch(params, cfg, [[1, 2, 3, 4]], max_new=10,
+                                logit_bias={plain[0]: -1e9})[0]
+    assert plain[0] not in banned
+
+
+def test_engine_logit_bias_matches_generate_batch():
+    """Engine rows with logit_bias reproduce generate_batch exactly; a
+    plain greedy row beside them is untouched, and the slot's stale bias
+    row stays inert for the NEXT occupant."""
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    want = llm.generate_batch(params, cfg, [[1, 2, 3, 4]], max_new=10,
+                              logit_bias={5: 1000.0})[0]
+    eng = ServingEngine(params, cfg, n_slots=2)
+    rb = eng.submit([1, 2, 3, 4], max_new=10, logit_bias={5: 1000.0})
+    rg = eng.submit([9, 8, 7], max_new=6)
+    eng.run_until_idle()
+    assert rb.wait(1) == want == [5] * 10
+    assert rg.wait(1) == _greedy(params, cfg, [9, 8, 7], 6)
+    # slot reuse: the biased slot's next occupant must sample unbiased
+    r2 = eng.submit([9, 8, 7], max_new=6)
+    r3 = eng.submit([1, 2, 3], max_new=6)
+    eng.run_until_idle()
+    assert r2.wait(1) == _greedy(params, cfg, [9, 8, 7], 6)
+    assert r3.wait(1) == _greedy(params, cfg, [1, 2, 3], 6)
+
+
+def test_engine_spec_logit_bias():
+    """Under speculative serving a biased row is flagged stochastic
+    (1 token/window) and still matches generate_batch exactly."""
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    want = llm.generate_batch(params, cfg, [[1, 2, 3, 4]], max_new=10,
+                              logit_bias={5: 1000.0})[0]
+    eng = ServingEngine(params, cfg, n_slots=2, spec_lookup=3)
+    rb = eng.submit([1, 2, 3, 4], max_new=10, logit_bias={5: 1000.0})
+    rg = eng.submit([9, 8], max_new=6)
+    eng.run_until_idle()
+    assert rb.wait(1) == want
+    assert rg.wait(1) == _greedy(params, cfg, [9, 8], 6)
+
+
+def test_http_openai_logit_bias_and_n():
+    """/v1/completions carries logit_bias (string token-id keys, OpenAI
+    schema) and n>1 (each choice its own engine request)."""
+    from clearcam_tpu.serving import TextServing
+    from clearcam_tpu.server.http import AppContext, serve
+    from clearcam_tpu.utils.db import KVStore
+    from test_http_generate import TinyTok, _post
+
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=4).start()
+    gen = TextServing(eng, TinyTok())
+    ctx = AppContext(KVStore(":memory:"), "/tmp/cc_bias_http", gen=gen)
+    server = serve(ctx, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        body = {"prompt": "hello", "max_tokens": 8, "temperature": 0,
+                "logit_bias": {"5": 1000.0}}
+        with _post(f"{url}/v1/completions", body) as r:
+            out = json.loads(r.read())
+        assert out["choices"][0]["text"] == TinyTok().decode([5] * 8)
+        # n=3 at temp 0: three identical choices, usage aggregates
+        with _post(f"{url}/v1/completions",
+                   {"prompt": "hello", "max_tokens": 6, "temperature": 0,
+                    "n": 3}) as r:
+            out = json.loads(r.read())
+        texts = [c["text"] for c in out["choices"]]
+        assert len(texts) == 3 and len(set(texts)) == 1
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        assert out["usage"]["completion_tokens"] >= 3 * len(
+            TinyTok().encode(texts[0])) // 2
+        # streaming requires n=1
+        try:
+            _post(f"{url}/v1/completions",
+                  {"prompt": "x", "max_tokens": 4, "n": 2, "stream": True})
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        eng.close()
