@@ -518,6 +518,22 @@ def logits_at(p: dict, cfg: TransformerConfig, hidden, index):
     return F.linear(h, p["output.weight"])
 
 
+def score_logits(params, cfg: TransformerConfig, tokens) -> jnp.ndarray:
+    """Next-token logits ([V] f32) after teacher-forcing ``tokens`` in one
+    full-sequence forward — the raw distribution serving logprobs report
+    over (sample_filtered_lp, before any penalties/bias). Eval /
+    verification helper (perplexity scoring, logprob cross-checks), not a
+    serving path: unchunked, recompiles per length."""
+    tokens = list(tokens)
+    assert 0 < len(tokens) <= cfg.max_context
+    state = init_state(cfg, batch=1)
+    freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                         cfg.rope_theta))
+    hidden, _ = forward(params, cfg, state,
+                        jnp.asarray([tokens], jnp.int32), 0, freqs)
+    return logits_at(params, cfg, hidden, len(tokens) - 1)[0]
+
+
 def sample_gumbel(logits, temperature, key):
     """Gumbel-max sampling == softmax(logits/temp) draw (model.py:318-319).
     temperature: scalar, or [B] per-row (continuous batching — each slot
@@ -614,9 +630,16 @@ def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
     unpenalized greedy stays batch-shape-robust.
     """
     samp = _samp_of(samp)
+    lg = _processed_logits(logits, samp, counts_p, counts_o, bias)
+    return _draw(lg, samp, key)
+
+
+def _processed_logits(logits, samp, counts_p=None, counts_o=None, bias=None):
+    """Penalties + logit bias applied, f32 (``samp`` already normalized by
+    _samp_of). This is the distribution logprobs report over — post
+    penalties/bias, PRE temperature and filters (the standard serving
+    logprob base: deterministic, independent of the sampled draw)."""
     lg = logits.astype(jnp.float32)
-    t, top_p, top_k, min_p = (samp[..., 0], samp[..., 1],
-                              samp[..., 2], samp[..., 3])
     pres, freq, rep = samp[..., 4], samp[..., 5], samp[..., 6]
 
     def col(x):  # align a per-row scalar against logits' last (vocab) axis
@@ -643,6 +666,17 @@ def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
                           lambda x: x + jnp.where(has_bias != 0.0, bias,
                                                   0.0),
                           lambda x: x, lg)
+    return lg
+
+
+def _draw(lg, samp, key):
+    """Temperature scale -> top-p/k/min-p filters -> Gumbel-max over
+    _processed_logits output (``samp`` already _samp_of-normalized)."""
+    t, top_p, top_k, min_p = (samp[..., 0], samp[..., 1],
+                              samp[..., 2], samp[..., 3])
+
+    def col(x):
+        return x[..., None] if x.ndim == lg.ndim - 1 else x
 
     scaled = lg / jnp.maximum(col(t), 1e-12)
     neg = jnp.float32(jnp.finfo(jnp.float32).min)
@@ -669,6 +703,31 @@ def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
     scaled = jax.lax.cond(active, filtered, lambda x: x, scaled)
     g = jax.random.gumbel(key, lg.shape, jnp.float32)
     return jnp.argmax(scaled + g, -1)
+
+
+LP_K = 8      # top-alternative count baked into logprob-carrying graphs
+
+
+def sample_filtered_lp(logits, samp, key, counts_p=None, counts_o=None,
+                       bias=None, k: int = LP_K):
+    """sample_filtered that also returns a packed logprob row per sample:
+    [chosen_lp, top-k lps (desc), top-k ids (as f32)] -> [..., 1 + 2k].
+
+    Logprobs are log_softmax over the POST-penalty/bias, PRE-temperature
+    logits (_processed_logits) — the deterministic scoring base OpenAI
+    clients expect; temperature and filters shape the draw, not the
+    reported distribution. Cost per decode step is one log_softmax +
+    top_k over [B, V] — noise next to the forward — so serving graphs
+    compute it unconditionally (no per-request cond)."""
+    samp = _samp_of(samp)
+    lg = _processed_logits(logits, samp, counts_p, counts_o, bias)
+    tok = _draw(lg, samp, key)
+    lp = jax.nn.log_softmax(lg, -1)
+    k = min(k, logits.shape[-1])     # toy vocabs < LP_K narrow the row
+    top_lp, top_id = jax.lax.top_k(lp, k)
+    chosen = jnp.take_along_axis(lp, tok[..., None], -1)
+    return tok, jnp.concatenate(
+        [chosen, top_lp, top_id.astype(jnp.float32)], -1)
 
 
 def _prefill_hidden(params, cfg: TransformerConfig, state, tokens, start_pos,
@@ -945,7 +1004,8 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     array; scalars are plain Python numbers (traced, not re-uploaded
     arrays).
 
-    prefill_slot(params, state, first_tok[B], tokens[1,CHUNK], slot,
+    prefill_slot(params, state, first_tok[B], first_lp[B,1+2K],
+                 tokens[1,CHUNK], slot,
                  start_pos, n_real, temp, step, base_key, cnt_p, cnt_o)
         -> (first_tok' [B], state)
         advances ONE slot's request by one chunk (other slots' cache rows
@@ -976,9 +1036,9 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         junk recurrence is erased by the next occupant's first-chunk
         reset).
 
-    prefill_many(params, state, first_tok, tokens[B,CHUNK], meta[3,B] i32,
-                 samp[B,7], step, base_key, cnt_p, cnt_o)
-        -> (first_tok' [B], state)
+    prefill_many(params, state, first_tok, first_lp, tokens[B,CHUNK],
+                 meta[3,B] i32, samp[B,8], step, base_key, cnt_p, cnt_o,
+                 bias) -> (first_tok' [B], first_lp' [B,1+2K], state)
 
     Every sampling argument (``temp`` / ``samp``) is packed per pack_samp:
     (temperature, top_p, top_k, min_p, presence, frequency, repetition) —
@@ -987,6 +1047,15 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     penalty histograms (engine-owned; see ServingEngine): decode_all adds
     each live row's consumed token to cnt_o before sampling and returns
     the updated buffer; prefills only read.
+
+    Logprobs (non-spec graphs only): every sample also produces a packed
+    [1 + 2*LP_K] f32 row — [chosen_lp, top-K lps desc, top-K ids] — over
+    the post-penalty/bias pre-temperature distribution
+    (sample_filtered_lp). decode_all returns it as a 4th output ``lp``
+    [B, 1+2K]; prefills maintain a ``first_lp`` [B, 1+2K] buffer beside
+    first_tok (valid rows overwrite). Computed unconditionally: one
+    log_softmax + top_k per step is noise next to the forward, and a
+    single graph beats a per-request variant.
         (attention/MLA stacks only; None for SSM hybrids) advances EVERY
         mid-prefill slot by one chunk in a single dispatch — per-row start
         positions with T=CHUNK, one shared weight sweep instead of one per
@@ -1033,8 +1102,9 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     # size. first_tok/prev_tok are NOT donated: lagged pending records
     # (serving/engine.py) still hold references to earlier outputs.
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def prefill_slot(params, state, first_tok, tokens, slot, start_pos,
-                     n_real, temp, step, base_key, cnt_p, cnt_o, bias):
+    def prefill_slot(params, state, first_tok, first_lp, tokens, slot,
+                     start_pos, n_real, temp, step, base_key, cnt_p, cnt_o,
+                     bias):
         st_b = [jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
             for s in state]
@@ -1051,18 +1121,20 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                                        n_real, freqs)
         hidden = F.rms_norm(hidden, params["output_norm.weight"],
                             cfg.norm_eps)
-        tok = sample_filtered(F.linear(hidden, params["output.weight"]),
-                              temp, jax.random.fold_in(base_key, step),
-                              jax.lax.dynamic_slice_in_dim(cnt_p, slot, 1, 0),
-                              jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0),
-                              jax.lax.dynamic_slice_in_dim(bias, slot, 1, 0))
+        tok, lp = sample_filtered_lp(
+            F.linear(hidden, params["output.weight"]),
+            temp, jax.random.fold_in(base_key, step),
+            jax.lax.dynamic_slice_in_dim(cnt_p, slot, 1, 0),
+            jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0),
+            jax.lax.dynamic_slice_in_dim(bias, slot, 1, 0))
         state = [jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
                 full, part.astype(full.dtype), slot, 0), s, sb)
             for s, sb in zip(state, st_b)]
         first_tok = jax.lax.dynamic_update_slice(
             first_tok, tok.astype(first_tok.dtype), (slot,))
-        return first_tok, state
+        first_lp = jax.lax.dynamic_update_slice(first_lp, lp, (slot, 0))
+        return first_tok, first_lp, state
 
     @functools.partial(jax.jit, donate_argnums=(1, 8))
     def decode_all(params, state, prev_tok, first_tok, meta, samp, step,
@@ -1079,10 +1151,10 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             params, cfg, state, token, pos, freqs, decode_attn=attn_impl,
             row_live=live if cfg.ssm is not None else None)
         logits = logits_at(params, cfg, hidden, jnp.int32(0))
-        tok = sample_filtered(logits, samp,
-                              jax.random.fold_in(base_key, step),
-                              cnt_p, cnt_o, bias)
-        return tok, state, cnt_o
+        tok, lp = sample_filtered_lp(logits, samp,
+                                     jax.random.fold_in(base_key, step),
+                                     cnt_p, cnt_o, bias)
+        return tok, state, cnt_o, lp
 
     prefill_many = None
     if cfg.ssm is None:
@@ -1098,20 +1170,21 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # Attention/MLA only: an SSM recurrence can't skip masked rows
         # across a chunk (engine falls back to prefill_slot there).
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_many(params, state, first_tok, tokens, meta, samp,
-                         step, base_key, cnt_p, cnt_o, bias):
+        def prefill_many(params, state, first_tok, first_lp, tokens, meta,
+                         samp, step, base_key, cnt_p, cnt_o, bias):
             starts, n_real, valid = meta[0], meta[1], meta[2] != 0
             hidden, state = forward(params, cfg, state, tokens, starts,
                                     freqs, write_mask=valid)
             h = jnp.take_along_axis(
                 hidden, jnp.maximum(n_real - 1, 0)[:, None, None], 1)[:, 0]
             h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
-            tok = sample_filtered(F.linear(h, params["output.weight"]),
-                                  samp, jax.random.fold_in(base_key, step),
-                                  cnt_p, cnt_o, bias)
+            tok, lp = sample_filtered_lp(
+                F.linear(h, params["output.weight"]),
+                samp, jax.random.fold_in(base_key, step), cnt_p, cnt_o, bias)
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
-            return first_tok, state
+            first_lp = jnp.where(valid[:, None], lp, first_lp)
+            return first_tok, first_lp, state
 
     return prefill_slot, decode_all, prefill_many
 

@@ -887,6 +887,24 @@ def make_handler(ctx: AppContext):
             # standard; top_k / min_p / repetition_penalty are the common
             # serving extensions (all run on device, llm.sample_filtered)
             samp = _samp_of(data)
+            # logprobs — completions: int top-alt count (0 = chosen-token
+            # logprob only); chat: logprobs: true + top_logprobs: int.
+            # Engine-recorded per token (llm.LP_K cap); streamed chunks
+            # carry entries for the rows materialized since the last poll
+            # (TextServing.logprobs_delta — absolute text_offsets, so
+            # concatenated chunks reconstruct the non-streamed object).
+            from ..models.llm import LP_K
+            n_top, lp_req = 0, 0
+            if chat:
+                if data.get("logprobs"):
+                    n_top = max(0, min(int(data.get("top_logprobs") or 0),
+                                       LP_K))
+                    lp_req = max(1, n_top)
+            elif data.get("logprobs") is not None:
+                n_top = max(0, min(int(data.get("logprobs") or 0), LP_K))
+                lp_req = max(1, n_top)
+            if lp_req:
+                samp["logprobs"] = lp_req
             stops = data.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
@@ -913,6 +931,10 @@ def make_handler(ctx: AppContext):
             try:
                 for _ in range(n_choices):
                     reqs.append(make())
+            except ValueError as e:     # e.g. logprobs under spec serving
+                for r in reqs:
+                    gen.cancel(r)
+                return self.send_error(400, str(e))
             except QueueFull:
                 for r in reqs:            # partial fan-out: roll back
                     gen.cancel(r)
@@ -960,7 +982,10 @@ def make_handler(ctx: AppContext):
                     done_toks += len(r.tokens)
                     choice = {"index": i,
                               "finish_reason": finish_reason(r, hit),
-                              "logprobs": None}
+                              "logprobs": (gen.logprobs_payload(
+                                  r, chat=chat, n_top=n_top,
+                                  max_chars=len(text) if hit else None)
+                                  if lp_req else None)}
                     if chat:
                         choice["message"] = {"role": "assistant",
                                              "content": text}
@@ -996,7 +1021,7 @@ def make_handler(ctx: AppContext):
                 return o
 
             deadline = time.time() + timeout
-            seen, hit = "", False
+            seen, hit, lp_sent = "", False, 0
             try:
                 if chat:                  # role preamble chunk
                     emit(chunk_obj({"index": 0, "finish_reason": None,
@@ -1006,12 +1031,25 @@ def make_handler(ctx: AppContext):
                     # _post_generate: this order can't drop a final delta)
                     full, hit = cut(seen + gen.text_delta(req, seen))
                     delta = full[len(seen):]
-                    if delta:
+                    lp_payload = None
+                    if lp_req:            # rows materialized since last
+                        # poll (visible text implies its rows exist —
+                        # _emit appends tokens and lp together)
+                        lp_payload, lp_sent = gen.logprobs_delta(
+                            req, lp_sent, chat=chat, n_top=n_top,
+                            max_chars=len(full) if hit else None)
+                    if delta or lp_payload:
                         seen = full
-                        c = ({"index": 0, "finish_reason": None,
-                              "delta": {"content": delta}} if chat else
-                             {"index": 0, "finish_reason": None,
-                              "text": delta, "logprobs": None})
+                        if chat:
+                            c = {"index": 0, "finish_reason": None,
+                                 "delta": ({"content": delta} if delta
+                                           else {})}
+                            if lp_req:
+                                c["logprobs"] = lp_payload
+                        else:
+                            c = {"index": 0, "finish_reason": None,
+                                 "text": delta,
+                                 "logprobs": lp_payload if lp_req else None}
                         emit(chunk_obj(c))
                     if hit or done or time.time() > deadline:
                         break

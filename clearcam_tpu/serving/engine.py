@@ -90,6 +90,13 @@ class Request:            # never conflate two requests with equal prompts
     # OpenAI logit_bias: {token_id: additive bias} applied before
     # temperature (after penalties); like penalties, it changes greedy
     logit_bias: dict | None = None
+    # OpenAI logprobs: number of top alternatives wanted (0 = off, max
+    # llm.LP_K — the K baked into the serving graphs). When > 0, ``lp``
+    # collects one row per generated token: (chosen_logprob,
+    # [(alt_id, alt_logprob) x logprobs]) over the post-penalty/bias
+    # pre-temperature distribution. Non-speculative engines only.
+    logprobs: int = 0
+    lp: list = field(default_factory=list)
     segments: list | None = None
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     deadline: float | None = None                # monotonic; engine-enforced
@@ -228,6 +235,11 @@ class ServingEngine:
             lambda c, v, b: jax.lax.dynamic_update_slice(c, v[None], (b, 0)))
         self._tok_dev = jnp.zeros((n_slots,), jnp.int32)
         self._first_tok = jnp.zeros((n_slots,), jnp.int32)  # device-resident
+        # packed per-slot logprob rows maintained by the non-spec graphs
+        # beside first_tok / each decode step's output ([chosen_lp,
+        # top-K lps, top-K ids] — llm.sample_filtered_lp); fetched with
+        # the tokens, parsed only for requests that asked for logprobs
+        self._first_lp = jnp.zeros((n_slots, 1 + 2 * llm.LP_K), jnp.float32)
         self._inject = np.zeros(n_slots, bool)       # consume first_tok[b]
         self._pending: deque = deque()               # unmaterialized tokens
         self._waiting: deque[Request] = deque()
@@ -262,7 +274,8 @@ class ServingEngine:
                presence_penalty: float = 0.0,
                frequency_penalty: float = 0.0,
                repetition_penalty: float = 1.0,
-               logit_bias: dict | None = None) -> Request:
+               logit_bias: dict | None = None,
+               logprobs: int = 0) -> Request:
         """timeout_s: engine-enforced deadline — a request still waiting
         when it expires is dropped; a running one is retired at the next
         tick with whatever tokens it has (``Request.timed_out`` set).
@@ -273,14 +286,24 @@ class ServingEngine:
         tokens) and repetition_penalty (HF semantics, prompt+generated)
         run on device over per-slot token histograms — these DO change
         greedy outputs, as does logit_bias ({token_id: additive bias},
-        OpenAI semantics, applied before temperature)."""
+        OpenAI semantics, applied before temperature).
+        logprobs: top-alternative count (0..llm.LP_K) to record per
+        generated token in ``Request.lp`` — read-only scoring, never
+        changes outputs. Unsupported under speculative serving (the spec
+        fetch carries candidate windows, not per-step distributions)."""
+        if logprobs:
+            if self.spec:
+                raise ValueError("logprobs unsupported with spec_lookup")
+            if not 0 < int(logprobs) <= llm.LP_K:
+                raise ValueError(f"logprobs must be 1..{llm.LP_K}")
         r = Request(list(prompt) if prompt is not None else None,
                     max_new, temperature, eos_id, segments=segments,
                     top_p=top_p, top_k=top_k, min_p=min_p,
                     presence_penalty=presence_penalty,
                     frequency_penalty=frequency_penalty,
                     repetition_penalty=repetition_penalty,
-                    logit_bias=dict(logit_bias) if logit_bias else None)
+                    logit_bias=dict(logit_bias) if logit_bias else None,
+                    logprobs=int(logprobs))
         r.t_submit = time.monotonic()
         if timeout_s is not None:
             r.deadline = r.t_submit + timeout_s
@@ -481,11 +504,17 @@ class ServingEngine:
             self.cursor[b] = 0        # lowest-possible park position
         r._done.set()
 
-    def _emit(self, b: int, tok: int) -> None:
+    def _emit(self, b: int, tok: int, lp=None) -> None:
         """Record one (lag-materialized) token for slot b; retire on
-        eos / max_new / context exhaustion."""
+        eos / max_new / context exhaustion. ``lp`` is the step's packed
+        [1+2K] logprob row (parsed only when the request asked)."""
         r = self.req[b]
         r.tokens.append(tok)
+        if r.logprobs and lp is not None:
+            k = r.logprobs
+            ids = lp[1 + llm.LP_K:1 + llm.LP_K + k].astype(np.int64)
+            r.lp.append((float(lp[0]),
+                         list(zip(ids.tolist(), lp[1:1 + k].tolist()))))
         if r.t_first is None:
             r.t_first = time.monotonic()
         ctx_full = r.total_len + len(r.tokens) >= self.cfg.max_context
@@ -529,28 +558,36 @@ class ServingEngine:
         record covering all k steps."""
         if not self._acc:
             return
-        ts = [t for _, _, t in self._acc]
+        ts = [t for _, _, t, _ in self._acc]
         # pad to the one compiled arity (repeat the last step's tokens):
         # a ragged final flush would otherwise compile a NEW stack graph
         # per distinct k mid-serving; _process only reads rows with metas
-        ts += [ts[-1]] * (self.fetch_every - len(ts))
+        pad = self.fetch_every - len(ts)
+        ts += [ts[-1]] * pad
         stacked = self._stack(*ts)
         self._start_fetch(stacked)
+        lps = [lp for _, _, _, lp in self._acc]
+        lp_stacked = None
+        if lps[0] is not None:                       # non-spec decode steps
+            lp_stacked = self._stack(*(lps + [lps[-1]] * pad))
+            self._start_fetch(lp_stacked)
         self._pending.append(
-            ("decs", [(e, m) for e, m, _ in self._acc], stacked,
-             self._step_n))
+            ("decs", [(e, m) for e, m, _, _ in self._acc], stacked,
+             lp_stacked, self._step_n))
         self._acc = []
 
     def _process(self, rec) -> None:
         """Materialize one pending record (the device work is usually done
         by now — this sync is the pipeline's tail, not its critical path)."""
         if rec[0] == "first":
-            _, b, ep, tok_dev, _born = rec           # [B] first_tok snapshot
+            _, b, ep, tok_dev, lp_dev, _born = rec   # [B] first_tok snapshot
             if self.phase[b] == _LIVE and self.epoch[b] == ep:
-                self._emit(b, int(np.asarray(tok_dev)[b]))
+                lp = None if lp_dev is None else np.asarray(lp_dev)[b]
+                self._emit(b, int(np.asarray(tok_dev)[b]), lp)
             return
-        _, metas, stacked, _born = rec               # k decode steps at once
+        _, metas, stacked, lp_stacked, _born = rec   # k decode steps at once
         arr = np.asarray(stacked)             # [k, B] / spec: [k, B, G+2]
+        lp_arr = None if lp_stacked is None else np.asarray(lp_stacked)
         for j, (epochs, mask) in enumerate(metas):
             # a retirement at step j bumps the slot's epoch, so that
             # slot's rows j+1..k-1 of this same record auto-drop
@@ -558,7 +595,8 @@ class ServingEngine:
                 if mask[b] and self.phase[b] == _LIVE \
                         and self.epoch[b] == epochs[b]:
                     if not self.spec:
-                        self._emit(b, int(arr[j, b]))
+                        self._emit(b, int(arr[j, b]),
+                                   None if lp_arr is None else lp_arr[j, b])
                         continue
                     # spec window: n_emit leading candidates; _emit may
                     # retire mid-window (eos/max_new/deadline), dropping
@@ -608,10 +646,11 @@ class ServingEngine:
                 self._step_n, self._base_key, self._cnt_p, self._cnt_o,
                 self._bias)
         else:
-            self._first_tok, self.state = self.prefill_many(
-                self.params, self.state, self._first_tok, jnp.asarray(toks),
-                jnp.asarray(meta), self._temps_dev, self._step_n,
-                self._base_key, self._cnt_p, self._cnt_o, self._bias)
+            self._first_tok, self._first_lp, self.state = self.prefill_many(
+                self.params, self.state, self._first_tok, self._first_lp,
+                jnp.asarray(toks), jnp.asarray(meta), self._temps_dev,
+                self._step_n, self._base_key, self._cnt_p, self._cnt_o,
+                self._bias)
         fetched = False
         with self._lock:
             for b, r, new_cur, seg_done in fin:
@@ -624,9 +663,12 @@ class ServingEngine:
                         self._inject[b] = True   # device value, no sync
                         if not fetched:
                             self._start_fetch(self._first_tok)
+                            if not self.spec:
+                                self._start_fetch(self._first_lp)
                             fetched = True
                         self._pending.append(
                             ("first", b, self.epoch[b], self._first_tok,
+                             None if self.spec else self._first_lp,
                              self._step_n))
 
     def step(self) -> bool:
@@ -700,11 +742,12 @@ class ServingEngine:
                     jnp.asarray(self.samp[b]), self._step_n, self._base_key,
                     self._cnt_p, self._cnt_o, self._bias)
             else:
-                self._first_tok, self.state = self.prefill_slot(
-                    self.params, self.state, self._first_tok,
-                    jnp.asarray([chunk], jnp.int32), b, cur, n,
-                    jnp.asarray(self.samp[b]), self._step_n, self._base_key,
-                    self._cnt_p, self._cnt_o, self._bias)
+                self._first_tok, self._first_lp, self.state = \
+                    self.prefill_slot(
+                        self.params, self.state, self._first_tok,
+                        self._first_lp, jnp.asarray([chunk], jnp.int32),
+                        b, cur, n, jnp.asarray(self.samp[b]), self._step_n,
+                        self._base_key, self._cnt_p, self._cnt_o, self._bias)
             with self._lock:
                 self.cursor[b] = cur + n
                 if off + n == len(toks):
@@ -714,8 +757,11 @@ class ServingEngine:
                         self.phase[b] = _LIVE
                         self._inject[b] = True       # device value, no sync
                         self._start_fetch(self._first_tok)
+                        if not self.spec:
+                            self._start_fetch(self._first_lp)
                         self._pending.append(
                             ("first", b, self.epoch[b], self._first_tok,
+                             None if self.spec else self._first_lp,
                              self._step_n))
             did = True
         else:
@@ -744,7 +790,8 @@ class ServingEngine:
                             self._first_tok, jnp.asarray(meta),
                             self._temps_dev, self._step_n, self._base_key,
                             self._cnt_o, self._cnt_p, self._bias)
-                    self._acc.append((tuple(self.epoch), mask, out_dev))
+                    self._acc.append((tuple(self.epoch), mask, out_dev,
+                                      None))
                 else:
                     # one packed upload per step: [pos, live, inject]
                     meta = np.zeros((3, self.n_slots), np.int32)
@@ -753,16 +800,18 @@ class ServingEngine:
                     meta[1] = mask
                     meta[2] = self._inject
                     self._inject[:] = False
-                    tok_dev, self.state, self._cnt_o = self.decode_all(
-                        self.params, self.state, self._tok_dev,
-                        self._first_tok, jnp.asarray(meta), self._temps_dev,
-                        self._step_n, self._base_key, self._cnt_o,
-                        self._cnt_p, self._bias)
+                    tok_dev, self.state, self._cnt_o, lp_dev = \
+                        self.decode_all(
+                            self.params, self.state, self._tok_dev,
+                            self._first_tok, jnp.asarray(meta),
+                            self._temps_dev, self._step_n, self._base_key,
+                            self._cnt_o, self._cnt_p, self._bias)
                     self._tok_dev = tok_dev
                     with self._lock:
                         for b in dec:
                             self.cursor[b] += 1
-                    self._acc.append((tuple(self.epoch), mask, tok_dev))
+                    self._acc.append((tuple(self.epoch), mask, tok_dev,
+                                      lp_dev))
                 if len(self._acc) >= self.fetch_every:
                     self._flush_acc()
                 did = True

@@ -85,6 +85,72 @@ class TextServing:
     def text(self, req: Request) -> str:
         return self.tok.decode(self._visible(req))
 
+    def logprobs_payload(self, req: Request, chat: bool = False,
+                         n_top: int = 0, max_chars: int | None = None):
+        """OpenAI logprobs object for a finished request (the engine
+        recorded ``Request.lp`` rows because submit got logprobs=k).
+
+        Completions shape: {tokens, token_logprobs, top_logprobs,
+        text_offset}; chat shape: {content: [{token, logprob, bytes,
+        top_logprobs: [...]}]}. Token strings decode per id — a
+        multi-byte char split across ids shows U+FFFD here by design
+        (the OpenAI schema is per-token; joined text is the text field).
+        Covers visible tokens only (trailing end tokens stripped, same
+        as text()); ``max_chars`` further cuts to tokens starting before
+        that text offset (host-side stop-sequence truncation — the
+        payload stays aligned with the truncated text field)."""
+        out = self._lp_build(req, 0, chat, n_top, max_chars)[0]
+        if out is None:                   # zero visible tokens: empty shape
+            out = {"content": []} if chat else {
+                "tokens": [], "token_logprobs": [],
+                "top_logprobs": [] if n_top else None, "text_offset": []}
+        return out
+
+    def logprobs_delta(self, req: Request, start: int, chat: bool = False,
+                       n_top: int = 0, max_chars: int | None = None):
+        """Streaming slice of logprobs_payload: entries for visible
+        tokens [start:] whose rows have materialized -> (payload | None,
+        next_start). text_offset stays absolute (offsets into the full
+        generated text), so concatenating chunk payloads reconstructs
+        the non-streamed object."""
+        return self._lp_build(req, start, chat, n_top, max_chars)
+
+    def _lp_build(self, req, start, chat, n_top, max_chars):
+        toks = self._visible(req)
+        rows = req.lp[:len(toks)]
+        strs = [self.tok.decode([t]) for t in toks[:len(rows)]]
+        n = len(rows)
+        if max_chars is not None:
+            pos = n = 0
+            for s in strs:
+                if pos >= max_chars:
+                    break
+                pos += len(s)
+                n += 1
+        if start >= n:
+            return None, max(start, n)
+
+        def alts(row):
+            return {self.tok.decode([i]): lp for i, lp in row[1][:n_top]}
+
+        if not chat:
+            offs, pos = [], sum(len(s) for s in strs[:start])
+            for s in strs[start:n]:
+                offs.append(pos)
+                pos += len(s)
+            return ({"tokens": strs[start:n],
+                     "token_logprobs": [r[0] for r in rows[start:n]],
+                     "top_logprobs": ([alts(r) for r in rows[start:n]]
+                                      if n_top else None),
+                     "text_offset": offs}, n)
+        return ({"content": [
+            {"token": s, "logprob": r[0], "bytes": list(s.encode()),
+             "top_logprobs": [
+                 {"token": self.tok.decode([i]), "logprob": lp,
+                  "bytes": list(self.tok.decode([i]).encode())}
+                 for i, lp in r[1][:n_top]]}
+            for s, r in zip(strs[start:n], rows[start:n])]}, n)
+
     def text_delta(self, req: Request, seen: str) -> str:
         """Newly-decodable text past ``seen`` (monotone under streaming).
 
