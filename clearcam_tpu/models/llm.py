@@ -534,6 +534,65 @@ def score_logits(params, cfg: TransformerConfig, tokens) -> jnp.ndarray:
     return logits_at(params, cfg, hidden, len(tokens) - 1)[0]
 
 
+def make_score_fn(cfg: TransformerConfig):
+    """Chunked teacher-forcing scorer: ONE compiled graph (any prompt
+    length <= max_context) computing, per position, the model's logprob
+    of the actual next token plus the top-LP_K alternatives — the OpenAI
+    completions ``echo`` / ``max_tokens=0`` surface (lm-eval-harness
+    "loglikelihood" scoring; the reference has no scoring path at all —
+    utils/model.py only samples). Unlike score_logits (one full-sequence
+    forward per length -> a new compile per length), this walks the
+    prompt CHUNK-wide with a KV cache, so a serving daemon can score
+    arbitrary-length prompts online with zero new compiles.
+
+    Returns ``score(params, tokens) -> [N-1] rows`` where row i-1 is
+    (chosen_lp, [(alt_id, alt_lp) x LP_K]) scoring tokens[i] given
+    tokens[:i] (the first token has no conditional — OpenAI reports it
+    as null)."""
+    freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
+                                         cfg.rope_theta))
+    K = min(LP_K, cfg.vocab_size)
+
+    @jax.jit
+    def chunk_lp(params, state, toks, start_pos, targets):
+        hidden, state = forward(params, cfg, state, toks, start_pos, freqs)
+        h = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
+        lp = jax.nn.log_softmax(
+            F.linear(h, params["output.weight"]).astype(jnp.float32), -1)
+        chosen = jnp.take_along_axis(lp, targets[..., None], -1)[..., 0]
+        top_lp, top_id = jax.lax.top_k(lp, K)
+        return chosen, top_lp, top_id, state
+
+    def score(params, tokens):
+        toks = [int(t) for t in tokens]
+        n = len(toks)
+        n_chunks = -(-n // CHUNK)
+        assert n >= 1 and n_chunks * CHUNK <= cfg.max_context, \
+            "prompt (chunk-padded) must fit max_context"
+        state = init_state(cfg, batch=1)
+        padded = toks + [0] * (n_chunks * CHUNK - n)
+        rows = []
+        for c in range(n_chunks):
+            lo = c * CHUNK
+            tgt = (padded + [0])[lo + 1:lo + 1 + CHUNK]
+            chosen, tl, ti, state = chunk_lp(
+                params, state,
+                jnp.asarray([padded[lo:lo + CHUNK]], jnp.int32), lo,
+                jnp.asarray([tgt], jnp.int32))
+            rows.append((np.asarray(chosen[0]), np.asarray(tl[0]),
+                         np.asarray(ti[0])))
+        out = []
+        for i in range(1, n):
+            c, o = divmod(i - 1, CHUNK)
+            ch, tl, ti = rows[c]
+            out.append((float(ch[o]),
+                        list(zip(ti[o].astype(np.int64).tolist(),
+                                 tl[o].tolist()))))
+        return out
+
+    return score
+
+
 def sample_gumbel(logits, temperature, key):
     """Gumbel-max sampling == softmax(logits/temp) draw (model.py:318-319).
     temperature: scalar, or [B] per-row (continuous batching — each slot
@@ -587,7 +646,7 @@ def _samp_of(t):
 
 
 def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
-                    bias=None):
+                    bias=None, row_keys=None):
     """Gumbel-max sampling with device-side penalties, logit bias, and
     top-p/k/min-p filters.
 
@@ -631,7 +690,7 @@ def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
     """
     samp = _samp_of(samp)
     lg = _processed_logits(logits, samp, counts_p, counts_o, bias)
-    return _draw(lg, samp, key)
+    return _draw(lg, samp, key, row_keys)
 
 
 def _processed_logits(logits, samp, counts_p=None, counts_o=None, bias=None):
@@ -669,9 +728,29 @@ def _processed_logits(logits, samp, counts_p=None, counts_o=None, bias=None):
     return lg
 
 
-def _draw(lg, samp, key):
+def serving_row_keys(base_key, seeds, idx):
+    """Per-row sampling keys: fold_in(fold_in(base_key, seed_b), idx_b).
+
+    Each row's Gumbel noise depends ONLY on (engine base seed, the
+    request's seed, the generated-token index) — independent of slot
+    assignment, batch composition, and global step count. That is what
+    makes submit(seed=)/OpenAI ``seed`` reproducible: the same seeded
+    request re-submitted later, on another slot, beside other traffic,
+    draws the same noise sequence (token equality additionally needs
+    row-stable logits — exact on CPU f32; bf16 TPU matmul tiling keeps
+    rows stable per graph shape, see sample_filtered's determinism
+    note)."""
+    return jax.vmap(lambda s, i: jax.random.fold_in(
+        jax.random.fold_in(base_key, s), i))(
+            jnp.asarray(seeds, jnp.int32), jnp.asarray(idx, jnp.int32))
+
+
+def _draw(lg, samp, key, row_keys=None):
     """Temperature scale -> top-p/k/min-p filters -> Gumbel-max over
-    _processed_logits output (``samp`` already _samp_of-normalized)."""
+    _processed_logits output (``samp`` already _samp_of-normalized).
+    row_keys: optional [B] per-row keys (serving_row_keys) — noise is
+    then drawn per row, making each row's draw independent of its
+    position in the batch; ``key`` is ignored."""
     t, top_p, top_k, min_p = (samp[..., 0], samp[..., 1],
                               samp[..., 2], samp[..., 3])
 
@@ -701,7 +780,11 @@ def _draw(lg, samp, key):
 
     active = jnp.any((top_p < 1.0) | (top_k > 0.5) | (min_p > 0.0))
     scaled = jax.lax.cond(active, filtered, lambda x: x, scaled)
-    g = jax.random.gumbel(key, lg.shape, jnp.float32)
+    if row_keys is None:
+        g = jax.random.gumbel(key, lg.shape, jnp.float32)
+    else:
+        g = jax.vmap(lambda k: jax.random.gumbel(k, lg.shape[1:],
+                                                 jnp.float32))(row_keys)
     return jnp.argmax(scaled + g, -1)
 
 
@@ -709,7 +792,7 @@ LP_K = 8      # top-alternative count baked into logprob-carrying graphs
 
 
 def sample_filtered_lp(logits, samp, key, counts_p=None, counts_o=None,
-                       bias=None, k: int = LP_K):
+                       bias=None, k: int = LP_K, row_keys=None):
     """sample_filtered that also returns a packed logprob row per sample:
     [chosen_lp, top-k lps (desc), top-k ids (as f32)] -> [..., 1 + 2k].
 
@@ -721,7 +804,7 @@ def sample_filtered_lp(logits, samp, key, counts_p=None, counts_o=None,
     compute it unconditionally (no per-request cond)."""
     samp = _samp_of(samp)
     lg = _processed_logits(logits, samp, counts_p, counts_o, bias)
-    tok = _draw(lg, samp, key)
+    tok = _draw(lg, samp, key, row_keys)
     lp = jax.nn.log_softmax(lg, -1)
     k = min(k, logits.shape[-1])     # toy vocabs < LP_K narrow the row
     top_lp, top_id = jax.lax.top_k(lp, k)
@@ -832,8 +915,17 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                    presence_penalty: float = 0.0,
                    frequency_penalty: float = 0.0,
                    repetition_penalty: float = 1.0,
-                   logit_bias: dict | None = None) -> list:
+                   logit_bias: dict | None = None,
+                   seeds: list | None = None) -> list:
     """Batched generation: B prompts in ONE cache, ONE prefill/decode graph.
+
+    seeds: optional per-row sampling seeds ([B] ints). When given, each
+    row's Gumbel noise is keyed by (seed, base ``seed``, generated-token
+    index) via serving_row_keys — the SAME scheme the continuous-batching
+    engine uses for submit(seed=), so a seeded generate_batch row and a
+    seeded engine request draw identical noise (token-exact on CPU f32 at
+    equal batch width). When None, keys derive from a split chain as
+    before (draws vary with position in the decode loop).
 
     Prompts are RIGHT-ALIGNED (left-padded to the longest) and each row's
     pad region is masked out of attention; RoPE scores depend only on
@@ -890,6 +982,16 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
     pen = (presence_penalty != 0.0 or frequency_penalty != 0.0
            or repetition_penalty != 1.0)
     extras = pen or bool(logit_bias)
+    per_row = seeds is not None
+    if per_row:
+        assert len(seeds) == b_n, "seeds must give one seed per prompt"
+
+    def _sample(logits, temp, key, cnt_p=None, cnt_o=None, bias_=None):
+        # per_row: ``key`` is a [B] serving_row_keys batch, not one key
+        if per_row:
+            return sample_filtered(logits, temp, None, cnt_p, cnt_o, bias_,
+                                   row_keys=key)
+        return sample_filtered(logits, temp, key, cnt_p, cnt_o, bias_)
 
     # pad_start rides as a traced ARGUMENT: baking it as a closure constant
     # would recompile both graphs for every new prompt-length profile
@@ -902,7 +1004,7 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
         hidden = F.rms_norm(hidden, params_["output_norm.weight"],
                             cfg.norm_eps)
         logits = F.linear(hidden, params_["output.weight"])
-        return sample_filtered(logits, temp, key, cnt_p, cnt_o, bias), state
+        return _sample(logits, temp, key, cnt_p, cnt_o, bias), state
 
     all_live = jnp.ones((b_n,), bool)
 
@@ -912,7 +1014,7 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                                 freqs, pad_start=pads, decode_attn=attn_impl,
                                 row_live=all_live if cfg.ssm else None)
         logits = logits_at(params_, cfg, hidden, jnp.int32(0))
-        return sample_filtered(logits, temp, key), state
+        return _sample(logits, temp, key), state
 
     @jax.jit
     def decode_ex(params_, state, cnt_o, token, start_pos, temp, key, pads,
@@ -923,7 +1025,7 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                                 freqs, pad_start=pads, decode_attn=attn_impl,
                                 row_live=all_live if cfg.ssm else None)
         logits = logits_at(params_, cfg, hidden, jnp.int32(0))
-        return (sample_filtered(logits, temp, key, cnt_p, cnt_o, bias),
+        return (_sample(logits, temp, key, cnt_p, cnt_o, bias),
                 state, cnt_o)
 
     state = init_state(cfg, batch=b_n, dtype=state_dtype, kv_quant=kv_quant)
@@ -941,12 +1043,22 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
             brow[int(t)] = float(v)
         bias = jnp.broadcast_to(jnp.asarray(brow), (b_n, cfg.vocab_size))
     key = jax.random.PRNGKey(seed)
+    if per_row:
+        base0 = key
+        seeds_arr = jnp.asarray(seeds, jnp.int32)
+
+        def keys_at(i):
+            return serving_row_keys(base0, seeds_arr,
+                                    jnp.full((b_n,), i, jnp.int32))
     pos = 0
     tok = None
     while pos < longest:
         n = min(CHUNK, longest - pos)
         chunk = [r[pos:pos + n] + [0] * (CHUNK - n) for r in rows]
-        key, sub = jax.random.split(key)
+        if per_row:
+            sub = keys_at(0)          # first sampled token has index 0
+        else:
+            key, sub = jax.random.split(key)
         args = (params, state, jnp.asarray(chunk, jnp.int32),
                 pos, jnp.int32(n), temp, sub, pad_arr)
         tok, state = (prefill(*args, cnt_p, cnt_o, bias) if extras
@@ -956,6 +1068,7 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
     out: list = [[] for _ in range(b_n)]
     done = [False] * b_n
     cur = np.asarray(tok)
+    gi = 1                            # next decode produces token index 1
     for _ in range(max_new):
         for b in range(b_n):
             if not done[b]:
@@ -964,7 +1077,10 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                     done[b] = True
         if all(done) or pos >= cfg.max_context - 1:
             break
-        key, sub = jax.random.split(key)
+        if per_row:
+            sub = keys_at(gi)
+        else:
+            key, sub = jax.random.split(key)
         if extras:
             tok, state, cnt_o = decode_ex(
                 params, state, cnt_o, jnp.asarray(cur[:, None], jnp.int32),
@@ -974,6 +1090,7 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
                                 jnp.asarray(cur[:, None], jnp.int32), pos,
                                 temp, sub, pad_arr)
         pos += 1
+        gi += 1
         cur = np.asarray(tok)
     return out
 
@@ -999,14 +1116,16 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     Both graphs are built to cost ONE dispatch per scheduler tick through
     a high-latency link (the axon tunnel here; PCIe hosts win the same
     way, smaller): sampled tokens stay device-resident (first_tok buffer +
-    prev_tok chaining), the PRNG key is folded from a step counter INSIDE
-    the graph, and all per-step host inputs ride in one packed [3, B] meta
+    prev_tok chaining), per-row PRNG keys are folded INSIDE the graph
+    from (request seed, generated-token index) — serving_row_keys, the
+    basis of submit(seed=) reproducibility —
+    and all per-step host inputs ride in one packed [5, B] meta
     array; scalars are plain Python numbers (traced, not re-uploaded
     arrays).
 
     prefill_slot(params, state, first_tok[B], first_lp[B,1+2K],
                  tokens[1,CHUNK], slot,
-                 start_pos, n_real, temp, step, base_key, cnt_p, cnt_o)
+                 start_pos, n_real, temp, seed, base_key, cnt_p, cnt_o)
         -> (first_tok' [B], state)
         advances ONE slot's request by one chunk (other slots' cache rows
         untouched — sliced out, computed at B=1, scattered back); the
@@ -1014,10 +1133,13 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         final chunk's matters). Chunks interleave with decode_all steps,
         so admitting a long prompt never stalls running requests for more
         than one chunk's latency.
-    decode_all(params, state, prev_tok[B], first_tok[B], meta[3,B] i32,
-               samp[B,7], step, base_key, cnt_o, cnt_p)
-        -> (token [B], state, cnt_o')
-        one token for every slot; meta rows are [pos, live, inject]. Row b
+    decode_all(params, state, prev_tok[B], first_tok[B], meta[5,B] i32,
+               samp[B,8], base_key, cnt_o, cnt_p, bias)
+        -> (token [B], state, cnt_o', lp [B,1+2K])
+        one token for every slot; meta rows are [pos, live, inject, seed,
+        plen] — seed/plen feed serving_row_keys (per-request reproducible
+        sampling: the row's Gumbel noise is keyed by (seed,
+        generated-token index), never by slot or step). Row b
         consumes first_tok[b] where inject (a slot's FIRST decode after
         prefill) and prev_tok[b] otherwise (the previous step's device
         output, chained without materialization — serving/engine.py reads
@@ -1037,7 +1159,8 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         reset).
 
     prefill_many(params, state, first_tok, first_lp, tokens[B,CHUNK],
-                 meta[3,B] i32, samp[B,8], step, base_key, cnt_p, cnt_o,
+                 meta[4,B] i32 [start_pos, n_real, valid, seed],
+                 samp[B,8], base_key, cnt_p, cnt_o,
                  bias) -> (first_tok' [B], first_lp' [B,1+2K], state)
 
     Every sampling argument (``temp`` / ``samp``) is packed per pack_samp:
@@ -1103,7 +1226,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     # (serving/engine.py) still hold references to earlier outputs.
     @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill_slot(params, state, first_tok, first_lp, tokens, slot,
-                     start_pos, n_real, temp, step, base_key, cnt_p, cnt_o,
+                     start_pos, n_real, temp, seed, base_key, cnt_p, cnt_o,
                      bias):
         st_b = [jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
@@ -1123,10 +1246,12 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                             cfg.norm_eps)
         tok, lp = sample_filtered_lp(
             F.linear(hidden, params["output.weight"]),
-            temp, jax.random.fold_in(base_key, step),
+            temp, None,
             jax.lax.dynamic_slice_in_dim(cnt_p, slot, 1, 0),
             jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0),
-            jax.lax.dynamic_slice_in_dim(bias, slot, 1, 0))
+            jax.lax.dynamic_slice_in_dim(bias, slot, 1, 0),
+            row_keys=serving_row_keys(          # first token: idx 0
+                base_key, jnp.asarray([seed]), jnp.zeros((1,), jnp.int32)))
         state = [jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
                 full, part.astype(full.dtype), slot, 0), s, sb)
@@ -1136,8 +1261,8 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         first_lp = jax.lax.dynamic_update_slice(first_lp, lp, (slot, 0))
         return first_tok, first_lp, state
 
-    @functools.partial(jax.jit, donate_argnums=(1, 8))
-    def decode_all(params, state, prev_tok, first_tok, meta, samp, step,
+    @functools.partial(jax.jit, donate_argnums=(1, 7))
+    def decode_all(params, state, prev_tok, first_tok, meta, samp,
                    base_key, cnt_o, cnt_p, bias):
         pos, live = meta[0], meta[1] != 0
         token = jnp.where(meta[2] != 0, first_tok, prev_tok)[:, None]
@@ -1151,9 +1276,13 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             params, cfg, state, token, pos, freqs, decode_attn=attn_impl,
             row_live=live if cfg.ssm is not None else None)
         logits = logits_at(params, cfg, hidden, jnp.int32(0))
-        tok, lp = sample_filtered_lp(logits, samp,
-                                     jax.random.fold_in(base_key, step),
-                                     cnt_p, cnt_o, bias)
+        # generated-token index: this step produces token (pos - plen + 1)
+        # of its row's request (prefill's first token was index 0) — the
+        # key depends on (seed, index) only, never slot/step/companions
+        tok, lp = sample_filtered_lp(
+            logits, samp, None, cnt_p, cnt_o, bias,
+            row_keys=serving_row_keys(base_key, meta[3],
+                                      pos - meta[4] + 1))
         return tok, state, cnt_o, lp
 
     prefill_many = None
@@ -1171,7 +1300,7 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # across a chunk (engine falls back to prefill_slot there).
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_many(params, state, first_tok, first_lp, tokens, meta,
-                         samp, step, base_key, cnt_p, cnt_o, bias):
+                         samp, base_key, cnt_p, cnt_o, bias):
             starts, n_real, valid = meta[0], meta[1], meta[2] != 0
             hidden, state = forward(params, cfg, state, tokens, starts,
                                     freqs, write_mask=valid)
@@ -1180,7 +1309,9 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
             tok, lp = sample_filtered_lp(
                 F.linear(h, params["output.weight"]),
-                samp, jax.random.fold_in(base_key, step), cnt_p, cnt_o, bias)
+                samp, None, cnt_p, cnt_o, bias,
+                row_keys=serving_row_keys(    # first token: idx 0 per row
+                    base_key, meta[3], jnp.zeros_like(meta[3])))
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
             first_lp = jnp.where(valid[:, None], lp, first_lp)

@@ -741,6 +741,8 @@ def make_handler(ctx: AppContext):
                     return self._post_openai(chat=False)
                 if parsed.path == "/v1/chat/completions":
                     return self._post_openai(chat=True)
+                if parsed.path == "/v1/embeddings":
+                    return self._post_v1_embeddings()
                 self.send_error(404)
             except BrokenPipeError:
                 pass
@@ -880,7 +882,18 @@ def make_handler(ctx: AppContext):
             n_choices = max(1, min(int(data.get("n", 1)), 16))
             if data.get("stream") and n_choices != 1:
                 return self.send_error(400, "streaming requires n=1")
-            max_new = min(int(data.get("max_tokens") or 128), 4096)
+            # echo (completions only): prepend the prompt — with logprobs,
+            # teacher-forcing scores for every prompt token ride in front
+            # of the generation's (llm.make_score_fn); max_tokens=0 + echo
+            # + logprobs is the pure scoring call (lm-eval loglikelihood)
+            echo = bool(data.get("echo")) and not chat
+            if echo and data.get("stream"):
+                return self.send_error(400, "echo not supported with stream")
+            mt_raw = data.get("max_tokens")
+            max_new = 128 if mt_raw is None \
+                else max(0, min(int(mt_raw), 4096))
+            if max_new == 0 and (chat or not echo):
+                return self.send_error(400, "max_tokens must be >= 1")
             temp = float(data.get("temperature", 1.0))
             timeout = float(data.get("timeout", 600))
             # top_p / presence_penalty / frequency_penalty are OpenAI-
@@ -905,10 +918,24 @@ def make_handler(ctx: AppContext):
                 lp_req = max(1, n_top)
             if lp_req:
                 samp["logprobs"] = lp_req
+            # OpenAI seed: reproducible sampling (llm.serving_row_keys —
+            # same seed => same draws regardless of slot/step/batch mates)
+            if data.get("seed") is not None:
+                samp["seed"] = int(data["seed"])
             stops = data.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
             model = str(data.get("model") or ctx.served_model)
+            # OpenAI tool calling (chat only): function specs ride into
+            # the system turn (<tools> block, Qwen chat-template
+            # convention); well-formed <tool_call> output blocks come
+            # back as message.tool_calls + finish_reason "tool_calls"
+            tools = data.get("tools") if chat else None
+            if str(data.get("tool_choice") or "auto") == "none":
+                tools = None
+            if tools and data.get("stream"):
+                return self.send_error(
+                    400, "tools not supported with stream")
             if chat:
                 msgs = data.get("messages")
                 if not isinstance(msgs, list) or not msgs:
@@ -916,13 +943,28 @@ def make_handler(ctx: AppContext):
                                            "messages (list) required")
                 make = lambda: gen.submit_messages(  # noqa: E731
                     msgs, max_new=max_new, temperature=temp,
-                    timeout_s=timeout, **samp)
+                    timeout_s=timeout, tools=tools, **samp)
             else:
                 prompt = data.get("prompt")
                 if isinstance(prompt, list):
                     prompt = prompt[0] if prompt else None
                 if not isinstance(prompt, str) or not prompt:
                     return self.send_error(400, "prompt (string) required")
+                if max_new == 0:          # pure scoring: no generation
+                    ids = gen.encode_prompt(prompt, True)
+                    return self._json({
+                        "id": f"cmpl-{id(data):x}",
+                        "created": int(time.time()), "model": model,
+                        "object": "text_completion",
+                        "system_fingerprint": "fp_clearcam_tpu",
+                        "choices": [{
+                            "index": 0, "text": prompt,
+                            "finish_reason": "length",
+                            "logprobs": (gen.echo_logprobs(ids, n_top)
+                                         if lp_req else None)}],
+                        "usage": {"prompt_tokens": len(ids),
+                                  "completion_tokens": 0,
+                                  "total_tokens": len(ids)}})
                 make = lambda: gen.submit(prompt, max_new=max_new,  # noqa: E731
                                           temperature=temp, raw=True,
                                           timeout_s=timeout, **samp)
@@ -974,28 +1016,52 @@ def make_handler(ctx: AppContext):
                     for r in reqs:
                         gen.cancel(r)
                     return self.send_error(504, "generation timed out")
-                prompt_toks = (len(gen.encode_messages(msgs)) if chat
+                prompt_toks = (len(gen.encode_messages(msgs, tools)) if chat
                                else len(gen.encode_prompt(prompt, True)))
+                ep = None
+                if echo and lp_req:       # scored once, shared by choices
+                    ep = gen.echo_logprobs(gen.encode_prompt(prompt, True),
+                                           n_top)
                 choices, done_toks = [], 0
                 for i, r in enumerate(reqs):
                     text, hit = cut(gen.text(r))
                     done_toks += len(r.tokens)
+                    lp_obj = (gen.logprobs_payload(
+                        r, chat=chat, n_top=n_top,
+                        max_chars=len(text) if hit else None)
+                        if lp_req else None)
+                    if ep is not None:    # prompt scores ahead of the
+                        lp_obj = {        # generation's, offsets shifted
+                            "tokens": ep["tokens"] + lp_obj["tokens"],
+                            "token_logprobs": (ep["token_logprobs"]
+                                               + lp_obj["token_logprobs"]),
+                            "top_logprobs": ((ep["top_logprobs"]
+                                              + lp_obj["top_logprobs"])
+                                             if n_top else None),
+                            "text_offset": (ep["text_offset"]
+                                            + [o + len(prompt) for o in
+                                               lp_obj["text_offset"]])}
                     choice = {"index": i,
                               "finish_reason": finish_reason(r, hit),
-                              "logprobs": (gen.logprobs_payload(
-                                  r, chat=chat, n_top=n_top,
-                                  max_chars=len(text) if hit else None)
-                                  if lp_req else None)}
+                              "logprobs": lp_obj}
                     if chat:
-                        choice["message"] = {"role": "assistant",
-                                             "content": text}
+                        msg = {"role": "assistant", "content": text}
+                        if tools:
+                            content, calls = gen.parse_tool_calls(text)
+                            if calls:
+                                msg = {"role": "assistant",
+                                       "content": content or None,
+                                       "tool_calls": calls}
+                                choice["finish_reason"] = "tool_calls"
+                        choice["message"] = msg
                     else:
-                        choice["text"] = text
+                        choice["text"] = (prompt + text) if echo else text
                     choices.append(choice)
                 return self._json({
                     "id": rid, "created": created, "model": model,
                     "object": ("chat.completion" if chat
                                else "text_completion"),
+                    "system_fingerprint": "fp_clearcam_tpu",
                     "choices": choices,
                     "usage": {"prompt_tokens": prompt_toks,
                               "completion_tokens": done_toks,
@@ -1017,6 +1083,7 @@ def make_handler(ctx: AppContext):
                 o = {"id": rid, "created": created, "model": model,
                      "object": ("chat.completion.chunk" if chat
                                 else "text_completion"),
+                     "system_fingerprint": "fp_clearcam_tpu",
                      "choices": [delta_choice]}
                 return o
 
@@ -1058,6 +1125,18 @@ def make_handler(ctx: AppContext):
                 emit(chunk_obj({"index": 0, "finish_reason": fr,
                                 **({"delta": {}} if chat
                                    else {"text": "", "logprobs": None})}))
+                # stream_options.include_usage: one final chunk with
+                # empty choices carrying the usage object (OpenAI shape)
+                if (data.get("stream_options") or {}).get("include_usage"):
+                    p_toks = (len(gen.encode_messages(msgs)) if chat
+                              else len(gen.encode_prompt(prompt, True)))
+                    u = chunk_obj(None)
+                    u["choices"] = []
+                    u["usage"] = {
+                        "prompt_tokens": p_toks,
+                        "completion_tokens": len(req.tokens),
+                        "total_tokens": p_toks + len(req.tokens)}
+                    emit(u)
                 b = b"data: [DONE]\n\n"
                 self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")
@@ -1066,6 +1145,43 @@ def make_handler(ctx: AppContext):
             finally:
                 if not req.done:          # disconnect / stop-hit / timeout
                     gen.cancel(req)
+
+        def _post_v1_embeddings(self):
+            """OpenAI embeddings API over the CLIP text tower (the SAME
+            768-dim unit-norm space the NVR's search index scores in —
+            models/objects.ObjectFinder.embed_text), so external tooling
+            can embed queries and compare against exported event
+            embeddings with any OpenAI SDK. input: string or list of
+            strings; encoding_format "float" only. 503 when the server
+            runs without CLIP (use_clip off / no object finder)."""
+            finder = ctx.object_finder
+            if finder is None or not getattr(ctx.settings, "use_clip",
+                                             False):
+                return self.send_error(503, "no CLIP tower configured")
+            try:
+                data = json.loads(self._body().decode() or "{}")
+            except json.JSONDecodeError:
+                return self.send_error(400, "invalid JSON body")
+            if str(data.get("encoding_format") or "float") != "float":
+                return self.send_error(400,
+                                       "only encoding_format float")
+            inp = data.get("input")
+            if isinstance(inp, str):
+                inp = [inp]
+            if not isinstance(inp, list) or not inp \
+                    or not all(isinstance(s, str) and s for s in inp):
+                return self.send_error(
+                    400, "input must be a non-empty string or list")
+            if len(inp) > 256:
+                return self.send_error(400, "at most 256 inputs")
+            embs = [ctx.submit(finder.embed_text, s) for s in inp]
+            return self._json({
+                "object": "list", "model": "clip-vit-l14-text",
+                "data": [{"object": "embedding", "index": i,
+                          "embedding": np.asarray(e).reshape(-1)
+                          .astype(float).tolist()}
+                         for i, e in enumerate(embs)],
+                "usage": {"prompt_tokens": 0, "total_tokens": 0}})
 
         def _post_edit_settings(self):
             data = json.loads(self._body().decode())

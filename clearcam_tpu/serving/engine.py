@@ -97,6 +97,12 @@ class Request:            # never conflate two requests with equal prompts
     # pre-temperature distribution. Non-speculative engines only.
     logprobs: int = 0
     lp: list = field(default_factory=list)
+    # OpenAI seed: per-request reproducible sampling — the row's Gumbel
+    # noise is keyed by (engine base seed, this seed, generated-token
+    # index) via llm.serving_row_keys, so the same seeded request redraws
+    # identically regardless of slot, step count, or batch companions.
+    # None = a random seed per submission (draws differ every time).
+    seed: int | None = None
     segments: list | None = None
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     deadline: float | None = None                # monotonic; engine-enforced
@@ -240,6 +246,12 @@ class ServingEngine:
         # top-K lps, top-K ids] — llm.sample_filtered_lp); fetched with
         # the tokens, parsed only for requests that asked for logprobs
         self._first_lp = jnp.zeros((n_slots, 1 + 2 * llm.LP_K), jnp.float32)
+        # per-slot sampling seed + prompt length, riding the per-step meta
+        # upload into llm.serving_row_keys (seeded requests use their own
+        # seed; unseeded ones draw a random seed at admission)
+        self._seed_np = np.zeros(n_slots, np.int32)
+        self._plen_np = np.zeros(n_slots, np.int32)
+        self._seed_rng = np.random.default_rng()
         self._inject = np.zeros(n_slots, bool)       # consume first_tok[b]
         self._pending: deque = deque()               # unmaterialized tokens
         self._waiting: deque[Request] = deque()
@@ -275,7 +287,7 @@ class ServingEngine:
                frequency_penalty: float = 0.0,
                repetition_penalty: float = 1.0,
                logit_bias: dict | None = None,
-               logprobs: int = 0) -> Request:
+               logprobs: int = 0, seed: int | None = None) -> Request:
         """timeout_s: engine-enforced deadline — a request still waiting
         when it expires is dropped; a running one is retired at the next
         tick with whatever tokens it has (``Request.timed_out`` set).
@@ -290,12 +302,18 @@ class ServingEngine:
         logprobs: top-alternative count (0..llm.LP_K) to record per
         generated token in ``Request.lp`` — read-only scoring, never
         changes outputs. Unsupported under speculative serving (the spec
-        fetch carries candidate windows, not per-step distributions)."""
+        fetch carries candidate windows, not per-step distributions).
+        seed: reproducible sampling (OpenAI semantics) — same seeded
+        request => same draws, independent of slot/step/companions (see
+        Request.seed). Unsupported under speculative serving (spec
+        windows keep the step-keyed scheme)."""
         if logprobs:
             if self.spec:
                 raise ValueError("logprobs unsupported with spec_lookup")
             if not 0 < int(logprobs) <= llm.LP_K:
                 raise ValueError(f"logprobs must be 1..{llm.LP_K}")
+        if seed is not None and self.spec:
+            raise ValueError("seed unsupported with spec_lookup")
         r = Request(list(prompt) if prompt is not None else None,
                     max_new, temperature, eos_id, segments=segments,
                     top_p=top_p, top_k=top_k, min_p=min_p,
@@ -303,7 +321,8 @@ class ServingEngine:
                     frequency_penalty=frequency_penalty,
                     repetition_penalty=repetition_penalty,
                     logit_bias=dict(logit_bias) if logit_bias else None,
-                    logprobs=int(logprobs))
+                    logprobs=int(logprobs),
+                    seed=int(seed) if seed is not None else None)
         r.t_submit = time.monotonic()
         if timeout_s is not None:
             r.deadline = r.t_submit + timeout_s
@@ -428,6 +447,9 @@ class ServingEngine:
             self.seg_idx[b] = 1 if covered else 0
             self.seg_start[b] = reuse if covered else 0
             self.stats["reused_tokens"] += reuse
+            self._seed_np[b] = (r.seed if r.seed is not None
+                                else int(self._seed_rng.integers(1 << 31)))
+            self._plen_np[b] = min(r.total_len, (1 << 31) - 1)
             row = np.asarray([r.temperature, r.top_p, float(r.top_k),
                               r.min_p, r.presence_penalty,
                               r.frequency_penalty, r.repetition_penalty,
@@ -613,11 +635,12 @@ class ServingEngine:
     def _prefill_batched(self, rows: list) -> None:
         """Advance every row in ``rows`` (all mid-prefill, on text
         segments) by one chunk with a single prefill_many dispatch. meta
-        rows are [start_pos, n_real, valid]; invalid rows park at their
+        rows are [start_pos, n_real, valid, seed]; invalid rows park at their
         cursor (same policy as decode_all) and their caches are untouched
         (write_mask inside the graph)."""
         toks = np.zeros((self.n_slots, llm.CHUNK), np.int32)
-        meta = np.zeros((3, self.n_slots), np.int32)
+        meta = np.zeros((4, self.n_slots), np.int32)
+        meta[3] = self._seed_np                  # spec graphs take [:3]
         meta[0] = np.minimum(self.cursor, self.cfg.max_context - 1)
         meta[1] = 1                              # keep n_real-1 >= 0
         fin = []                                 # (b, request, new_cursor)
@@ -642,14 +665,14 @@ class ServingEngine:
         if self.spec:
             self._first_tok, self.state, self.aux = self.prefill_many(
                 self.params, self.state, self.aux, self._first_tok,
-                jnp.asarray(toks), jnp.asarray(meta), self._temps_dev,
+                jnp.asarray(toks), jnp.asarray(meta[:3]), self._temps_dev,
                 self._step_n, self._base_key, self._cnt_p, self._cnt_o,
                 self._bias)
         else:
             self._first_tok, self._first_lp, self.state = self.prefill_many(
                 self.params, self.state, self._first_tok, self._first_lp,
                 jnp.asarray(toks), jnp.asarray(meta), self._temps_dev,
-                self._step_n, self._base_key, self._cnt_p, self._cnt_o,
+                self._base_key, self._cnt_p, self._cnt_o,
                 self._bias)
         fetched = False
         with self._lock:
@@ -746,7 +769,8 @@ class ServingEngine:
                     self.prefill_slot(
                         self.params, self.state, self._first_tok,
                         self._first_lp, jnp.asarray([chunk], jnp.int32),
-                        b, cur, n, jnp.asarray(self.samp[b]), self._step_n,
+                        b, cur, n, jnp.asarray(self.samp[b]),
+                        int(self._seed_np[b]),
                         self._base_key, self._cnt_p, self._cnt_o, self._bias)
             with self._lock:
                 self.cursor[b] = cur + n
@@ -793,18 +817,21 @@ class ServingEngine:
                     self._acc.append((tuple(self.epoch), mask, out_dev,
                                       None))
                 else:
-                    # one packed upload per step: [pos, live, inject]
-                    meta = np.zeros((3, self.n_slots), np.int32)
+                    # one packed upload per step:
+                    # [pos, live, inject, seed, plen]
+                    meta = np.zeros((5, self.n_slots), np.int32)
                     meta[0] = np.minimum(self.cursor,
                                          self.cfg.max_context - 1)
                     meta[1] = mask
                     meta[2] = self._inject
+                    meta[3] = self._seed_np
+                    meta[4] = self._plen_np
                     self._inject[:] = False
                     tok_dev, self.state, self._cnt_o, lp_dev = \
                         self.decode_all(
                             self.params, self.state, self._tok_dev,
                             self._first_tok, jnp.asarray(meta),
-                            self._temps_dev, self._step_n, self._base_key,
+                            self._temps_dev, self._base_key,
                             self._cnt_o, self._cnt_p, self._bias)
                     self._tok_dev = tok_dev
                     with self._lock:

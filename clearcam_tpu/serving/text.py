@@ -13,7 +13,16 @@ per-token decode) keeps multi-byte BPE merges correct at chunk borders.
 """
 from __future__ import annotations
 
+import json
+import re
+import threading
+import uuid
+
 from .engine import Request, ServingEngine
+
+# Assistant tool-call block (the Qwen-family convention the chat presets
+# train on: one JSON object per <tool_call> tag)
+_TOOL_RE = re.compile(r"<tool_call>\s*(\{.*?\})\s*</tool_call>", re.S)
 
 
 class TextServing:
@@ -24,6 +33,8 @@ class TextServing:
         self.engine: ServingEngine = getattr(engine, "engine", engine)
         self.tok = tok
         self.chat = chat
+        self._score = None                   # lazy llm.make_score_fn(cfg)
+        self._score_lock = threading.Lock()
 
     def has_work(self) -> bool:
         return self.engine._has_work()
@@ -38,16 +49,87 @@ class TextServing:
                 + self.tok.encode(prompt) + self.tok.end_turn()
                 + self.tok.role("assistant"))
 
-    def encode_messages(self, messages) -> list[int]:
+    def encode_messages(self, messages, tools=None) -> list[int]:
         """OpenAI-style ``[{"role": .., "content": ..}]`` history -> chat-
         framed ids (every turn via the tokenizer preset), ending with the
-        assistant role header so generation continues the reply."""
+        assistant role header so generation continues the reply.
+
+        tools: OpenAI function specs — declared to the model inside a
+        <tools> block appended to the system turn; role "tool" results
+        are framed as user turns wrapped in <tool_response> tags, and
+        assistant history entries carrying ``tool_calls`` re-emit their
+        <tool_call> JSON blocks (the Qwen chat-template convention the
+        preset-trained checkpoints expect)."""
+        msgs = [dict(m) for m in messages]
+        if tools:
+            spec = "\n".join(
+                json.dumps(t.get("function", t), ensure_ascii=False)
+                for t in tools)
+            blurb = (
+                "\n\n# Tools\n\nYou may call one or more functions to "
+                "assist with the user query. You are provided with "
+                "function signatures within <tools></tools> XML tags:\n"
+                "<tools>\n" + spec + "\n</tools>\n\nFor each function "
+                "call, return a json object with function name and "
+                "arguments within <tool_call></tool_call> XML tags:\n"
+                "<tool_call>\n{\"name\": <function-name>, \"arguments\": "
+                "<args-json-object>}\n</tool_call>")
+            if msgs and msgs[0].get("role") == "system":
+                msgs[0]["content"] = str(msgs[0].get("content") or "") \
+                    + blurb
+            else:
+                msgs.insert(0, {"role": "system", "content": blurb})
         ids = list(self.tok.prefix())
-        for m in messages:
-            ids += (self.tok.role(str(m.get("role", "user")))
-                    + self.tok.encode(str(m.get("content", "")))
+        for m in msgs:
+            role = str(m.get("role", "user"))
+            content = str(m.get("content") or "")
+            if role == "tool":
+                role = "user"
+                content = ("<tool_response>\n" + content
+                           + "\n</tool_response>")
+            elif role == "assistant" and m.get("tool_calls"):
+                blocks = []
+                for c in m["tool_calls"]:
+                    fn = c.get("function", {})
+                    args = fn.get("arguments", {})
+                    if isinstance(args, str):
+                        try:
+                            args = json.loads(args)
+                        except ValueError:
+                            pass          # leave the raw string in place
+                    blocks.append(
+                        "<tool_call>\n" + json.dumps(
+                            {"name": fn.get("name"), "arguments": args},
+                            ensure_ascii=False) + "\n</tool_call>")
+                joined = "\n".join(blocks)
+                content = (content + "\n" + joined) if content else joined
+            ids += (self.tok.role(role) + self.tok.encode(content)
                     + self.tok.end_turn())
         return ids + self.tok.role("assistant")
+
+    def parse_tool_calls(self, text: str):
+        """-> (content, tool_calls): extract well-formed <tool_call> JSON
+        blocks into the OpenAI response shape (arguments re-serialized as
+        a JSON string, fresh call ids); malformed blocks stay in the
+        content verbatim rather than being silently dropped."""
+        calls = []
+
+        def repl(m):
+            try:
+                obj = json.loads(m.group(1))
+                name = obj["name"]
+            except (ValueError, KeyError, TypeError):
+                return m.group(0)
+            calls.append({
+                "id": f"call_{uuid.uuid4().hex[:24]}", "type": "function",
+                "function": {"name": str(name),
+                             "arguments": json.dumps(
+                                 obj.get("arguments", {}),
+                                 ensure_ascii=False)}})
+            return ""
+
+        content = _TOOL_RE.sub(repl, text).strip()
+        return content, calls
 
     def _stops(self):
         stop = {self.tok.eos_id}
@@ -67,9 +149,10 @@ class TextServing:
 
     def submit_messages(self, messages, max_new: int = 128,
                         temperature: float = 0.0,
-                        timeout_s: float | None = None, **samp) -> Request:
+                        timeout_s: float | None = None, tools=None,
+                        **samp) -> Request:
         """Multi-turn chat submission (the /v1/chat/completions body)."""
-        return self.engine.submit(self.encode_messages(messages),
+        return self.engine.submit(self.encode_messages(messages, tools),
                                   max_new=max_new, temperature=temperature,
                                   eos_id=self._stops(), timeout_s=timeout_s,
                                   **samp)
@@ -150,6 +233,38 @@ class TextServing:
                   "bytes": list(self.tok.decode([i]).encode())}
                  for i, lp in r[1][:n_top]]}
             for s, r in zip(strs[start:n], rows[start:n])]}, n)
+
+    def score_ids(self, ids: list[int]):
+        """Teacher-forcing prompt scores (llm.make_score_fn): [N-1] rows
+        of (chosen_lp, [(alt_id, alt_lp) x K]) — row i-1 scores ids[i]
+        given ids[:i]. Built lazily (one compiled chunk graph); the lock
+        serializes scoring walks (each owns a fresh batch-1 KV state; XLA
+        safely interleaves the dispatches with the engine thread's)."""
+        with self._score_lock:
+            if self._score is None:
+                from ..models import llm
+                self._score = llm.make_score_fn(self.engine.cfg)
+            return self._score(self.engine.params, ids)
+
+    def echo_logprobs(self, ids: list[int], n_top: int = 0):
+        """Completions-shaped logprobs object for PROMPT tokens (the
+        OpenAI ``echo`` surface): first entry null (no conditional for
+        the first token), absolute text offsets from 0."""
+        rows = self.score_ids(ids) if len(ids) > 1 else []
+        strs = [self.tok.decode([t]) for t in ids]
+        offs, pos = [], 0
+        for s in strs:
+            offs.append(pos)
+            pos += len(s)
+
+        def alts(row):
+            return {self.tok.decode([i]): lp for i, lp in row[1][:n_top]}
+
+        return {"tokens": strs,
+                "token_logprobs": [None] + [r[0] for r in rows],
+                "top_logprobs": ([None] + [alts(r) for r in rows]
+                                 if n_top else None),
+                "text_offset": offs}
 
     def text_delta(self, req: Request, seen: str) -> str:
         """Newly-decodable text past ``seen`` (monotone under streaming).

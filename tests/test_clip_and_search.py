@@ -169,3 +169,66 @@ def test_load_all_embeddings_incremental(tmp_path):
     import shutil
     shutil.rmtree(day2)
     assert finder.load_all_embeddings() == 1
+
+
+def test_v1_embeddings_endpoint(tmp_path):
+    """OpenAI /v1/embeddings over the CLIP text tower: unit-norm vectors
+    in the search index's space; list + string inputs; 503 without CLIP;
+    bad bodies 400. (server/http._post_v1_embeddings)"""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from clearcam_tpu.server.http import AppContext, serve
+    from clearcam_tpu.utils.db import KVStore
+    from clearcam_tpu.runtime.settings import GlobalSettings
+
+    finder = ObjectFinder(base_dir=tmp_path / "cameras",
+                          weights_dir=tmp_path)
+    finder.init_clip(params=small_params())
+    finder._tok = tiny_tokenizer()
+
+    def post(url, body):
+        req = urllib.request.Request(
+            url, data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(req, timeout=60)
+
+    ctx = AppContext(KVStore(":memory:"), tmp_path, object_finder=finder,
+                     settings=GlobalSettings(use_clip=True))
+    server = serve(ctx, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}/v1/embeddings"
+    try:
+        with post(url, {"input": ["hello world", "hello"]}) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "list" and len(out["data"]) == 2
+        for i, d in enumerate(out["data"]):
+            assert d["index"] == i and d["object"] == "embedding"
+            v = np.asarray(d["embedding"], np.float32)
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+        # string input == its list form, and matches embed_text directly
+        with post(url, {"input": "hello world"}) as r:
+            one = json.loads(r.read())["data"][0]["embedding"]
+        assert np.allclose(one, out["data"][0]["embedding"])
+        assert np.allclose(one, finder.embed_text("hello world"),
+                           atol=1e-5)
+        for bad in ({"input": []}, {"input": [1]},
+                    {"input": "x", "encoding_format": "base64"}):
+            try:
+                post(url, bad)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        server.shutdown()
+    ctx2 = AppContext(KVStore(":memory:"), tmp_path,
+                      settings=GlobalSettings(use_clip=True))
+    server2 = serve(ctx2, port=0)
+    try:
+        post(f"http://127.0.0.1:{server2.server_address[1]}/v1/embeddings",
+             {"input": "x"})
+        raise AssertionError("expected 503")
+    except urllib.error.HTTPError as e:
+        assert e.code == 503
+    finally:
+        server2.shutdown()

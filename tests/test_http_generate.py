@@ -253,6 +253,15 @@ def test_openai_completions_stream_and_stop(served):
     assert events[-1] == "[DONE]"
     chunks = [json.loads(e) for e in events[:-1]]
     assert "".join(c["choices"][0]["text"] for c in chunks) == plain
+    # stream_options.include_usage: final pre-[DONE] chunk carries usage
+    with _post(f"{url}/v1/completions",
+               {**body, "stream": True,
+                "stream_options": {"include_usage": True}}) as r:
+        ev2 = _sse_events(r.read().decode())
+    last = json.loads(ev2[-2])
+    assert last["choices"] == [] and last["usage"]["completion_tokens"] > 0
+    assert last["usage"]["total_tokens"] == (
+        last["usage"]["prompt_tokens"] + last["usage"]["completion_tokens"])
     if len(plain) >= 2:           # stop on a substring the answer contains
         stop = plain[1]
         with _post(f"{url}/v1/completions", {**body, "stop": stop}) as r:
