@@ -495,9 +495,11 @@ def forward(p: dict, cfg: TransformerConfig, state: list, tokens,
                                       freqs, pad_start=pad_start,
                                       write_mask=write_mask)
         else:  # kind == "ssm" (block_kind returns attn|mla|ssm only)
-            assert write_mask is None, \
-                "batched multi-slot prefill is attention/MLA-only (an SSM " \
-                "recurrence cannot skip masked rows over a whole chunk)"
+            assert write_mask is None or row_live is not None, \
+                "a write-masked chunk forward cannot gate an SSM " \
+                "recurrence — batched SSM prefill must scan T=1 steps " \
+                "with row_live carrying the per-token mask (the serving " \
+                "prefill_many SSM variant)"
             assert pad_start is None or row_live is not None, \
                 "batched left-pad generation over SSM blocks needs row_live " \
                 "(the recurrence would ingest the pad junk)"
@@ -1179,16 +1181,19 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     first_tok (valid rows overwrite). Computed unconditionally: one
     log_softmax + top_k per step is noise next to the forward, and a
     single graph beats a per-request variant.
-        (attention/MLA stacks only; None for SSM hybrids) advances EVERY
-        mid-prefill slot by one chunk in a single dispatch — per-row start
-        positions with T=CHUNK, one shared weight sweep instead of one per
-        slot (chunks are weight-read-bound at CHUNK=32). meta rows are
-        [start_pos, n_real, valid]; valid rides into the cache writes as a
-        write_mask so non-participating rows' caches stay bit-identical
-        (a clamped CHUNK-wide park write could corrupt attendable rows —
-        see _cache_update). Each valid row's sampled token (from its
-        n_real-1 hidden) lands in first_tok[row]; only rows finishing
-        their prompt keep it (mid-prompt rows' later chunks overwrite).
+        advances EVERY mid-prefill slot by one chunk in a single dispatch
+        — per-row start positions, one shared weight sweep instead of one
+        per slot (chunks are weight-read-bound at CHUNK=32). meta rows
+        are [start_pos, n_real, valid, seed]; valid rides into the cache
+        writes as a write_mask so non-participating rows' caches stay
+        bit-identical (a clamped CHUNK-wide park write could corrupt
+        attendable rows — see _cache_update). Attention/MLA stacks run
+        the chunk in one T=CHUNK forward; SSM/hybrid stacks scan it T=1
+        inside the same program with valid & (t < n_real) gating the
+        recurrence and cache writes per token. Each valid row's sampled
+        token (from its n_real-1 hidden) lands in first_tok[row]; only
+        rows finishing their prompt keep it (mid-prompt rows' later
+        chunks overwrite).
 
     use_pallas_decode routes decode_all's standard-attention blocks through
     the per-row-position Pallas kernel (ops/decode_attention): HBM reads
@@ -1285,7 +1290,6 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                                       pos - meta[4] + 1))
         return tok, state, cnt_o, lp
 
-    prefill_many = None
     if cfg.ssm is None:
         # Batched multi-slot prefill: one weight-read pass advances EVERY
         # mid-prefill slot by a chunk (per-row start positions; meta rows
@@ -1296,8 +1300,6 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # that makes chunked prefill cheap (measured: admission bursts are
         # the mixed-ladder bottleneck, PERF.md). valid gates cache writes
         # row-wise (write_mask) — invalid rows' caches stay bit-identical.
-        # Attention/MLA only: an SSM recurrence can't skip masked rows
-        # across a chunk (engine falls back to prefill_slot there).
         @functools.partial(jax.jit, donate_argnums=(1,))
         def prefill_many(params, state, first_tok, first_lp, tokens, meta,
                          samp, base_key, cnt_p, cnt_o, bias):
@@ -1311,6 +1313,64 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                 F.linear(h, params["output.weight"]),
                 samp, None, cnt_p, cnt_o, bias,
                 row_keys=serving_row_keys(    # first token: idx 0 per row
+                    base_key, meta[3], jnp.zeros_like(meta[3])))
+            first_tok = jnp.where(valid, tok, first_tok) \
+                .astype(first_tok.dtype)
+            first_lp = jnp.where(valid[:, None], lp, first_lp)
+            return first_tok, first_lp, state
+    else:
+        # SSM/hybrid batched prefill: the recurrence is T=1-only, so the
+        # chunk is SCANNED token-by-token inside one compiled program
+        # (mirrors _prefill_hidden), but with PER-ROW starts/lengths —
+        # row_live = valid & (t < n_real) gates both the recurrent state
+        # and the attention cache writes per token, so every admitted
+        # prompt still advances a chunk in ONE weight-sweep-per-token
+        # dispatch instead of one full sweep per slot per chunk (the
+        # round-2 "attention/MLA only" gap). First-chunk rows (starts==0)
+        # zero their recurrent state first — a new occupant must not
+        # inherit the retired request's recurrence (same rule as
+        # prefill_slot; prefix_cache is engine-disabled for SSM stacks,
+        # so admissions always begin at 0).
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_many(params, state, first_tok, first_lp, tokens, meta,
+                         samp, base_key, cnt_p, cnt_o, bias):
+            starts, n_real, valid = meta[0], meta[1], meta[2] != 0
+            fresh = valid & (starts == 0)
+            state = [jax.tree.map(
+                lambda a: jnp.where(
+                    fresh.reshape((-1,) + (1,) * (a.ndim - 1)),
+                    jnp.zeros_like(a), a), s)
+                if cfg.block_kind(i) == "ssm" else s
+                for i, s in enumerate(state)]
+            n_max = jnp.max(jnp.where(valid, n_real, 0))
+
+            def step(carry, tok_t):
+                st, t = carry
+
+                def live_step(st):
+                    live_t = valid & (t < n_real)
+                    pos_t = jnp.minimum(starts + t, cfg.max_context - 1)
+                    hidden, st2 = forward(params, cfg, st, tok_t[:, None],
+                                          pos_t, freqs, row_live=live_t,
+                                          write_mask=live_t)
+                    return st2, hidden[:, 0]
+
+                def dead(st):
+                    return st, jnp.zeros((tokens.shape[0], cfg.dim),
+                                         jnp.float32)
+
+                st, h = jax.lax.cond(t < n_max, live_step, dead, st)
+                return (st, t + 1), h
+
+            (state, _), hiddens = jax.lax.scan(
+                step, (state, jnp.int32(0)), tokens.T)
+            h = jnp.take_along_axis(
+                hiddens, jnp.maximum(n_real - 1, 0)[None, :, None], 0)[0]
+            h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
+            tok, lp = sample_filtered_lp(
+                F.linear(h, params["output.weight"]),
+                samp, None, cnt_p, cnt_o, bias,
+                row_keys=serving_row_keys(
                     base_key, meta[3], jnp.zeros_like(meta[3])))
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)

@@ -637,7 +637,8 @@ class ServingEngine:
         segments) by one chunk with a single prefill_many dispatch. meta
         rows are [start_pos, n_real, valid, seed]; invalid rows park at their
         cursor (same policy as decode_all) and their caches are untouched
-        (write_mask inside the graph)."""
+        (write_mask inside the graph; SSM/hybrid stacks scan the chunk
+        T=1 with per-token row gating — llm.make_serving_fns)."""
         toks = np.zeros((self.n_slots, llm.CHUNK), np.int32)
         meta = np.zeros((4, self.n_slots), np.int32)
         meta[3] = self._seed_np                  # spec graphs take [:3]

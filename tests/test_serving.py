@@ -86,6 +86,29 @@ def test_serving_ssm_hybrid():
     assert r3.wait(1) == _solo(params, cfg, [2, 7], 4)
 
 
+def test_serving_ssm_batched_prefill():
+    """SSM/hybrid stacks now take the BATCHED multi-slot prefill path
+    (T=1 scan with per-token row gating inside one program) — a burst of
+    admissions advances in shared dispatches, every output still exact
+    vs solo, and a second wave through the same slots proves the fresh
+    recurrent-state reset composes with the batched path."""
+    ssm = llm.SSMConfig(conv_kernel=3, state_size=8, group_count=2,
+                        time_step_rank=4, inner_size=32)
+    cfg = tiny_cfg(ssm=ssm, full_attention_interval=2, qk_norm=8)
+    params = llm.init_params(cfg, seed=7)
+    eng = ServingEngine(params, cfg, n_slots=3)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [2, 7, 6, 5]]
+    rs = [eng.submit(p, max_new=5) for p in prompts]   # admitted together
+    eng.run_until_idle()
+    assert eng.stats["prefill_batched_steps"] > 0
+    for r, p in zip(rs, prompts):
+        assert r.wait(1) == _solo(params, cfg, p, 5)
+    rs2 = [eng.submit(list(reversed(p)), max_new=4) for p in prompts]
+    eng.run_until_idle()
+    for r, p in zip(rs2, prompts):
+        assert r.wait(1) == _solo(params, cfg, list(reversed(p)), 4)
+
+
 def test_serving_moe():
     """MoE stacks through the engine: per-token expert gather works at
     per-slot positions, outputs exact vs solo."""
