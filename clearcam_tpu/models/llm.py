@@ -554,38 +554,66 @@ def make_score_fn(cfg: TransformerConfig):
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
     K = min(LP_K, cfg.vocab_size)
+    # scoring chunk: wider than the serving CHUNK — the walk is
+    # dispatch/readback-bound, not compute-bound (measured on v5e, 2B:
+    # 32-token chunks 380 tok/s vs 128-token 1.1k+ — PERF.md §Scoring).
+    # SSM/hybrid stacks scan T=1 inside the chunk graph (the recurrence
+    # cannot run a T-wide forward), so their chunk stays dispatch-cheap
+    # anyway; attention stacks take one T=SC forward per chunk.
+    SC = 128 if cfg.max_context % 128 == 0 else CHUNK
 
-    @jax.jit
-    def chunk_lp(params, state, toks, start_pos, targets):
-        hidden, state = forward(params, cfg, state, toks, start_pos, freqs)
+    def _rows_of(params, hidden, targets):
         h = F.rms_norm(hidden, params["output_norm.weight"], cfg.norm_eps)
         lp = jax.nn.log_softmax(
             F.linear(h, params["output.weight"]).astype(jnp.float32), -1)
         chosen = jnp.take_along_axis(lp, targets[..., None], -1)[..., 0]
         top_lp, top_id = jax.lax.top_k(lp, K)
-        return chosen, top_lp, top_id, state
+        return chosen, top_lp, top_id
+
+    if cfg.ssm is None:
+        @jax.jit
+        def chunk_lp(params, state, toks, start_pos, targets):
+            hidden, state = forward(params, cfg, state, toks, start_pos,
+                                    freqs)
+            return *_rows_of(params, hidden, targets), state
+    else:
+        @jax.jit
+        def chunk_lp(params, state, toks, start_pos, targets):
+            def step(carry, tok_t):
+                st, t = carry
+                hidden, st = forward(params, cfg, st, tok_t[:, None],
+                                     start_pos + t, freqs)
+                return (st, t + 1), hidden[:, 0]
+
+            (state, _), hiddens = jax.lax.scan(
+                step, (state, jnp.int32(0)), toks.T)
+            return *_rows_of(params, hiddens.transpose(1, 0, 2),
+                             targets), state
 
     def score(params, tokens):
         toks = [int(t) for t in tokens]
         n = len(toks)
-        n_chunks = -(-n // CHUNK)
-        assert n >= 1 and n_chunks * CHUNK <= cfg.max_context, \
+        n_chunks = -(-n // SC)
+        assert n >= 1 and n_chunks * SC <= cfg.max_context, \
             "prompt (chunk-padded) must fit max_context"
         state = init_state(cfg, batch=1)
-        padded = toks + [0] * (n_chunks * CHUNK - n)
+        padded = toks + [0] * (n_chunks * SC - n)
         rows = []
         for c in range(n_chunks):
-            lo = c * CHUNK
-            tgt = (padded + [0])[lo + 1:lo + 1 + CHUNK]
+            lo = c * SC
+            tgt = (padded + [0])[lo + 1:lo + 1 + SC]
             chosen, tl, ti, state = chunk_lp(
                 params, state,
-                jnp.asarray([padded[lo:lo + CHUNK]], jnp.int32), lo,
+                jnp.asarray([padded[lo:lo + SC]], jnp.int32), lo,
                 jnp.asarray([tgt], jnp.int32))
-            rows.append((np.asarray(chosen[0]), np.asarray(tl[0]),
-                         np.asarray(ti[0])))
+            rows.append((chosen[0], tl[0], ti[0]))
+        # materialize AFTER the whole walk is dispatched — the chunks
+        # chain through state, so a per-chunk sync would serialize
+        # dispatch against host round trips (costly through the tunnel)
+        rows = [tuple(np.asarray(a) for a in r) for r in rows]
         out = []
         for i in range(1, n):
-            c, o = divmod(i - 1, CHUNK)
+            c, o = divmod(i - 1, SC)
             ch, tl, ti = rows[c]
             out.append((float(ch[o]),
                         list(zip(ti[o].astype(np.int64).tolist(),

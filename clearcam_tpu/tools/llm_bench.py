@@ -39,6 +39,20 @@ def qwen3_2b_cfg(blocks: int, ctx: int) -> llm.TransformerConfig:
         qk_norm=128)
 
 
+def qwen3_next_cfg(blocks: int, ctx: int) -> llm.TransformerConfig:
+    """Qwen3-Next-class hybrid shapes: GatedDeltaNet linear-attention
+    blocks with every 4th block full attention (the reference's SSM
+    family, utils/model.py GatedDeltaNet) — used to measure the
+    recurrent-stack serving paths (scan-based batched prefill)."""
+    return llm.TransformerConfig(
+        num_blocks=blocks, dim=2048, hidden_dim=5120, n_heads=16,
+        n_kv_heads=4, norm_eps=1e-6, vocab_size=151936, head_dim=128,
+        rope_theta=1e6, rope_dim=64, v_head_dim=128, max_context=ctx,
+        qk_norm=128, full_attention_interval=4,
+        ssm=llm.SSMConfig(conv_kernel=4, state_size=128, group_count=16,
+                          time_step_rank=32, inner_size=4096))
+
+
 def bench_mode(cfg, params, mode: str, ctx: int, steps: int,
                decode_pos: int | None = None) -> dict:
     """mode: '+'-joined flags — bf16|int8|int4 (weights), kv16 (bf16 KV
@@ -223,6 +237,27 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     return r
 
 
+def bench_score(cfg, params, length: int):
+    """Teacher-forcing scoring throughput (llm.make_score_fn — the
+    /v1/completions echo / max_tokens=0 loglikelihood surface): scored
+    tok/s over one full walk of a random ``length``-token prompt. The
+    walk materializes per chunk (the API returns host floats), so through
+    the axon tunnel the number includes one small readback per CHUNK —
+    the true cost a scoring client sees."""
+    score = llm.make_score_fn(cfg)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(1, cfg.vocab_size - 1, length).tolist()
+    score(params, toks)                       # compile + warm
+    t0 = time.perf_counter()
+    rows = score(params, toks)
+    dt = time.perf_counter() - t0
+    assert len(rows) == length - 1
+    r = {"score": True, "length": length,
+         "score_tok_s": round(length / dt, 1), "wall_s": round(dt, 3)}
+    print(json.dumps(r))
+    return r
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=28)
@@ -256,20 +291,37 @@ def main(argv=None):
     ap.add_argument("--loop-prompts", type=int, default=0,
                     help="with --serving: k-token repeated-pattern prompts "
                          "(prompt-lookup's upper-bound regime)")
+    ap.add_argument("--score", type=int, default=0,
+                    help="measure teacher-forcing scoring tok/s "
+                         "(make_score_fn) over an N-token prompt instead "
+                         "of --modes")
+    ap.add_argument("--ssm", action="store_true",
+                    help="use the Qwen3-Next-class hybrid (GatedDeltaNet "
+                         "+ every-4th-block attention) instead of the "
+                         "dense config; weights stay bf16")
+    ap.add_argument("--no-prefill-batch", action="store_true",
+                    help="with --serving: disable the batched multi-slot "
+                         "prefill (one prefill_slot dispatch per slot per "
+                         "chunk — the admission-cost baseline)")
     args = ap.parse_args(argv)
 
-    cfg = qwen3_2b_cfg(args.blocks, args.ctx)
+    cfg = (qwen3_next_cfg(args.blocks, args.ctx) if args.ssm
+           else qwen3_2b_cfg(args.blocks, args.ctx))
     params = llm.init_params(cfg, seed=0, dtype=jnp.bfloat16)
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
     print(f"# {args.blocks} blocks, {n_params/1e9:.2f}B params, "
           f"ctx {args.ctx}, backend {jax.default_backend()}")
+    if args.score:
+        return bench_score(cfg, params, args.score)
     if args.serving:
-        params = llm.quantize_params_int8(params)
+        if not args.ssm:              # int8 weight-only: matmul params
+            params = llm.quantize_params_int8(params)
         return bench_serving(cfg, params, args.slots, args.requests,
                              args.prompt_len, args.max_new,
                              pallas=args.pallas,
                              shared_prefix=args.shared_prefix,
                              prefix_cache=not args.no_prefix_cache,
+                             prefill_batch=not args.no_prefill_batch,
                              spec=args.spec, loop_prompts=args.loop_prompts)
     if args.decode_batch:
         params = llm.quantize_params_int8(params)

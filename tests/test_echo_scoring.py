@@ -40,6 +40,33 @@ def test_make_score_fn_matches_full_forward():
         assert ls == sorted(ls, reverse=True)
 
 
+def test_make_score_fn_ssm_hybrid():
+    """SSM/hybrid stacks score via a T=1 scan inside the chunk graph
+    (the recurrence cannot run a T-wide forward); oracle is token-by-
+    token teacher forcing with the plain forward."""
+    ssm = llm.SSMConfig(conv_kernel=3, state_size=8, group_count=2,
+                        time_step_rank=4, inner_size=32)
+    cfg = tiny_cfg(ssm=ssm, full_attention_interval=2, qk_norm=8,
+                   max_context=64)
+    params = llm.init_params(cfg, seed=7)
+    toks = [int(t) for t in
+            np.random.default_rng(0).integers(1, cfg.vocab_size, 40)]
+    rows = llm.make_score_fn(cfg)(params, toks)
+    freqs = jnp.asarray(llm.precompute_freqs(
+        cfg.rope_dim, cfg.max_context, cfg.rope_theta))
+    state = llm.init_state(cfg, batch=1)
+    lps = []
+    for t, tok in enumerate(toks):
+        hidden, state = llm.forward(params, cfg, state,
+                                    jnp.asarray([[tok]], jnp.int32), t,
+                                    freqs)
+        lg = llm.logits_at(params, cfg, hidden, jnp.int32(0))[0]
+        lps.append(np.asarray(jax.nn.log_softmax(
+            jnp.asarray(lg, jnp.float32))))
+    for i in (1, 20, 33, len(toks) - 1):
+        assert abs(rows[i - 1][0] - lps[i - 1][toks[i]]) < 1e-3, i
+
+
 def test_http_scoring_and_echo():
     """max_tokens=0 + echo + logprobs scores the prompt (first entry
     null); echo + generation prepends prompt scores with shifted
