@@ -344,6 +344,10 @@ class ServingEngine:
         assert self.custom_prefill is not None or all(
             s[0] == "text" for s in r.segments), \
             "custom segments need a custom_prefill hook"
+        assert r.segments and r.segments[-1][0] == "text", \
+            "a prompt must end with a text segment — the first sampled " \
+            "token comes from the final text chunk's forward (a custom " \
+            "segment writes cache rows but samples nothing)"
         with self._work:
             if self.max_waiting is not None \
                     and len(self._waiting) >= self.max_waiting:
