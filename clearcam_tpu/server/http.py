@@ -207,6 +207,23 @@ class AppContext:
         return fn(*args)
 
 
+_TOOL_TAG = "<tool_call>"
+
+
+def _tool_visible_len(s: str) -> int:
+    """Streaming with tools: chars of ``s`` safe to emit as content — up
+    to the first <tool_call> tag, also holding back any TAIL that could
+    be the start of one (so a tag split across poll boundaries never
+    leaks its prefix into the content stream)."""
+    i = s.find(_TOOL_TAG)
+    if i >= 0:
+        return i
+    for k in range(min(len(_TOOL_TAG) - 1, len(s)), 0, -1):
+        if s.endswith(_TOOL_TAG[:k]):
+            return len(s) - k
+    return len(s)
+
+
 def _samp_of(data: dict) -> dict:
     """Sampling kwargs for ServingEngine.submit from a /generate or
     OpenAI-style JSON body (absent fields = feature off). logit_bias
@@ -933,9 +950,6 @@ def make_handler(ctx: AppContext):
             tools = data.get("tools") if chat else None
             if str(data.get("tool_choice") or "auto") == "none":
                 tools = None
-            if tools and data.get("stream"):
-                return self.send_error(
-                    400, "tools not supported with stream")
             if chat:
                 msgs = data.get("messages")
                 if not isinstance(msgs, list) or not msgs:
@@ -1097,6 +1111,11 @@ def make_handler(ctx: AppContext):
                     done = req.done       # read BEFORE the delta (see
                     # _post_generate: this order can't drop a final delta)
                     full, hit = cut(seen + gen.text_delta(req, seen))
+                    if tools:             # hold back tool-call blocks (and
+                        # any tail that could open one): they stream as
+                        # delta.tool_calls entries after generation ends,
+                        # not as content text
+                        full = full[:_tool_visible_len(full)]
                     delta = full[len(seen):]
                     lp_payload = None
                     if lp_req:            # rows materialized since last
@@ -1122,6 +1141,17 @@ def make_handler(ctx: AppContext):
                         break
                     time.sleep(0.02)
                 fr = finish_reason(req, hit)
+                if tools:                 # parse the held-back blocks into
+                    # OpenAI streamed tool_calls deltas (whole argument
+                    # strings in one chunk each — clients concatenate)
+                    _, calls = gen.parse_tool_calls(cut(gen.text(req))[0])
+                    if calls:
+                        fr = "tool_calls"
+                        for i, c in enumerate(calls):
+                            emit(chunk_obj({
+                                "index": 0, "finish_reason": None,
+                                "delta": {"tool_calls": [
+                                    {"index": i, **c}]}}))
                 emit(chunk_obj({"index": 0, "finish_reason": fr,
                                 **({"delta": {}} if chat
                                    else {"text": "", "logprobs": None})}))

@@ -99,10 +99,94 @@ def test_parse_tool_calls():
     assert gen.parse_tool_calls("hello")[0] == "hello"
 
 
+def test_tool_visible_len():
+    """Streaming holdback: content before a <tool_call> tag is visible;
+    the tag and anything after is not, nor is a tail that could be the
+    start of a tag split across poll boundaries."""
+    from clearcam_tpu.server.http import _tool_visible_len as vl
+    assert vl("hello") == 5
+    assert vl("a<tool_call>{}") == 1
+    assert vl("<tool_call>") == 0
+    assert vl("abc<tool_c") == 3          # partial tag held back
+    assert vl("abc<") == 3
+    assert vl("x<toolz") == 7             # not a tag prefix: all visible
+    assert vl("") == 0
+
+
+def test_http_streamed_tool_call_emission():
+    """When the model DOES emit <tool_call> blocks under streaming, the
+    content stream stops before the tag (no prefix leaks) and the calls
+    arrive as delta.tool_calls chunks with finish_reason tool_calls —
+    driven through the real HTTP handler with a canned-generation stub."""
+    import json as _json
+    from clearcam_tpu.server.http import AppContext, serve
+    from clearcam_tpu.utils.db import KVStore
+    from test_http_generate import _post
+
+    answer = ('Checking.\n<tool_call>\n{"name": "get_weather", '
+              '"arguments": {"city": "Oslo"}}\n</tool_call>')
+
+    class _Req:
+        done = True
+        timed_out = False
+
+        def __init__(self, text):
+            self._t = text
+            self.tokens = [1, 2, 3]
+            self.lp = []
+
+        def wait(self, t):
+            return self.tokens
+
+    class StubGen:
+        def submit_messages(self, msgs, **kw):
+            return _Req(answer)
+
+        def encode_messages(self, msgs, tools=None):
+            return [1, 2, 3]
+
+        def text(self, r):
+            return r._t
+
+        def text_delta(self, r, seen):
+            return r._t[len(seen):] if r._t.startswith(seen) else r._t
+
+        def parse_tool_calls(self, text):
+            return TextServing.parse_tool_calls(self, text)
+
+        def cancel(self, r):
+            pass
+
+    ctx = AppContext(KVStore(":memory:"), "/tmp/cc_toolstream",
+                     gen=StubGen())
+    server = serve(ctx, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with _post(f"{url}/v1/chat/completions",
+                   {"messages": [{"role": "user", "content": "w?"}],
+                    "max_tokens": 8, "tools": TOOLS,
+                    "stream": True}) as r:
+            events = [ln[6:] for ln in r.read().decode().split("\n")
+                      if ln.startswith("data: ")]
+        chunks = [_json.loads(e) for e in events[:-1]]
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert text == "Checking.\n"            # nothing past the tag
+        tc = [e for c in chunks
+              for e in c["choices"][0]["delta"].get("tool_calls", [])]
+        assert len(tc) == 1 and tc[0]["index"] == 0
+        assert tc[0]["function"]["name"] == "get_weather"
+        assert _json.loads(tc[0]["function"]["arguments"]) == \
+            {"city": "Oslo"}
+        assert chunks[-1]["choices"][0]["finish_reason"] == "tool_calls"
+    finally:
+        server.shutdown()
+
+
 def test_http_tools_surface():
-    """tools + stream -> 400; tools request with no <tool_call> output
-    returns a plain assistant message (finish_reason untouched);
-    tool_choice "none" drops the tools block from the prompt."""
+    """Streamed and non-streamed tools requests flow normally when the
+    model emits no <tool_call> (random weights); tool_choice "none"
+    drops the tools block from the prompt."""
     import urllib.error
     from clearcam_tpu.server.http import AppContext, serve
     from clearcam_tpu.utils.db import KVStore
@@ -129,11 +213,19 @@ def test_http_tools_surface():
             out2 = json.loads(r.read())
         assert out2["usage"]["prompt_tokens"] \
             < out["usage"]["prompt_tokens"]
-        try:
-            _post(f"{url}/v1/chat/completions", {**body, "stream": True})
-            raise AssertionError("expected 400")
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # streamed tools: content deltas concatenate to the non-streamed
+        # answer; finish_reason normal when no tool_call is emitted
+        with _post(f"{url}/v1/chat/completions",
+                   {**body, "stream": True}) as r:
+            events = [ln[6:] for ln in r.read().decode().split("\n")
+                      if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert text == msg["content"]
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("stop",
+                                                            "length")
     finally:
         server.shutdown()
         eng.close()
