@@ -836,8 +836,16 @@ def sample_filtered_lp(logits, samp, key, counts_p=None, counts_o=None,
     lg = _processed_logits(logits, samp, counts_p, counts_o, bias)
     tok = _draw(lg, samp, key, row_keys)
     lp = jax.nn.log_softmax(lg, -1)
-    k = min(k, logits.shape[-1])     # toy vocabs < LP_K narrow the row
-    top_lp, top_id = jax.lax.top_k(lp, k)
+    kk = min(k, logits.shape[-1])    # toy vocabs < LP_K: fewer real alts
+    top_lp, top_id = jax.lax.top_k(lp, kk)
+    if kk < k:                       # pad to the FIXED [1+2k] row the
+        # engine's buffers/parser assume (consumers clamp their requested
+        # alt count to vocab_size, so padding is never surfaced)
+        shp = top_lp.shape[:-1] + (k - kk,)
+        top_lp = jnp.concatenate(
+            [top_lp, jnp.full(shp, jnp.finfo(jnp.float32).min)], -1)
+        top_id = jnp.concatenate(
+            [top_id, jnp.zeros(shp, top_id.dtype)], -1)
     chosen = jnp.take_along_axis(lp, tok[..., None], -1)
     return tok, jnp.concatenate(
         [chosen, top_lp, top_id.astype(jnp.float32)], -1)

@@ -198,11 +198,23 @@ class ObjectFinder:
         return out[:n]
 
     def embed_text(self, text: str) -> np.ndarray:
+        return self.embed_texts([text])[0]
+
+    def embed_texts(self, texts) -> np.ndarray:
+        """Batch text-tower embed ([N, 768] unit-norm): ONE device call
+        for the whole list (a per-text loop costs a dispatch round trip
+        each — serialized against all other device work). The batch pads
+        to a power-of-2 row count so distinct request sizes reuse a
+        handful of compiled shapes."""
         import jax.numpy as jnp
         if self._tok is None:
             raise RuntimeError("CLIP BPE vocab unavailable — text search disabled")
-        ids = jnp.asarray([self._tok.encode_padded(text)], jnp.int32)
-        return np.asarray(self._text_jit(self._clip_params, ids))[0]
+        n = len(texts)
+        m = 1 << max(0, n - 1).bit_length()          # pow-2 shape bucket
+        rows = [self._tok.encode_padded(t) for t in texts]
+        rows += [rows[0]] * (m - n)
+        ids = jnp.asarray(rows, jnp.int32)
+        return np.asarray(self._text_jit(self._clip_params, ids))[:n]
 
     # -- index management ------------------------------------------------------
 

@@ -207,6 +207,15 @@ class AppContext:
         return fn(*args)
 
 
+def _samp_at(samp: dict, i: int) -> dict:
+    """Per-choice sampling kwargs: fold the choice index into a seeded
+    request's seed so n>1 + seed yields n DISTINCT (but individually
+    reproducible) samples instead of n bit-identical ones."""
+    if i and "seed" in samp:
+        return {**samp, "seed": samp["seed"] + i}
+    return samp
+
+
 _TOOL_TAG = "<tool_call>"
 
 
@@ -955,9 +964,9 @@ def make_handler(ctx: AppContext):
                 if not isinstance(msgs, list) or not msgs:
                     return self.send_error(400,
                                            "messages (list) required")
-                make = lambda: gen.submit_messages(  # noqa: E731
+                make = lambda i=0: gen.submit_messages(  # noqa: E731
                     msgs, max_new=max_new, temperature=temp,
-                    timeout_s=timeout, tools=tools, **samp)
+                    timeout_s=timeout, tools=tools, **_samp_at(samp, i))
             else:
                 prompt = data.get("prompt")
                 if isinstance(prompt, list):
@@ -966,6 +975,12 @@ def make_handler(ctx: AppContext):
                     return self.send_error(400, "prompt (string) required")
                 if max_new == 0:          # pure scoring: no generation
                     ids = gen.encode_prompt(prompt, True)
+                    try:
+                        lp_obj = (gen.echo_logprobs(ids, n_top)
+                                  if lp_req else None)
+                    except AssertionError:  # scorer: prompt over ctx
+                        return self.send_error(
+                            400, "prompt too long for scoring")
                     return self._json({
                         "id": f"cmpl-{id(data):x}",
                         "created": int(time.time()), "model": model,
@@ -974,19 +989,19 @@ def make_handler(ctx: AppContext):
                         "choices": [{
                             "index": 0, "text": prompt,
                             "finish_reason": "length",
-                            "logprobs": (gen.echo_logprobs(ids, n_top)
-                                         if lp_req else None)}],
+                            "logprobs": lp_obj}],
                         "usage": {"prompt_tokens": len(ids),
                                   "completion_tokens": 0,
                                   "total_tokens": len(ids)}})
-                make = lambda: gen.submit(prompt, max_new=max_new,  # noqa: E731
-                                          temperature=temp, raw=True,
-                                          timeout_s=timeout, **samp)
+                make = lambda i=0: gen.submit(prompt, max_new=max_new,  # noqa: E731
+                                              temperature=temp, raw=True,
+                                              timeout_s=timeout,
+                                              **_samp_at(samp, i))
             from ..serving.engine import QueueFull
             reqs = []
             try:
-                for _ in range(n_choices):
-                    reqs.append(make())
+                for i in range(n_choices):
+                    reqs.append(make(i))
             except ValueError as e:     # e.g. logprobs under spec serving
                 for r in reqs:
                     gen.cancel(r)
@@ -1144,7 +1159,23 @@ def make_handler(ctx: AppContext):
                 if tools:                 # parse the held-back blocks into
                     # OpenAI streamed tool_calls deltas (whole argument
                     # strings in one chunk each — clients concatenate)
-                    _, calls = gen.parse_tool_calls(cut(gen.text(req))[0])
+                    raw = cut(gen.text(req))[0]
+                    content, calls = gen.parse_tool_calls(raw)
+                    # held-back text that did NOT parse into calls (a
+                    # malformed/truncated block, text between or after
+                    # blocks) must still reach the client as content —
+                    # the non-streamed path returns it in message.content
+                    rem = ""
+                    if calls:
+                        if content.startswith(seen.strip()) \
+                                and len(content) > len(seen.strip()):
+                            rem = content[len(seen.strip()):]
+                    else:
+                        rem = raw[len(seen):] if raw.startswith(seen) \
+                            else raw
+                    if rem:
+                        emit(chunk_obj({"index": 0, "finish_reason": None,
+                                        "delta": {"content": rem}}))
                     if calls:
                         fr = "tool_calls"
                         for i, c in enumerate(calls):
@@ -1158,7 +1189,7 @@ def make_handler(ctx: AppContext):
                 # stream_options.include_usage: one final chunk with
                 # empty choices carrying the usage object (OpenAI shape)
                 if (data.get("stream_options") or {}).get("include_usage"):
-                    p_toks = (len(gen.encode_messages(msgs)) if chat
+                    p_toks = (len(gen.encode_messages(msgs, tools)) if chat
                               else len(gen.encode_prompt(prompt, True)))
                     u = chunk_obj(None)
                     u["choices"] = []
@@ -1204,7 +1235,7 @@ def make_handler(ctx: AppContext):
                     400, "input must be a non-empty string or list")
             if len(inp) > 256:
                 return self.send_error(400, "at most 256 inputs")
-            embs = [ctx.submit(finder.embed_text, s) for s in inp]
+            embs = ctx.submit(finder.embed_texts, inp)  # ONE device call
             return self._json({
                 "object": "list", "model": "clip-vit-l14-text",
                 "data": [{"object": "embedding", "index": i,

@@ -310,10 +310,16 @@ class ServingEngine:
         if logprobs:
             if self.spec:
                 raise ValueError("logprobs unsupported with spec_lookup")
-            if not 0 < int(logprobs) <= llm.LP_K:
-                raise ValueError(f"logprobs must be 1..{llm.LP_K}")
-        if seed is not None and self.spec:
-            raise ValueError("seed unsupported with spec_lookup")
+            top = min(llm.LP_K, self.cfg.vocab_size)
+            if not 0 < int(logprobs) <= top:
+                raise ValueError(f"logprobs must be 1..{top}")
+        if seed is not None:
+            if self.spec:
+                raise ValueError("seed unsupported with spec_lookup")
+            # OpenAI seeds are 64-bit; the per-slot buffer (and fold_in)
+            # is int32 — reduce deterministically instead of letting a
+            # big seed OverflowError the scheduler thread at admission
+            seed = int(seed) % (1 << 31)
         r = Request(list(prompt) if prompt is not None else None,
                     max_new, temperature, eos_id, segments=segments,
                     top_p=top_p, top_k=top_k, min_p=min_p,

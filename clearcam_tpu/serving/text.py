@@ -201,14 +201,25 @@ class TextServing:
     def _lp_build(self, req, start, chat, n_top, max_chars):
         toks = self._visible(req)
         rows = req.lp[:len(toks)]
-        strs = [self.tok.decode([t]) for t in toks[:len(rows)]]
+        # per-request decode cache: streaming polls call this every few
+        # ms, and re-decoding EVERY visible token per poll is O(n^2) over
+        # a long generation — tokens only append (a trailing end token
+        # retires the request), so cached (string, cumulative end offset)
+        # pairs stay valid and each poll decodes only the new slice
+        cache = getattr(req, "_lp_dec", None)
+        if cache is None:
+            cache = req._lp_dec = []
+        while len(cache) < len(rows):
+            i = len(cache)
+            s = self.tok.decode([toks[i]])
+            cache.append((s, (cache[-1][1] if cache else 0) + len(s)))
+        strs = [s for s, _ in cache[:len(rows)]]
         n = len(rows)
         if max_chars is not None:
-            pos = n = 0
-            for s in strs:
-                if pos >= max_chars:
+            n = 0
+            for _, end in cache[:len(rows)]:
+                if end - len(strs[n]) >= max_chars:
                     break
-                pos += len(s)
                 n += 1
         if start >= n:
             return None, max(start, n)
@@ -217,7 +228,8 @@ class TextServing:
             return {self.tok.decode([i]): lp for i, lp in row[1][:n_top]}
 
         if not chat:
-            offs, pos = [], sum(len(s) for s in strs[:start])
+            offs = []
+            pos = cache[start - 1][1] if start else 0
             for s in strs[start:n]:
                 offs.append(pos)
                 pos += len(s)

@@ -32,9 +32,12 @@ def test_sample_filtered_lp_unit():
         tok, row = jax.jit(llm.sample_filtered_lp)(
             lg, samp, jax.random.PRNGKey(0))
         t, r = int(tok[0]), np.asarray(row[0])
-        K = min(llm.LP_K, 4)                         # toy vocab narrows
+        assert r.shape == (1 + 2 * llm.LP_K,)        # FIXED row width:
+        # toy vocabs pad (engine buffers assume the full layout)
+        K = min(llm.LP_K, 4)                         # real alts
         assert abs(r[0] - want[t]) < 1e-5            # chosen lp
-        top_lp, top_id = r[1:1 + K], r[1 + K:].astype(np.int64)
+        top_lp = r[1:1 + K]
+        top_id = r[1 + llm.LP_K:1 + llm.LP_K + K].astype(np.int64)
         assert list(top_lp) == sorted(top_lp, reverse=True)
         assert top_id[0] == 0 and abs(top_lp[0] - want[0]) < 1e-5
     # penalties DO move the reported distribution (post-penalty base)

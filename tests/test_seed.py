@@ -92,6 +92,55 @@ def test_engine_seed_slot_and_step_invariance():
         pass
 
 
+def test_seed_64bit_and_reduction():
+    """OpenAI seeds are 64-bit: a big seed must not OverflowError the
+    scheduler's int32 slot buffer — it reduces mod 2^31, deterministically
+    (seed and seed % 2^31 draw identically)."""
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1)
+    big = (1 << 33) + 12345
+    r1 = eng.submit([1, 2, 3], max_new=6, temperature=0.9, seed=big)
+    eng.run_until_idle()
+    t1 = r1.wait(1)
+    r2 = eng.submit([1, 2, 3], max_new=6, temperature=0.9,
+                    seed=big % (1 << 31))
+    eng.run_until_idle()
+    assert r2.wait(1) == t1
+
+
+def test_http_seed_n_choices_distinct():
+    """n>1 + seed folds the choice index into each choice's seed: choice
+    i of one call == choice 0 of a solo call with seed+i (reproducible
+    AND distinct, not n bit-identical copies)."""
+    from clearcam_tpu.serving import TextServing
+    from clearcam_tpu.server.http import AppContext, serve
+    from clearcam_tpu.utils.db import KVStore
+    from test_http_generate import TinyTok, _post
+
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=2).start()
+    gen = TextServing(eng, TinyTok())
+    ctx = AppContext(KVStore(":memory:"), "/tmp/cc_seedn_http", gen=gen)
+    server = serve(ctx, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        body = {"prompt": "fan out", "max_tokens": 6,
+                "temperature": 0.9, "seed": 7}
+        with _post(f"{url}/v1/completions", {**body, "n": 2}) as r:
+            pair = json.loads(r.read())["choices"]
+        texts = {}
+        for s in (7, 8):
+            with _post(f"{url}/v1/completions", {**body, "seed": s}) as r:
+                texts[s] = json.loads(r.read())["choices"][0]["text"]
+        assert pair[0]["text"] == texts[7]
+        assert pair[1]["text"] == texts[8]
+    finally:
+        server.shutdown()
+        eng.close()
+
+
 def test_http_openai_seed():
     """/v1/completions with seed: two identical stochastic requests give
     identical text; response carries system_fingerprint."""
