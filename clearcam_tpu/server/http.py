@@ -1045,6 +1045,8 @@ def make_handler(ctx: AppContext):
                     for r in reqs:
                         gen.cancel(r)
                     return self.send_error(504, "generation timed out")
+                if any(getattr(r, "failed", False) for r in reqs):
+                    return self.send_error(500, "serving engine failed")
                 prompt_toks = (len(gen.encode_messages(msgs, tools)) if chat
                                else len(gen.encode_prompt(prompt, True)))
                 ep = None

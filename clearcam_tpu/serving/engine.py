@@ -107,6 +107,10 @@ class Request:            # never conflate two requests with equal prompts
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     deadline: float | None = None                # monotonic; engine-enforced
     timed_out: bool = False                      # set when deadline cut it
+    # set when the engine scheduler died with this request in flight —
+    # the request completes (waiters unblock) with partial tokens and
+    # this flag instead of hanging forever (see ServingEngine._fail_all)
+    failed: bool = False
     # client-observed latency marks (monotonic): set at submit / first
     # materialized token / retirement — deliberately measured at HOST
     # materialization time, so TTFT includes the lagged-pipeline depth a
@@ -275,6 +279,7 @@ class ServingEngine:
         self._tick_n = 0
         self._thread: threading.Thread | None = None
         self._stop = False
+        self._dead = False            # set by _fail_all on scheduler death
 
     # -- client API --------------------------------------------------------
 
@@ -355,6 +360,9 @@ class ServingEngine:
             "token comes from the final text chunk's forward (a custom " \
             "segment writes cache rows but samples nothing)"
         with self._work:
+            if self._dead:
+                raise RuntimeError(
+                    "serving engine scheduler died (see traceback above)")
             if self.max_waiting is not None \
                     and len(self._waiting) >= self.max_waiting:
                 raise QueueFull(
@@ -396,11 +404,35 @@ class ServingEngine:
                         self._work.wait(timeout=0.5)
                     if self._stop:
                         return
-                self.step()
+                try:
+                    self.step()
+                except Exception:     # scheduler must not die silently:
+                    # an unexpected step() failure (bad request data, a
+                    # device error) would otherwise hang every waiter
+                    # forever — fail them loudly and refuse new work
+                    import traceback
+                    traceback.print_exc()
+                    self._fail_all()
+                    return
         self._thread = threading.Thread(target=loop, daemon=True,
                                         name="llm-serving")
         self._thread.start()
         return self
+
+    def _fail_all(self) -> None:
+        """Scheduler death: complete every in-flight and queued request
+        with ``failed=True`` (partial tokens kept) so clients unblock,
+        and mark the engine dead — further submits raise immediately."""
+        with self._work:
+            self._dead = True
+            for r in list(self._waiting):
+                r.failed = True
+                r._done.set()
+            self._waiting.clear()
+            for r in self.req:
+                if r is not None and not r.done:
+                    r.failed = True
+                    r._done.set()
 
     def close(self):
         with self._work:

@@ -506,3 +506,27 @@ def test_request_latency_marks():
     snap = metrics.snapshot()
     assert snap["gauges"]["serving.ttft_ms"] > 0
     assert "serving.tpot_ms" in snap["gauges"]
+
+
+def test_scheduler_death_fails_requests_loudly():
+    """An unexpected step() exception must not hang waiters forever: the
+    scheduler thread fails every in-flight and queued request
+    (failed=True, partial tokens kept) and further submits raise."""
+    import pytest
+
+    cfg = tiny_cfg(max_context=96)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1)
+
+    def boom():
+        raise RuntimeError("injected scheduler failure")
+
+    eng.step = boom
+    eng.start()
+    r1 = eng.submit([1, 2, 3], max_new=4)
+    r2 = eng.submit([4, 5], max_new=4)
+    assert r1.wait(10) == [] and r1.failed
+    assert r2.wait(10) == [] and r2.failed
+    with pytest.raises(RuntimeError):
+        eng.submit([1], max_new=1)
+    eng.close()
