@@ -28,6 +28,12 @@ class FacePipeline:
         weights_dir = Path(weights_dir)
         if blaze_params is None:
             bp = weights_dir / "blazeface.safetensors"
+            if not bp.exists():
+                # the reference DISTRIBUTES this checkpoint in-repo
+                # (models/blazeface.safetensors, loaded at blazeface.py:137)
+                # — a public data artifact, fair to resolve from the snapshot
+                from ..tools.parity import resolve_fixture
+                bp = resolve_fixture("blazeface.safetensors", weights_dir) or bp
             if bp.exists():
                 from ..io import safetensors as st
                 blaze_params = blazeface.convert_state_dict(st.load(bp))

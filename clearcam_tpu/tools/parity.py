@@ -55,7 +55,7 @@ def resolve_fixture(name: str, weights: Path | str = "weights",
     for cand in (Path(fixtures) / name, Path(weights) / name,
                  snap / "test" / "clip_images" / name,
                  snap / "utils" / name, snap / "test" / name,
-                 snap / "test" / "videos" / name):
+                 snap / "test" / "videos" / name, snap / "models" / name):
         if cand.exists():
             return cand
     return None
@@ -161,6 +161,62 @@ def check_tokenizer(weights: Path, fixtures: Path) -> tuple[bool | None, str]:
     return ok, f"{len(golden['cases'])} cases, {bad} mismatches, vocab {len(tok.encoder)}"
 
 
+def synthetic_face(res: int = 256) -> np.ndarray:
+    """Deterministic cartoon face for real-weight behavioral checks: the
+    published BlazeFace responds ~0.6 to it vs ~0.01 on a blank frame."""
+    import cv2
+    img = np.full((res, res, 3), 180, np.uint8)
+    c = res // 2
+    cv2.ellipse(img, (c, c), (60, 80), 0, 0, 360, (200, 170, 150), -1)
+    cv2.circle(img, (c - 23, c - 23), 8, (40, 30, 30), -1)
+    cv2.circle(img, (c + 23, c - 23), 8, (40, 30, 30), -1)
+    cv2.ellipse(img, (c, c + 32), (25, 10), 0, 0, 180, (120, 60, 60), 4)
+    cv2.ellipse(img, (c, c), (60, 80), 0, 0, 360, (90, 70, 60), 2)
+    return img
+
+
+def check_blazeface(weights: Path, fixtures: Path) -> tuple[bool | None, str]:
+    """Real-weight BlazeFace checks against the PUBLISHED checkpoint the
+    reference distributes in-repo (/root/reference/models/blazeface.safetensors,
+    loaded at models/blazeface.py:137) — runs fully in-sandbox:
+
+      1. loader exactness: converted key set + shapes == our param structure
+         (139 tensors; `.list.` stripping + OIHW->HWIO);
+      2. anchor parity: the checkpoint's `anchors` tensor must equal our
+         derived 16x16x2 + 8x8x6 grid EXACTLY (blazeface.default_anchors);
+      3. behavior: the real weights are face-selective through our forward
+         (synthetic face prob > 0.3, blank frame < 0.05)."""
+    ckpt = resolve_fixture("blazeface.safetensors", weights, fixtures)
+    if ckpt is None:
+        return None, "missing: blazeface.safetensors (weights/ or snapshot models/)"
+    import jax.numpy as jnp
+    from ..io import safetensors as st
+    from ..models import blazeface
+
+    p = blazeface.convert_state_dict(st.load(ckpt))
+    ref = blazeface.init_params(seed=0)
+    if set(p) != set(ref):
+        extra, miss = set(p) - set(ref), set(ref) - set(p)
+        return False, f"key mismatch: +{sorted(extra)[:3]} -{sorted(miss)[:3]}"
+    bad = [k for k in p if np.asarray(p[k]).shape != np.asarray(ref[k]).shape]
+    if bad:
+        return False, f"shape mismatch: {bad[:5]}"
+    if not np.array_equal(np.asarray(p["anchors"]), blazeface.default_anchors()):
+        return False, "published anchors != derived grid"
+
+    def max_prob(img):
+        x = jnp.asarray(img, jnp.float32) / 127.5 - 1.0
+        _, sc = blazeface.forward(p, x[None])
+        logits = np.clip(np.asarray(sc)[0, :, 0], -50, 50)
+        return float((1.0 / (1.0 + np.exp(-logits))).max())
+
+    face_p = max_prob(synthetic_face())
+    blank_p = max_prob(np.zeros((256, 256, 3), np.uint8))
+    ok = face_p > 0.3 and blank_p < 0.05
+    return ok, (f"139 keys+shapes ok, anchors exact; face prob {face_p:.3f} "
+                f"(>0.3), blank {blank_p:.3f} (<0.05)")
+
+
 def check_mot(weights: Path, fixtures: Path,
               detector_kind: str = "yolo") -> tuple[bool | None, str]:
     """Unique-person count on MOT16-03 (the reference regression invariant)."""
@@ -213,6 +269,7 @@ CHECKS = {
     "clip": check_clip,
     "clip-pkl": check_clip_pkl,
     "tokenizer": check_tokenizer,
+    "blazeface": check_blazeface,
     "mot": lambda w, f: check_mot(w, f, "yolo"),
     "mot-rfdetr": lambda w, f: check_mot(w, f, "rfdetr"),
     "yolo": check_yolo_golden,

@@ -243,14 +243,10 @@ def test_clip_text_tower_parity():
 # BlazeFace backbone + AdaFace block vs torch
 # ---------------------------------------------------------------------------
 
-def test_blazeface_forward_parity():
+def _torch_blazeface_forward(pn, x):
+    """Reference-structured torch forward (models/blazeface.py:90-137):
+    returns (raw regressors [1,896,16], classifier logits [1,896,1])."""
     from clearcam_tpu.models import blazeface
-    p = blazeface.init_params(seed=9)
-    pn = {k: np.asarray(v) for k, v in p.items()}
-    rng = np.random.default_rng(4)
-    x = rng.normal(size=(1, 256, 256, 3)).astype(np.float32)
-
-    ours_r, ours_c = blazeface.forward(p, jnp.asarray(x))
 
     def conv(pre, x, s=1, pad=0, groups=1):
         return tF.conv2d(x, hwio_to_oihw(pn[pre + ".weight"]),
@@ -281,11 +277,46 @@ def test_blazeface_forward_parity():
         r2 = conv("regressor_16_tiny", fin).permute(0, 2, 3, 1).reshape(1, -1, 16)
         ref_r = torch.cat([r1, r2], 1).numpy()
         ref_c = torch.cat([c1, c2], 1).numpy()
+    return ref_r, ref_c
+
+
+def test_blazeface_forward_parity():
+    from clearcam_tpu.models import blazeface
+    p = blazeface.init_params(seed=9)
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 256, 256, 3)).astype(np.float32)
+
+    ours_r, ours_c = blazeface.forward(p, jnp.asarray(x))
+    ref_r, ref_c = _torch_blazeface_forward(pn, x)
     # random unnormalized weights blow activations up to ~1e4 through 31
     # residual ReLU blocks; conv accumulation order then costs ~1% relative.
     # A layout/padding bug would mismatch everywhere at order-1 error.
     np.testing.assert_allclose(np.asarray(ours_r), ref_r, rtol=3e-2, atol=1e-2)
     np.testing.assert_allclose(np.asarray(ours_c), ref_c, rtol=3e-2, atol=1e-2)
+
+
+def test_blazeface_real_weight_parity():
+    """Forward parity under the PUBLISHED checkpoint the reference ships
+    in-repo (models/blazeface.safetensors, loaded at blazeface.py:137).
+    Real trained weights keep activations bounded, so tolerances tighten
+    ~300x vs the synthetic test above — and real weights exercise the actual
+    key-name conversion + OIHW->HWIO transpose on every tensor."""
+    from clearcam_tpu.models import blazeface
+    from clearcam_tpu.tools.parity import resolve_fixture, synthetic_face
+
+    ckpt = resolve_fixture("blazeface.safetensors")
+    if ckpt is None:
+        pytest.skip("blazeface.safetensors not in weights/ or snapshot")
+    from clearcam_tpu.io import safetensors as st
+    p = blazeface.convert_state_dict(st.load(ckpt))
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    x = (synthetic_face().astype(np.float32) / 127.5 - 1.0)[None]
+
+    ours_r, ours_c = blazeface.forward(p, jnp.asarray(x))
+    ref_r, ref_c = _torch_blazeface_forward(pn, x)
+    np.testing.assert_allclose(np.asarray(ours_r), ref_r, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours_c), ref_c, rtol=1e-4, atol=1e-4)
 
 
 def test_adaface_block_parity():

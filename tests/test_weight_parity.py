@@ -41,6 +41,13 @@ def test_tokenizer_real_vocab():
     _run("tokenizer")
 
 
+def test_blazeface_real_checkpoint():
+    """The published BlazeFace checkpoint the reference distributes in-repo
+    (models/blazeface.safetensors): loader key/shape exactness, anchor-grid
+    exactness, face-selective behavior — runs in-sandbox, no downloads."""
+    _run("blazeface")
+
+
 def test_mot16_unique_persons_yolo():
     _run("mot")
 
