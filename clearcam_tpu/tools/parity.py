@@ -161,18 +161,34 @@ def check_tokenizer(weights: Path, fixtures: Path) -> tuple[bool | None, str]:
     return ok, f"{len(golden['cases'])} cases, {bad} mismatches, vocab {len(tok.encoder)}"
 
 
-def synthetic_face(res: int = 256) -> np.ndarray:
-    """Deterministic cartoon face for real-weight behavioral checks: the
-    published BlazeFace responds ~0.6 to it vs ~0.01 on a blank frame."""
+def synthetic_face() -> np.ndarray:
+    """Deterministic rendered face for real-weight behavioral checks. The
+    published BlazeFace scores it 0.90 on CPU / ~0.84 on the v5e (bf16 conv
+    deltas) vs ~0.01 on a blank frame — above the reference's 0.85 save
+    threshold on CPU, so the full detect->align pipeline runs on it in the
+    (CPU-forced) test suite."""
     import cv2
-    img = np.full((res, res, 3), 180, np.uint8)
-    c = res // 2
-    cv2.ellipse(img, (c, c), (60, 80), 0, 0, 360, (200, 170, 150), -1)
-    cv2.circle(img, (c - 23, c - 23), 8, (40, 30, 30), -1)
-    cv2.circle(img, (c + 23, c - 23), 8, (40, 30, 30), -1)
-    cv2.ellipse(img, (c, c + 32), (25, 10), 0, 0, 180, (120, 60, 60), 4)
-    cv2.ellipse(img, (c, c), (60, 80), 0, 0, 360, (90, 70, 60), 2)
-    return img
+    img = np.full((300, 300, 3), 120, np.uint8)
+    C = 150
+    cv2.ellipse(img, (C, C - 52), (58, 40), 0, 0, 360, (70, 50, 40), -1)
+    cv2.ellipse(img, (C, C - 5), (55, 70), 0, 0, 360, (225, 190, 160), -1)
+    cv2.ellipse(img, (C, C - 62), (56, 28), 0, 180, 360, (70, 50, 40), -1)
+    for ex, ey in ((C - 24, C - 18), (C + 24, C - 18)):
+        cv2.ellipse(img, (ex, ey), (12, 6), 0, 0, 360, (250, 250, 250), -1)
+        cv2.circle(img, (ex, ey), 5, (90, 60, 40), -1)
+        cv2.circle(img, (ex, ey), 2, (20, 20, 20), -1)
+        cv2.ellipse(img, (ex, ey - 12), (14, 4), 0, 180, 360, (70, 50, 40), 3)
+    cv2.line(img, (C, C - 10), (C - 4, C + 18), (190, 150, 120), 3)
+    cv2.ellipse(img, (C - 2, C + 20), (8, 4), 0, 0, 180, (170, 120, 100), 2)
+    cv2.ellipse(img, (C, C + 42), (20, 8), 0, 0, 180, (160, 80, 80), -1)
+    cv2.line(img, (C - 20, C + 42), (C + 20, C + 42), (120, 50, 50), 2)
+    img = cv2.GaussianBlur(img, (5, 5), 1.5)
+    r = cv2.resize(img, None, fx=0.85, fy=0.85)
+    canvas = np.full((256, 256, 3), 120, np.uint8)
+    h, w = r.shape[:2]
+    t, l = (256 - h) // 2, (256 - w) // 2
+    canvas[t:t + h, l:l + w] = r
+    return canvas
 
 
 def check_blazeface(weights: Path, fixtures: Path) -> tuple[bool | None, str]:

