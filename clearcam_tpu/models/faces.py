@@ -33,7 +33,12 @@ class FacePipeline:
                 # (models/blazeface.safetensors, loaded at blazeface.py:137)
                 # — a public data artifact, fair to resolve from the snapshot
                 from ..tools.parity import resolve_fixture
-                bp = resolve_fixture("blazeface.safetensors", weights_dir) or bp
+                found = resolve_fixture("blazeface.safetensors", weights_dir)
+                if found is not None:
+                    # advisor r3: say WHICH checkpoint the fallback picked so
+                    # deployments can tell what weights are actually in use
+                    print(f"blazeface: {bp} absent, using {found}")
+                    bp = found
             if bp.exists():
                 from ..io import safetensors as st
                 blaze_params = blazeface.convert_state_dict(st.load(bp))

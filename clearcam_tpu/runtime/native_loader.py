@@ -18,17 +18,31 @@ BUILD_DIR = NATIVE_DIR / "build"
 _libs: dict[str, ctypes.CDLL | None] = {}
 
 
+def _stale(path: Path) -> bool:
+    """A built .so older than any native source is stale: rebuild before
+    loading (binaries are gitignored — they only exist as local build
+    products, and a silently outdated one must never shadow edited C/C++)."""
+    if not path.exists():
+        return True
+    built = path.stat().st_mtime
+    for src in NATIVE_DIR.rglob("*.c*"):
+        if "build" not in src.parts and src.stat().st_mtime > built:
+            return True
+    return False
+
+
 def load_lib(name: str) -> ctypes.CDLL | None:
     if name in _libs:
         return _libs[name]
     path = BUILD_DIR / f"lib{name}.so"
-    if not path.exists():
+    if _stale(path):
         try:
             subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            _libs[name] = None
-            return None
+            if not path.exists():
+                _libs[name] = None
+                return None
     try:
         _libs[name] = ctypes.CDLL(str(path))
     except OSError:

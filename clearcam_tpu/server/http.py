@@ -952,6 +952,11 @@ def make_handler(ctx: AppContext):
             if isinstance(stops, str):
                 stops = [stops]
             model = str(data.get("model") or ctx.served_model)
+            # serving-config fingerprint (TextServing.fingerprint): changes
+            # with anything batch-width/numerics-affecting so clients can
+            # tell when seeded outputs are not comparable across deployments
+            fp = (gen.fingerprint() if hasattr(gen, "fingerprint")
+                  else "fp_clearcam_tpu")
             # OpenAI tool calling (chat only): function specs ride into
             # the system turn (<tools> block, Qwen chat-template
             # convention); well-formed <tool_call> output blocks come
@@ -985,7 +990,7 @@ def make_handler(ctx: AppContext):
                         "id": f"cmpl-{id(data):x}",
                         "created": int(time.time()), "model": model,
                         "object": "text_completion",
-                        "system_fingerprint": "fp_clearcam_tpu",
+                        "system_fingerprint": fp,
                         "choices": [{
                             "index": 0, "text": prompt,
                             "finish_reason": "length",
@@ -1092,7 +1097,7 @@ def make_handler(ctx: AppContext):
                     "id": rid, "created": created, "model": model,
                     "object": ("chat.completion" if chat
                                else "text_completion"),
-                    "system_fingerprint": "fp_clearcam_tpu",
+                    "system_fingerprint": fp,
                     "choices": choices,
                     "usage": {"prompt_tokens": prompt_toks,
                               "completion_tokens": done_toks,
@@ -1114,7 +1119,7 @@ def make_handler(ctx: AppContext):
                 o = {"id": rid, "created": created, "model": model,
                      "object": ("chat.completion.chunk" if chat
                                 else "text_completion"),
-                     "system_fingerprint": "fp_clearcam_tpu",
+                     "system_fingerprint": fp,
                      "choices": [delta_choice]}
                 return o
 

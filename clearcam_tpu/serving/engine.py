@@ -200,6 +200,15 @@ class ServingEngine:
         # disabled there, same convention as prefix_cache.
         self.spec = int(spec_lookup) \
             if cfg.ssm is None and not use_pallas_decode else 0
+        # Batch-width/numerics-affecting config, hashed into the OpenAI
+        # system_fingerprint: `seed` reproducibility holds per compiled
+        # graph shape, but penalized-greedy near-tie logits can flip
+        # tokens across batch widths under bf16 MXU tiling (PARITY.md) —
+        # a changed fingerprint tells clients the draws are not
+        # comparable across deployments.
+        self.fingerprint_cfg = (n_slots, jnp.dtype(state_dtype).name,
+                                bool(kv_quant), self.spec,
+                                bool(use_pallas_decode))
         self.hist: list[list[int]] = [[] for _ in range(n_slots)]
         self.stats = {"prefill_chunks": 0, "prefill_tokens": 0,
                       "reused_tokens": 0, "decode_steps": 0,

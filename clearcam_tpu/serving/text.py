@@ -39,6 +39,17 @@ class TextServing:
     def has_work(self) -> bool:
         return self.engine._has_work()
 
+    def fingerprint(self) -> str:
+        """OpenAI ``system_fingerprint``: stable per serving config, changed
+        by anything that affects the compiled batch shape or sampling
+        numerics (slot count, KV dtype/quant, spec decoding, Pallas decode).
+        Clients comparing seeded outputs across deployments should treat a
+        fingerprint change as "draws may differ" (PARITY.md batch-width
+        caveat)."""
+        import hashlib
+        cfg = getattr(self.engine, "fingerprint_cfg", ())
+        return "fp_cc_" + hashlib.sha1(repr(cfg).encode()).hexdigest()[:10]
+
     def cancel(self, req: Request) -> None:
         self.engine.cancel(req)
 

@@ -164,7 +164,35 @@ def test_http_openai_seed():
             with _post(f"{url}/v1/completions", body) as r:
                 outs.append(json.loads(r.read()))
         assert outs[0]["choices"][0]["text"] == outs[1]["choices"][0]["text"]
-        assert outs[0]["system_fingerprint"] == "fp_clearcam_tpu"
+        assert outs[0]["system_fingerprint"].startswith("fp_cc_")
     finally:
         server.shutdown()
         eng.close()
+
+
+def test_system_fingerprint_tracks_batch_width_config():
+    """system_fingerprint must change with any batch-width/numerics-
+    affecting engine config (VERDICT r3 item 7): seeded draws are only
+    comparable under an identical fingerprint (PARITY.md bf16 tiling
+    caveat)."""
+    from clearcam_tpu.serving import TextServing
+
+    class FakeTok:
+        def encode(self, s):
+            return [1]
+
+    cfg = tiny_cfg(max_context=32)
+    params = llm.init_params(cfg, seed=0)
+
+    def fp(**kw):
+        return TextServing(ServingEngine(params, cfg, **kw), FakeTok()) \
+            .fingerprint()
+
+    base = fp(n_slots=2)
+    assert base.startswith("fp_cc_")
+    assert fp(n_slots=2) == base                      # stable per config
+    assert fp(n_slots=4) != base                      # batch width
+    assert fp(n_slots=2, state_dtype=jnp.bfloat16) != base   # KV dtype
+    assert fp(n_slots=2, kv_quant=True,
+              state_dtype=jnp.bfloat16) != base              # KV quant
+    assert fp(n_slots=2, spec_lookup=3) != base              # spec decode
