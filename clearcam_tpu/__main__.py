@@ -52,7 +52,29 @@ def daily_restart(nvr, at=(0, 0)):
         restart_all_cams(nvr)
 
 
-def build_detector(settings, weights_dir: Path):
+def build_meshes(n: int):
+    """(detect_mesh, llm_mesh) over the first n devices, or (None, None).
+
+    Two meshes, same chips, different layouts (SURVEY.md §2.3 "new" row):
+    detection is activation-dominated so its batch data-parallels over all
+    n ("data"=n); the Qwen summary language model is weight/KV-dominated so
+    it tensor/expert-parallels over all n ("model"=n). XLA inserts the
+    collectives over ICI from the shardings — no hand-written NCCL analogue
+    (the reference is single-accelerator, clearcam.py:253,269-270).
+    """
+    if n <= 1:
+        return None, None
+    import jax
+    from .parallel import mesh as pmesh
+    avail = len(jax.devices())
+    if avail < n:
+        raise SystemExit(
+            f"--mesh {n}: only {avail} device(s) visible; for CPU testing "
+            f"set XLA_FLAGS=--xla_force_host_platform_device_count={n}")
+    return pmesh.make_mesh(n, data=n), pmesh.make_mesh(n, data=1)
+
+
+def build_detector(settings, weights_dir: Path, mesh=None):
     """YOLOv9 with published weights when present, random otherwise.
 
     Env knobs (the reference's HALF/DEV/BEAM equivalents, model.py:326-331,
@@ -74,7 +96,7 @@ def build_detector(settings, weights_dir: Path):
     dtype = jnp.float32 if os.environ.get("CLEARCAM_DTYPE") == "f32" \
         else jnp.bfloat16
     return BatchDetector(settings.model_size, int(settings.model_res),
-                         params=params, compute_dtype=dtype)
+                         params=params, compute_dtype=dtype, mesh=mesh)
 
 
 def main(argv=None):
@@ -88,6 +110,11 @@ def main(argv=None):
                          "on every HTTP request")
     ap.add_argument("--no-detector", action="store_true",
                     help="run the server without a TPU detector (UI/API only)")
+    ap.add_argument("--mesh", type=int,
+                    default=int(os.environ.get("CLEARCAM_MESH", "0") or 0),
+                    help="scale over the first N chips: detect batches "
+                         "data-parallel over ICI, the Qwen summary engine "
+                         "tensor-parallel (0/1 = single device)")
     args = ap.parse_args(argv)
 
     from .utils.db import KVStore
@@ -102,7 +129,9 @@ def main(argv=None):
     if not isinstance(stored, GlobalSettings):
         db.run_put("global_settings", "all", settings)
 
-    detector = None if args.no_detector else build_detector(settings, args.weights)
+    detect_mesh, llm_mesh = build_meshes(args.mesh)
+    detector = None if args.no_detector else build_detector(
+        settings, args.weights, mesh=detect_mesh)
 
     # always constructed (towers load lazily on init_*) so enabling CLIP or
     # faces later via /edit_settings works without a restart
@@ -134,7 +163,7 @@ def main(argv=None):
     qwen = build_qwen(settings) if settings.use_qwen and settings.key else None
 
     nvr = NVR(db, args.data, settings, detector=detector,
-              object_finder=object_finder, qwen=qwen)
+              object_finder=object_finder, qwen=qwen, llm_mesh=llm_mesh)
     storage = StorageManager(args.data / "cameras")
     nvr.storage = storage
 
@@ -165,7 +194,7 @@ def main(argv=None):
             (object_finder.init_face if new.use_face else object_finder.turn_off_face)()
         if detector is not None and (new.model_size != detector.size
                                      or int(new.model_res) != detector.res):
-            detector = build_detector(new, args.weights)
+            detector = build_detector(new, args.weights, mesh=detect_mesh)
             nvr.detector = detector
         want_qwen = new.use_qwen and new.key
         if want_qwen and (nvr.qwen is None

@@ -94,10 +94,19 @@ class BatchDetector:
     """Shape-bucketed batched detection. One compiled program per
     (batch, H, W) bucket; batch dims are padded to powers of two to bound the
     number of XLA programs (replacing the reference's shape-keyed TinyJit
-    cache, helpers.py:214-221)."""
+    cache, helpers.py:214-221).
+
+    With ``mesh`` set (a jax.sharding.Mesh with a "data" axis — see
+    ``parallel.mesh.make_mesh``), the frame batch is sharded over the mesh's
+    data axis and GSPMD splits each detect call across chips over ICI:
+    the NVR's natural multi-chip scale-out (SURVEY.md §2.3 "new" row; the
+    reference is single-accelerator, clearcam.py:253,269-270). Weights are
+    replicated (detect is activation-dominated) and batch buckets are padded
+    to multiples of the data-axis size so every chip gets equal rows.
+    """
 
     def __init__(self, size: str = "t", res: int = 960, params=None,
-                 compute_dtype=None):
+                 compute_dtype=None, mesh=None):
         import jax
         import jax.numpy as jnp
         import functools
@@ -110,13 +119,24 @@ class BatchDetector:
             self.params = jax.tree.map(
                 lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
                 self.params)
-        self._fn = jax.jit(functools.partial(
-            yolov9.detect, size=size, res=res, compute_dtype=dtype))
-        self._jnp = jnp
+        self.mesh = mesh
+        self._dp = 1
+        self._in_spec = None
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            self.params = pmesh.replicate(mesh, self.params)
+            self._fn, self._in_spec = pmesh.sharded_detect_fn(
+                mesh, size=size, res=res, compute_dtype=dtype)
+            self._dp = mesh.shape["data"]
+        else:
+            self._fn = jax.jit(functools.partial(
+                yolov9.detect, size=size, res=res, compute_dtype=dtype))
+        self._jax, self._jnp = jax, jnp
 
-    @staticmethod
-    def _bucket(n: int) -> int:
-        b = 1
+    def _bucket(self, n: int) -> int:
+        """Smallest dp * 2^k >= n: pow-2 growth bounds compile count, the
+        dp factor keeps every bucket divisible by the mesh's data axis."""
+        b = self._dp
         while b < n:
             b *= 2
         return b
@@ -134,7 +154,9 @@ class BatchDetector:
             batch = np.zeros((b, *shape), np.uint8)
             for j, i in enumerate(idxs):
                 batch[j] = frames[i]
-            preds = np.asarray(self._fn(self.params, self._jnp.asarray(batch)))
+            dev = self._jnp.asarray(batch) if self._in_spec is None else \
+                self._jax.device_put(batch, self._in_spec)
+            preds = np.asarray(self._fn(self.params, dev))
             for j, i in enumerate(idxs):
                 out[i] = preds[j]
         return out  # type: ignore[return-value]
@@ -280,7 +302,7 @@ class NVR:
                  qwen=None, notifier=None, uploader=None,
                  classes: set | None = None, labels=None,
                  use_native_ingest: bool = True,
-                 summary_slots: int | None = None):
+                 summary_slots: int | None = None, llm_mesh=None):
         self.db = db
         self.base_dir = Path(base_dir)
         (self.base_dir / "cameras").mkdir(parents=True, exist_ok=True)
@@ -299,6 +321,9 @@ class NVR:
         import os as _os
         self.summary_slots = summary_slots if summary_slots is not None \
             else int(_os.environ.get("CLEARCAM_SUMMARY_SLOTS", "0") or 0)
+        # llm_mesh: a ("data","model") Mesh — the summary engine's language
+        # model tensor/expert-parallels over its "model" axis (--mesh flag)
+        self.llm_mesh = llm_mesh
         self._summary_engine = None
         self._summaries: list[tuple] = []   # (request, cam_name, notify)
         self.executor = DeviceExecutor()
@@ -753,7 +778,7 @@ class NVR:
             # qwen state — half the bytes, serving-grade numerics
             self._summary_engine = VLMServingEngine(
                 self.qwen, n_slots=self.summary_slots,
-                state_dtype=jnp.bfloat16)
+                state_dtype=jnp.bfloat16, mesh=self.llm_mesh)
         return self._summary_engine
 
     def _notify_and_upload(self, cam: CamState, thumbnail: Path, ts: float):

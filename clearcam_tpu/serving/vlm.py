@@ -22,7 +22,7 @@ from .engine import Request, ServingEngine
 class VLMServingEngine:
     """Wraps ServingEngine with Qwen3-VL image segments + chat template."""
 
-    def __init__(self, qwen, n_slots: int = 2, **engine_kw):
+    def __init__(self, qwen, n_slots: int = 2, mesh=None, **engine_kw):
         self.qwen = qwen
         impl = qwen._image_prefill_impl
         slotted = llm.make_slot_transform(
@@ -41,10 +41,23 @@ class VLMServingEngine:
         # when the deployment pins temperature 0 for deterministic alerts)
         engine_kw.setdefault("spec_lookup", int(
             os.environ.get("CLEARCAM_SPEC_LOOKUP", "0") or 0))
-        self.engine = ServingEngine(qwen.lang.params, qwen.lang.cfg,
+        # mesh: tensor/expert-parallel language model over a ("model",)
+        # mesh axis (parallel/mesh.serving_engine_tp layout) — prefill/
+        # decode graphs GSPMD-partition over ICI. The vision tower stays
+        # replicated (its params ride the custom_prefill closure; XLA
+        # reshards its slot writes into the split cache).
+        params = qwen.lang.params
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            params = pmesh.shard_llm_params(mesh, params)
+        self.engine = ServingEngine(params, qwen.lang.cfg,
                                     n_slots=n_slots,
                                     custom_prefill=custom_prefill,
                                     **engine_kw)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            self.engine.state = pmesh.shard_llm_state(
+                mesh, qwen.lang.cfg, self.engine.state)
         self.n_img = (qwen.toks_per_img + len(qwen._prefix)
                       + len(qwen._suffix))
 

@@ -29,6 +29,7 @@ client at the same port (server/http._post_openai):
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
 
@@ -82,11 +83,20 @@ def build_engine(args):
             args.gguf, max_context=args.ctx, quantize=args.int8)
         cfg, params = model.cfg, model.params
         tok = LLMTokenizer.from_gguf_kv(kv)
-    eng = ServingEngine(params, cfg, n_slots=args.slots,
-                        state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
-                        use_pallas_decode=args.pallas,
-                        sync_lag=args.sync_lag, fetch_every=args.fetch_every,
-                        max_waiting=args.max_waiting, spec_lookup=args.spec)
+    engine_kw = dict(n_slots=args.slots,
+                     state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
+                     use_pallas_decode=args.pallas,
+                     sync_lag=args.sync_lag, fetch_every=args.fetch_every,
+                     max_waiting=args.max_waiting, spec_lookup=args.spec)
+    if args.mesh > 1:
+        # tensor/expert-parallel serving over the first N chips: weights +
+        # KV cache split over the mesh's "model" axis, the prefill/decode
+        # graphs GSPMD-partition over ICI (parallel/mesh.serving_engine_tp)
+        from ..parallel import mesh as pmesh
+        eng = pmesh.serving_engine_tp(
+            params, cfg, pmesh.make_mesh(args.mesh, data=1), **engine_kw)
+    else:
+        eng = ServingEngine(params, cfg, **engine_kw)
     return TextServing(eng, tok)
 
 
@@ -123,6 +133,10 @@ def main(argv=None):
                     help="admission queue bound; overloaded requests get "
                          "HTTP 503 + Retry-After instead of piling up")
     ap.add_argument("--api-token", default=None)
+    ap.add_argument("--mesh", type=int,
+                    default=int(os.environ.get("CLEARCAM_MESH", "0") or 0),
+                    help="tensor-parallel the model over the first N chips "
+                         "(weights + KV split over ICI; 0/1 = single device)")
     args = ap.parse_args(argv)
     assert args.gguf is not None or args.synthetic, \
         "--gguf PATH or --synthetic required"

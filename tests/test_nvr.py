@@ -99,10 +99,22 @@ def test_camera_hot_add_and_remove(tmp_path):
 
 
 def test_batch_detector_bucketing():
-    assert BatchDetector._bucket(1) == 1
-    assert BatchDetector._bucket(3) == 4
-    assert BatchDetector._bucket(8) == 8
-    assert BatchDetector._bucket(9) == 16
+    class Solo:
+        _dp = 1
+
+    class Mesh8:
+        _dp = 8
+
+    b = BatchDetector._bucket
+    assert b(Solo(), 1) == 1
+    assert b(Solo(), 3) == 4
+    assert b(Solo(), 8) == 8
+    assert b(Solo(), 9) == 16
+    # with a data-parallel mesh, buckets are dp * 2^k (every chip gets
+    # equal rows)
+    assert b(Mesh8(), 1) == 8
+    assert b(Mesh8(), 8) == 8
+    assert b(Mesh8(), 9) == 16
 
 
 def test_cross_stream_batching(tmp_path):
