@@ -139,15 +139,31 @@ def export_clip(stream_dir: Path, output_path: Path, live: bool = False,
     """Concat recent HLS segments into an mp4. live=True produces the 240p
     CRF32 relay segment; otherwise re-encode until <=10MB (helpers.py:133-200)."""
     ff = find_ffmpeg()
-    if ff is None:
-        print("export_clip: ffmpeg unavailable")
-        return False
     segments = sorted(Path(stream_dir).glob("*.ts"), key=os.path.getmtime)
     if not segments:
         return False
     cutoff = (os.path.getmtime(segments[0]) + start) if start is not None else time.time() - length
     stop = (os.path.getmtime(segments[0]) + start + length) if start is not None else time.time() - end
     recent = deque(f for f in segments if cutoff <= os.path.getmtime(f) <= stop)
+    if ff is None:
+        if live:
+            # the 240p relay segment is a re-encode — no ffmpeg, no clip
+            print("export_clip: ffmpeg unavailable for the 240p relay")
+            return False
+        # air-gapped fallback: pure-Python TS->fMP4 remux (io/fmp4.py) —
+        # stream copy, so the <=10MB re-encode ladder doesn't apply; the
+        # uploader tolerates bigger clips, the reference would just fail
+        if not recent:
+            return False
+        from ..io import fmp4
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            fmp4.remux_segments(list(recent), output_path)
+            return True
+        except Exception as e:  # noqa: BLE001
+            print(f"export_clip: remux failed: {e}")
+            output_path.unlink(missing_ok=True)
+            return False
     concat = Path(stream_dir) / "concat_list.txt"
     concat.write_text("".join(f"file '{s.resolve()}'\n" for s in recent))
     output_path.parent.mkdir(parents=True, exist_ok=True)

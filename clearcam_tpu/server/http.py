@@ -310,7 +310,8 @@ def make_handler(ctx: AppContext):
             q = parse_qs(parsed.query, keep_blank_values=True)
             cam = self._q(q, "cam")
             route = getattr(self, "_get_" + parsed.path.strip("/")
-                            .replace("-", "_").replace("/", "_"), None)
+                            .replace("-", "_").replace("/", "_")
+                            .replace(".", "_"), None)
             try:
                 if parsed.path == "/":
                     return self._page(q, cam)
@@ -598,6 +599,35 @@ def make_handler(ctx: AppContext):
                     removed.append(sub)
             self._json({"status": "deleted", "removed": removed})
 
+        def _get_day_mp4(self, q, cam):
+            """Air-gapped day playback: remux the day's own HLS `.ts`
+            segments into ONE fragmented MP4 (pure-Python box rewriting, no
+            transcode — io/fmp4.py) and serve it with Range support, so a
+            plain ``<video>`` tag plays and seeks a whole day with neither
+            hls.js (CDN, reference mainview.html:2841) nor ffmpeg present.
+            Cached next to the segments; rebuilt when new segments land."""
+            name = safe_cam_name(self._q(q, "cam_name") or cam)
+            day = self._q(q, "day")
+            if not name or not day or not DATE_RE.match(day):
+                return self.send_error(400, "need cam + day (YYYY-MM-DD)")
+            stream_dir = self._cameras_dir() / name / "streams" / day
+            segs = sorted(stream_dir.glob("*.ts"))
+            if not segs:
+                return self.send_error(404, "no recordings for that day")
+            out = stream_dir / "day_remux.mp4"
+            newest = max(s.stat().st_mtime for s in segs)
+            if not out.exists() or out.stat().st_mtime < newest:
+                from ..io import fmp4
+                try:
+                    skipped = fmp4.remux_segments(segs, out)
+                except Exception as e:  # noqa: BLE001
+                    out.unlink(missing_ok=True)
+                    return self.send_error(500, f"remux failed: {e}")
+                if skipped:
+                    print(f"day.mp4 {name}/{day}: {skipped} segment(s) "
+                          "skipped (unparseable or resolution changed)")
+            self._send_file_ranged(out, "video/mp4")
+
         def _get_download_day(self, q, cam):
             """Concat a day's HLS segments into one mp4 download (stream
             copy, no re-encode) — the iOS on-phone server's `download`
@@ -617,19 +647,27 @@ def make_handler(ctx: AppContext):
             if not out.exists() or out.stat().st_mtime < newest:
                 ff = find_ffmpeg()
                 if ff is None:
-                    return self.send_error(500, "ffmpeg unavailable")
-                concat = stream_dir / "day_concat.txt"
-                concat.write_text("".join(f"file '{s.resolve()}'\n"
-                                          for s in segs))
-                try:
-                    rc = subprocess.run(
-                        [ff, "-y", "-loglevel", "quiet", "-f", "concat",
-                         "-safe", "0", "-i", str(concat), "-c", "copy",
-                         str(out)], timeout=300).returncode
-                except subprocess.TimeoutExpired:
-                    rc = -1
-                if rc != 0 or not out.exists():
-                    return self.send_error(500, "concat failed")
+                    # air-gapped host: pure-Python TS->fMP4 remux instead
+                    # (same box rewriting /day.mp4 serves)
+                    from ..io import fmp4
+                    try:
+                        fmp4.remux_segments(segs, out)
+                    except Exception as e:  # noqa: BLE001
+                        out.unlink(missing_ok=True)
+                        return self.send_error(500, f"remux failed: {e}")
+                else:
+                    concat = stream_dir / "day_concat.txt"
+                    concat.write_text("".join(f"file '{s.resolve()}'\n"
+                                              for s in segs))
+                    try:
+                        rc = subprocess.run(
+                            [ff, "-y", "-loglevel", "quiet", "-f", "concat",
+                             "-safe", "0", "-i", str(concat), "-c", "copy",
+                             str(out)], timeout=300).returncode
+                    except subprocess.TimeoutExpired:
+                        rc = -1
+                    if rc != 0 or not out.exists():
+                        return self.send_error(500, "concat failed")
             self.send_response(200)
             self.send_header("Content-Type", "video/mp4")
             self.send_header("Content-Disposition",
@@ -715,6 +753,11 @@ def make_handler(ctx: AppContext):
                      ".ts": "video/MP2T", ".m4s": "video/iso.segment",
                      ".mp4": "video/mp4", ".png": "image/png",
                      ".jpg": "image/jpeg"}.get(fp.suffix, "application/octet-stream")
+            self._send_file_ranged(fp, ctype)
+
+        def _send_file_ranged(self, fp, ctype: str):
+            """Serve a file with byte-Range support (video seeking needs
+            206 responses)."""
             size = fp.stat().st_size
             rng = self.headers.get("Range")
             start, end = 0, size - 1
