@@ -22,6 +22,7 @@ restart, VOD analysis progress (clearcam.py:165-628,1162-1176).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -776,9 +777,15 @@ class NVR:
             from ..serving.vlm import VLMServingEngine
             # bf16 KV: the slots' cache is additional to the solo
             # qwen state — half the bytes, serving-grade numerics
+            # max_restarts: a transient engine crash (one poisoned
+            # request, a device hiccup) resets slot state and requeues
+            # unstarted summaries instead of killing summaries for the
+            # rest of the NVR's life (serving.engine._recover)
             self._summary_engine = VLMServingEngine(
                 self.qwen, n_slots=self.summary_slots,
-                state_dtype=jnp.bfloat16, mesh=self.llm_mesh)
+                state_dtype=jnp.bfloat16, mesh=self.llm_mesh,
+                max_restarts=int(os.environ.get(
+                    "CLEARCAM_SERVING_RESTARTS", "3")))
         return self._summary_engine
 
     def _notify_and_upload(self, cam: CamState, thumbnail: Path, ts: float):

@@ -183,7 +183,8 @@ class ServingEngine:
                  seed: int = 0, sync_lag: int = 4, custom_prefill=None,
                  prefix_cache: bool = True, fetch_every: int = 4,
                  prefill_batch: bool = True, max_waiting: int | None = None,
-                 spec_lookup: int = 0):
+                 spec_lookup: int = 0, max_restarts: int = 0,
+                 restart_window_s: float = 600.0):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
@@ -212,12 +213,23 @@ class ServingEngine:
         self.hist: list[list[int]] = [[] for _ in range(n_slots)]
         self.stats = {"prefill_chunks": 0, "prefill_tokens": 0,
                       "reused_tokens": 0, "decode_steps": 0,
-                      "prefill_batched_steps": 0, "spec_emitted": 0}
+                      "prefill_batched_steps": 0, "spec_emitted": 0,
+                      "scheduler_restarts": 0}
+        # scheduler crash recovery budget: up to max_restarts restarts per
+        # sliding restart_window_s window (0 = fail-loud only, the round-3
+        # behavior); a long-lived server with a rare crash never exhausts
+        # the budget, a crash loop does and fails loudly
+        self.max_restarts = int(max_restarts)
+        self.restart_window_s = float(restart_window_s)
+        self._restart_marks: deque[float] = deque()
         self.prefill_slot, self.decode_all, self.prefill_many = \
             llm.make_serving_fns(cfg, use_pallas_decode=use_pallas_decode,
                                  interpret=interpret, spec_lookup=self.spec)
         if not prefill_batch:
             self.prefill_many = None     # always one slot-chunk per tick
+        # kept for _recover(): a scheduler restart re-inits device state
+        # with exactly the construction-time layout
+        self._state_dtype, self._kv_quant = state_dtype, kv_quant
         self.state = llm.init_state(cfg, batch=n_slots, dtype=state_dtype,
                                     kv_quant=kv_quant)
         self.aux = llm.init_serving_aux(cfg, n_slots) if self.spec else None
@@ -418,15 +430,95 @@ class ServingEngine:
                 except Exception:     # scheduler must not die silently:
                     # an unexpected step() failure (bad request data, a
                     # device error) would otherwise hang every waiter
-                    # forever — fail them loudly and refuse new work
+                    # forever — recover within the restart budget, else
+                    # fail them loudly and refuse new work
                     import traceback
                     traceback.print_exc()
+                    if self._recover():
+                        continue
                     self._fail_all()
                     return
         self._thread = threading.Thread(target=loop, daemon=True,
                                         name="llm-serving")
         self._thread.start()
         return self
+
+    def _recover(self) -> bool:
+        """Scheduler crash recovery: reset all slot/device state and apply
+        the requeue-or-fail policy to in-flight work, so a transient step()
+        failure (a device hiccup, one poisoned request) doesn't take the
+        whole engine down.
+
+        Requeue-or-fail: a request whose client has not yet OBSERVED any
+        token (none materialized — ``tokens`` empty) is requeued at the
+        front of the waiting queue and re-runs from scratch; seeded
+        requests redraw identically (llm.serving_row_keys is position-
+        keyed, not step-keyed), unseeded ones redraw fresh — the same
+        contract as a new submit. A request that already streamed tokens
+        cannot be resumed (the cache rows are gone) and must not silently
+        restart mid-stream, so it completes with ``failed=True`` and its
+        partial tokens. Queued requests are untouched.
+
+        Returns False when more than ``max_restarts`` recoveries landed
+        within the last ``restart_window_s`` seconds — the caller then
+        falls back to _fail_all (a crash LOOP should be loud, a rare
+        crash survivable)."""
+        now = time.monotonic()
+        with self._work:
+            while self._restart_marks and \
+                    now - self._restart_marks[0] > self.restart_window_s:
+                self._restart_marks.popleft()
+            if len(self._restart_marks) >= self.max_restarts:
+                return False
+            self._restart_marks.append(now)
+            self.stats["scheduler_restarts"] += 1
+            # requeue-or-fail the in-flight slots (front of the queue, in
+            # slot order — they were admitted earliest)
+            requeue = []
+            for b in range(self.n_slots):
+                r = self.req[b]
+                if r is not None and not r.done:
+                    if r.tokens:
+                        r.failed = True
+                        r._done.set()
+                    else:
+                        r.t_first = None
+                        requeue.append(r)
+                self.req[b] = None
+                self.phase[b] = _FREE
+                self.epoch[b] += 1    # pending records for old occupants
+                self.hist[b] = []     # are dropped; no prefix survives
+            for r in reversed(requeue):
+                self._waiting.appendleft(r)
+            self._deadlines = sum(1 for w in self._waiting
+                                  if w.deadline is not None)
+            self._cancel = {r for r in self._cancel if not r.done}
+            # device state: fresh caches/positions, zeroed sampling aux —
+            # exactly the construction-time layout (old arrays may be
+            # poisoned by the failed dispatch)
+            self.state = llm.init_state(self.cfg, batch=self.n_slots,
+                                        dtype=self._state_dtype,
+                                        kv_quant=self._kv_quant)
+            if self.spec:
+                self.aux = llm.init_serving_aux(self.cfg, self.n_slots)
+            self.cursor[:] = 0
+            self.seg_idx = [0] * self.n_slots
+            self.seg_start[:] = 0
+            self._inject[:] = False
+            self.samp[:] = 0.0
+            self.samp[:, 1] = 1.0
+            self.samp[:, 6] = 1.0
+            self._temps_dev = jnp.asarray(self.samp)
+            self._temps_dirty = False
+            self._cnt_p = jnp.zeros_like(self._cnt_p)
+            self._cnt_o = jnp.zeros_like(self._cnt_o)
+            self._bias = jnp.zeros_like(self._bias)
+            self._tok_dev = jnp.zeros_like(self._tok_dev)
+            self._first_tok = jnp.zeros_like(self._first_tok)
+            self._first_lp = jnp.zeros_like(self._first_lp)
+            self._pending.clear()
+            self._acc = []
+        return True
 
     def _fail_all(self) -> None:
         """Scheduler death: complete every in-flight and queued request

@@ -87,7 +87,8 @@ def build_engine(args):
                      state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
                      use_pallas_decode=args.pallas,
                      sync_lag=args.sync_lag, fetch_every=args.fetch_every,
-                     max_waiting=args.max_waiting, spec_lookup=args.spec)
+                     max_waiting=args.max_waiting, spec_lookup=args.spec,
+                     max_restarts=args.max_restarts)
     if args.mesh > 1:
         # tensor/expert-parallel serving over the first N chips: weights +
         # KV cache split over the mesh's "model" axis, the prefill/decode
@@ -132,6 +133,13 @@ def main(argv=None):
                     dest="max_waiting",
                     help="admission queue bound; overloaded requests get "
                          "HTTP 503 + Retry-After instead of piling up")
+    ap.add_argument("--max-restarts", type=int, dest="max_restarts",
+                    default=int(os.environ.get(
+                        "CLEARCAM_SERVING_RESTARTS", "3")),
+                    help="scheduler crash recoveries allowed per 10-min "
+                         "window before the engine fails loudly (slot "
+                         "state reset + requeue-or-fail; 0 = fail-loud "
+                         "on first crash)")
     ap.add_argument("--api-token", default=None)
     ap.add_argument("--mesh", type=int,
                     default=int(os.environ.get("CLEARCAM_MESH", "0") or 0),
