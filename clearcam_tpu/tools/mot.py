@@ -21,6 +21,19 @@ from pathlib import Path
 import numpy as np
 
 
+def accumulate_people(people: set, tracks, person_class: int = 0):
+    """Apply the reference's MOT filters (run_mot.py:20-23: tracklet_len>=1
+    and speed>=2.5) and add the surviving person track ids to ``people``.
+    Returns the filtered live tracks. Shared by run_mot and the synthetic
+    NVR-scale invariant test (tests/test_mot_scale.py) so both count
+    uniques exactly the way the reference regression does (run_mot.py:25)."""
+    live = [t for t in tracks if t.tracklet_len >= 1 and t.speed >= 2.5]
+    for t in live:
+        if int(t.class_id) == person_class:
+            people.add(int(t.track_id))
+    return live
+
+
 def run_mot(video: str, detector=None, size: str = "t", res: int = 960,
             det_thresh: float = 0.25, out_path: str | None = None,
             weights_dir: str = "weights", max_frames: int | None = None,
@@ -62,10 +75,7 @@ def run_mot(video: str, detector=None, size: str = "t", res: int = 960,
             break
         preds = detector.detect_many([frame])[0]
         tracks = tracker.update(np.asarray(preds), det_thresh)
-        live = [t for t in tracks if t.tracklet_len >= 1 and t.speed >= 2.5]
-        for t in live:
-            if int(t.class_id) == person_class:
-                people.add(int(t.track_id))
+        live = accumulate_people(people, tracks, person_class)
         frames_out.append(live)
         if writer is not None:
             from ..utils.annotate import draw_predictions
