@@ -28,21 +28,41 @@ CTX = 77
 VOCAB = 49408
 
 
-def _attn(x, w_in, b_in, w_out, b_out, n_heads, mask=None):
+def _use_flash() -> bool:
+    """Image-tower attention kernel selection at TRACE time: the Pallas
+    flash kernel (ops/vit_attention.py) on TPU — it removes the f32
+    [B,16,257,257] score HBM round-trip the probe measured as the tower's
+    biggest gap (PERF.md CLIP post-mortem) — XLA attention elsewhere
+    (CPU tests run the reference math path). CLEARCAM_VIT_FLASH=0/1
+    overrides."""
+    import os
+    env = os.environ.get("CLEARCAM_VIT_FLASH", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _attn(x, w_in, b_in, w_out, b_out, n_heads, mask=None, flash=False):
     """Fused-qkv multi-head attention on [B,L,D] (torch MHA layout:
     in_proj (3D,D), out_proj (D,D))."""
     qkv = F.linear(x, w_in, b_in)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (F.split_heads(t, n_heads) for t in (q, k, v))
-    out = F.mha(q, k, v, mask=mask)
+    if flash and mask is None:
+        from ..ops.vit_attention import mha_flash
+        out = mha_flash(q, k, v)
+    else:
+        out = F.mha(q, k, v, mask=mask)
     return F.linear(F.merge_heads(out), w_out, b_out)
 
 
-def encode_image(p: dict, pixels, normalize: bool = True):
+def encode_image(p: dict, pixels, normalize: bool = True,
+                 flash: bool | None = None):
     """uint8/float RGB [B,224,224,3] -> L2-normalized [B,768].
 
     Preprocess parity with ObjectFinder.preprocess (objects.py:237-242):
     x/255, (x-0.5)/0.5 — fused here so the host ships raw bytes.
+    flash: attention kernel override (None = auto, see _use_flash).
     """
     dtype = p["visual_conv1.weight"].dtype      # compute in the weights' dtype
     x = pixels.astype(dtype)
@@ -53,13 +73,15 @@ def encode_image(p: dict, pixels, normalize: bool = True):
     cls = jnp.broadcast_to(p["class_embedding"], (b, 1, IMG_WIDTH))
     x = jnp.concatenate([cls, x], axis=1) + p["positional_embedding"]
     x = F.layer_norm(x, p["ln_pre.weight"], p["ln_pre.bias"])
+    if flash is None:
+        flash = _use_flash()
     n_blocks = 1 + max(int(k.split(".")[1]) for k in p if k.startswith("resblocks_img."))
     for i in range(n_blocks):
         pre = f"resblocks_img.{i}"
         h = F.layer_norm(x, p[pre + ".ln_1.weight"], p[pre + ".ln_1.bias"])
         x = x + _attn(h, p[pre + ".in_proj_weight"], p[pre + ".in_proj_bias"],
                       p[pre + ".out_proj_weight"], p[pre + ".out_proj_bias"],
-                      IMG_HEADS)
+                      IMG_HEADS, flash=flash)
         h = F.layer_norm(x, p[pre + ".ln_2.weight"], p[pre + ".ln_2.bias"])
         h = F.linear_p(p, pre + ".mlp_c_fc", h)
         h = jax.nn.gelu(h, approximate=False)

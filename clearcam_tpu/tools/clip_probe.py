@@ -103,12 +103,15 @@ def main(argv=None):
         "attn_bf16s": scalar(functools.partial(attn_stack,
                                                bf16_scores=True)),
         "mlp": scalar(mlp_stack),
-        "full": scalar(functools.partial(clip.encode_image, normalize=True)),
+        "full": scalar(functools.partial(clip.encode_image, normalize=True,
+                                         flash=False)),
+        "full_flash": scalar(functools.partial(clip.encode_image,
+                                               normalize=True, flash=True)),
     }
     # GF per image per stage (MACs x2): attn qkvo 2.16+scores/pv 0.27,
     # mlp 4.31, per block
     gf = {"stem": 0.31, "attn": 24 * 2.43, "attn_bf16s": 24 * 2.43,
-          "mlp": 24 * 4.31, "full": GF_PER_IMG}
+          "mlp": 24 * 4.31, "full": GF_PER_IMG, "full_flash": GF_PER_IMG}
 
     print(f"# backend {jax.default_backend()}")
     rng = np.random.default_rng(0)
