@@ -29,17 +29,11 @@ VOCAB = 49408
 
 
 def _use_flash() -> bool:
-    """Image-tower attention kernel selection at TRACE time: the Pallas
-    flash kernel (ops/vit_attention.py) on TPU — it removes the f32
-    [B,16,257,257] score HBM round-trip the probe measured as the tower's
-    biggest gap (PERF.md CLIP post-mortem) — XLA attention elsewhere
-    (CPU tests run the reference math path). CLEARCAM_VIT_FLASH=0/1
-    overrides."""
-    import os
-    env = os.environ.get("CLEARCAM_VIT_FLASH", "")
-    if env in ("0", "1"):
-        return env == "1"
-    return jax.default_backend() == "tpu"
+    """Image-tower attention kernel selection (ops/vit_attention.py: the
+    flash kernel removes the f32 [B,16,257,257] score HBM round-trip the
+    probe measured as the tower's biggest gap — PERF.md CLIP post-mortem)."""
+    from ..ops.vit_attention import use_flash
+    return use_flash()
 
 
 def _attn(x, w_in, b_in, w_out, b_out, n_heads, mask=None, flash=False):

@@ -146,8 +146,14 @@ class VisionTower:
                 .transpose(1, 0, 2, 3)
             q = q * cos + rotate_half(q) * sin
             k = k * cos + rotate_half(k) * sin
-            out = F.mha(q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
-                        v.transpose(1, 0, 2)[None])
+            # flash on TPU: at 640x640 the grid is 1600 tokens and XLA's
+            # f32 [1,H,1600,1600] score buffer is ~164 MB of HBM traffic
+            # per block (see ops/vit_attention.py; PERF.md CLIP post-mortem
+            # measured the same pattern on ViT-L)
+            from ..ops.vit_attention import mha_flash, use_flash
+            _mha = mha_flash if use_flash() else F.mha
+            out = _mha(q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
+                       v.transpose(1, 0, 2)[None])
             out = out[0].transpose(1, 0, 2).reshape(x.shape[0], -1)
             x = x + F.linear(out, p[pre + ".attn_out.weight"],
                              p.get(pre + ".attn_out.bias"))

@@ -30,6 +30,18 @@ import jax.numpy as jnp
 _BLOCK = 128
 
 
+def use_flash() -> bool:
+    """Kernel selection at TRACE time: Pallas flash on the TPU backend,
+    XLA attention elsewhere (CPU tests exercise the reference math path;
+    the stock kernel has no interpret hook). CLEARCAM_VIT_FLASH=0/1
+    overrides — e.g. 0 to A/B the XLA path on hardware."""
+    import os
+    env = os.environ.get("CLEARCAM_VIT_FLASH", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def mha_flash(q, k, v, sm_scale: float | None = None):
     """[B,H,T,D] q,k,v -> [B,H,T,D]; non-causal flash attention with
     T padded to a 128 multiple under the hood. Drop-in for F.mha(q,k,v)
