@@ -676,7 +676,7 @@ def _samp_of(t):
 
 
 def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
-                    bias=None, row_keys=None):
+                    bias=None, row_keys=None, cmask=None):
     """Gumbel-max sampling with device-side penalties, logit bias, and
     top-p/k/min-p filters.
 
@@ -719,11 +719,12 @@ def sample_filtered(logits, samp, key, counts_p=None, counts_o=None,
     unpenalized greedy stays batch-shape-robust.
     """
     samp = _samp_of(samp)
-    lg = _processed_logits(logits, samp, counts_p, counts_o, bias)
+    lg = _processed_logits(logits, samp, counts_p, counts_o, bias, cmask)
     return _draw(lg, samp, key, row_keys)
 
 
-def _processed_logits(logits, samp, counts_p=None, counts_o=None, bias=None):
+def _processed_logits(logits, samp, counts_p=None, counts_o=None, bias=None,
+                      cmask=None):
     """Penalties + logit bias applied, f32 (``samp`` already normalized by
     _samp_of). This is the distribution logprobs report over — post
     penalties/bias, PRE temperature and filters (the standard serving
@@ -755,6 +756,13 @@ def _processed_logits(logits, samp, counts_p=None, counts_o=None, bias=None):
                           lambda x: x + jnp.where(has_bias != 0.0, bias,
                                                   0.0),
                           lambda x: x, lg)
+    if cmask is not None:
+        # constrained decoding (serving/constrain.py): cmask flags tokens
+        # the row's grammar state disallows — masked to the filters'
+        # sentinel so both the draw and the reported logprob distribution
+        # see the CONSTRAINED support (unconstrained rows pass all-False
+        # masks: a bitwise no-op)
+        lg = jnp.where(cmask, jnp.float32(jnp.finfo(jnp.float32).min), lg)
     return lg
 
 
@@ -822,7 +830,7 @@ LP_K = 8      # top-alternative count baked into logprob-carrying graphs
 
 
 def sample_filtered_lp(logits, samp, key, counts_p=None, counts_o=None,
-                       bias=None, k: int = LP_K, row_keys=None):
+                       bias=None, k: int = LP_K, row_keys=None, cmask=None):
     """sample_filtered that also returns a packed logprob row per sample:
     [chosen_lp, top-k lps (desc), top-k ids (as f32)] -> [..., 1 + 2k].
 
@@ -833,7 +841,7 @@ def sample_filtered_lp(logits, samp, key, counts_p=None, counts_o=None,
     top_k over [B, V] — noise next to the forward — so serving graphs
     compute it unconditionally (no per-request cond)."""
     samp = _samp_of(samp)
-    lg = _processed_logits(logits, samp, counts_p, counts_o, bias)
+    lg = _processed_logits(logits, samp, counts_p, counts_o, bias, cmask)
     tok = _draw(lg, samp, key, row_keys)
     lp = jax.nn.log_softmax(lg, -1)
     kk = min(k, logits.shape[-1])    # toy vocabs < LP_K: fewer real alts
@@ -1134,7 +1142,8 @@ def generate_batch(params, cfg: TransformerConfig, prompts: list,
 
 
 def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
-                     interpret: bool = False, spec_lookup: int = 0):
+                     interpret: bool = False, spec_lookup: int = 0,
+                     constraints: bool = False):
     """Continuous-batching serving graphs (serving/engine.py drives them).
 
     spec_lookup=G > 0 returns the SPECULATIVE graphs instead (device-side
@@ -1235,6 +1244,26 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     the per-row-position Pallas kernel (ops/decode_attention): HBM reads
     stop at max(pos)+1 instead of max_context — the win regime when live
     positions sit far below the cache length.
+
+    constraints=True (serving/constrain.py — grammar-constrained decoding,
+    e.g. OpenAI json_object): the three graphs take extra args and return
+    an extra output —
+        ctab   [S, V] int16  token-level transition table (shared; -1 =
+                             token disallowed in that state)
+        cinit  [B]  int32    per-slot admission-time start state (-1 =
+                             request unconstrained); prefills derive the
+                             first token's state from it each chunk, so
+                             mid-prompt junk samples can't corrupt it
+        cstate [B]  int32    per-slot live state, device-chained like
+                             cnt_o: each graph masks disallowed logits
+                             (one [B, V] gather) and advances the state
+                             with the token it just sampled, returned as
+                             the final output.
+    constraints=False wraps the same compiled graphs with an inert [1, V]
+    table and all-unconstrained rows — the mask is select(False, ., lg),
+    bitwise identity, so unconstrained serving is unchanged token-for-
+    token. Not composable with spec_lookup (a drafted window would need
+    per-position grammar states inside the verify scan).
     """
     freqs = jnp.asarray(precompute_freqs(cfg.rope_dim, cfg.max_context,
                                          cfg.rope_theta))
@@ -1245,7 +1274,27 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             "rejected draft's recurrent-state update cannot be rolled back)"
         assert not use_pallas_decode, \
             "spec_lookup and use_pallas_decode are mutually exclusive"
+        assert not constraints, \
+            "constrained decoding and spec_lookup are mutually exclusive"
         return _make_spec_serving_fns(cfg, int(spec_lookup), freqs)
+
+    def _con_mask(ctab, cst, extra_live=None):
+        """Per-row constraint context: (disallow-mask [B, V], live-
+        constrained flag [B], gathered transition rows [B, V])."""
+        crow = jnp.take(ctab, jnp.maximum(cst, 0), 0)
+        con = cst >= 0
+        if extra_live is not None:
+            con = con & extra_live
+        return con[:, None] & (crow < 0), con, crow
+
+    def _con_advance(con, crow, tok, cst):
+        """State after emitting ``tok``: rows whose transition is somehow
+        dead (unreachable with a byte-complete vocab) stay put instead of
+        going unconstrained."""
+        nxt = jnp.take_along_axis(
+            crow, tok[..., None].astype(jnp.int32), -1)[..., 0] \
+            .astype(jnp.int32)
+        return jnp.where(con & (nxt >= 0), nxt, cst)
 
     attn_impl = None
     if use_pallas_decode:
@@ -1266,9 +1315,9 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
     # size. first_tok/prev_tok are NOT donated: lagged pending records
     # (serving/engine.py) still hold references to earlier outputs.
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def prefill_slot(params, state, first_tok, first_lp, tokens, slot,
-                     start_pos, n_real, temp, seed, base_key, cnt_p, cnt_o,
-                     bias):
+    def prefill_slot_c(params, state, first_tok, first_lp, tokens, slot,
+                       start_pos, n_real, temp, seed, base_key, cnt_p, cnt_o,
+                       bias, ctab, cinit, cstate):
         st_b = [jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, 0), s)
             for s in state]
@@ -1285,6 +1334,13 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                                        n_real, freqs)
         hidden = F.rms_norm(hidden, params["output_norm.weight"],
                             cfg.norm_eps)
+        # constraint context from the ADMISSION state, not cstate: every
+        # chunk of this slot's prefill re-derives "state after the first
+        # generated token" from cinit, so the junk tokens sampled by
+        # mid-prompt chunks overwrite junk and the final chunk lands the
+        # real value
+        ci = jax.lax.dynamic_slice(cinit, (slot,), (1,))
+        cmask, con, crow = _con_mask(ctab, ci)
         tok, lp = sample_filtered_lp(
             F.linear(hidden, params["output.weight"]),
             temp, None,
@@ -1292,7 +1348,10 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             jax.lax.dynamic_slice_in_dim(cnt_o, slot, 1, 0),
             jax.lax.dynamic_slice_in_dim(bias, slot, 1, 0),
             row_keys=serving_row_keys(          # first token: idx 0
-                base_key, jnp.asarray([seed]), jnp.zeros((1,), jnp.int32)))
+                base_key, jnp.asarray([seed]), jnp.zeros((1,), jnp.int32)),
+            cmask=cmask)
+        cstate = jax.lax.dynamic_update_slice(
+            cstate, _con_advance(con, crow, tok, ci), (slot,))
         state = [jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
                 full, part.astype(full.dtype), slot, 0), s, sb)
@@ -1300,11 +1359,11 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         first_tok = jax.lax.dynamic_update_slice(
             first_tok, tok.astype(first_tok.dtype), (slot,))
         first_lp = jax.lax.dynamic_update_slice(first_lp, lp, (slot, 0))
-        return first_tok, first_lp, state
+        return first_tok, first_lp, state, cstate
 
     @functools.partial(jax.jit, donate_argnums=(1, 7))
-    def decode_all(params, state, prev_tok, first_tok, meta, samp,
-                   base_key, cnt_o, cnt_p, bias):
+    def decode_all_c(params, state, prev_tok, first_tok, meta, samp,
+                     base_key, cnt_o, cnt_p, bias, ctab, cstate):
         pos, live = meta[0], meta[1] != 0
         token = jnp.where(meta[2] != 0, first_tok, prev_tok)[:, None]
         # the consumed token joins the row's output histogram BEFORE
@@ -1320,11 +1379,14 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # generated-token index: this step produces token (pos - plen + 1)
         # of its row's request (prefill's first token was index 0) — the
         # key depends on (seed, index) only, never slot/step/companions
+        cmask, con, crow = _con_mask(ctab, cstate, live)
         tok, lp = sample_filtered_lp(
             logits, samp, None, cnt_p, cnt_o, bias,
             row_keys=serving_row_keys(base_key, meta[3],
-                                      pos - meta[4] + 1))
-        return tok, state, cnt_o, lp
+                                      pos - meta[4] + 1),
+            cmask=cmask)
+        cstate = _con_advance(con, crow, tok, cstate)
+        return tok, state, cnt_o, lp, cstate
 
     if cfg.ssm is None:
         # Batched multi-slot prefill: one weight-read pass advances EVERY
@@ -1337,23 +1399,27 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # the mixed-ladder bottleneck, PERF.md). valid gates cache writes
         # row-wise (write_mask) — invalid rows' caches stay bit-identical.
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_many(params, state, first_tok, first_lp, tokens, meta,
-                         samp, base_key, cnt_p, cnt_o, bias):
+        def prefill_many_c(params, state, first_tok, first_lp, tokens, meta,
+                           samp, base_key, cnt_p, cnt_o, bias, ctab, cinit,
+                           cstate):
             starts, n_real, valid = meta[0], meta[1], meta[2] != 0
             hidden, state = forward(params, cfg, state, tokens, starts,
                                     freqs, write_mask=valid)
             h = jnp.take_along_axis(
                 hidden, jnp.maximum(n_real - 1, 0)[:, None, None], 1)[:, 0]
             h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
+            cmask, con, crow = _con_mask(ctab, cinit, valid)
             tok, lp = sample_filtered_lp(
                 F.linear(h, params["output.weight"]),
                 samp, None, cnt_p, cnt_o, bias,
                 row_keys=serving_row_keys(    # first token: idx 0 per row
-                    base_key, meta[3], jnp.zeros_like(meta[3])))
+                    base_key, meta[3], jnp.zeros_like(meta[3])),
+                cmask=cmask)
+            cstate = _con_advance(con, crow, tok, cstate)
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
             first_lp = jnp.where(valid[:, None], lp, first_lp)
-            return first_tok, first_lp, state
+            return first_tok, first_lp, state, cstate
     else:
         # SSM/hybrid batched prefill: the recurrence is T=1-only, so the
         # chunk is SCANNED token-by-token inside one compiled program
@@ -1368,8 +1434,9 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
         # prefill_slot; prefix_cache is engine-disabled for SSM stacks,
         # so admissions always begin at 0).
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_many(params, state, first_tok, first_lp, tokens, meta,
-                         samp, base_key, cnt_p, cnt_o, bias):
+        def prefill_many_c(params, state, first_tok, first_lp, tokens, meta,
+                           samp, base_key, cnt_p, cnt_o, bias, ctab, cinit,
+                           cstate):
             starts, n_real, valid = meta[0], meta[1], meta[2] != 0
             fresh = valid & (starts == 0)
             state = [jax.tree.map(
@@ -1403,15 +1470,58 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
             h = jnp.take_along_axis(
                 hiddens, jnp.maximum(n_real - 1, 0)[None, :, None], 0)[0]
             h = F.rms_norm(h, params["output_norm.weight"], cfg.norm_eps)
+            cmask, con, crow = _con_mask(ctab, cinit, valid)
             tok, lp = sample_filtered_lp(
                 F.linear(h, params["output.weight"]),
                 samp, None, cnt_p, cnt_o, bias,
                 row_keys=serving_row_keys(
-                    base_key, meta[3], jnp.zeros_like(meta[3])))
+                    base_key, meta[3], jnp.zeros_like(meta[3])),
+                cmask=cmask)
+            cstate = _con_advance(con, crow, tok, cstate)
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
             first_lp = jnp.where(valid[:, None], lp, first_lp)
-            return first_tok, first_lp, state
+            return first_tok, first_lp, state, cstate
+
+    if constraints:
+        return prefill_slot_c, decode_all_c, prefill_many_c
+
+    # legacy (unconstrained) surface: same compiled graphs fed an inert
+    # [1, V] table and all-unconstrained rows — the mask is
+    # select(False, ., logits), a bitwise no-op, so every existing
+    # exactness property holds unchanged
+    inert_tab = jnp.zeros((1, cfg.vocab_size), jnp.int16)
+    uncon: dict[int, jnp.ndarray] = {}
+
+    def _uncon(b):
+        if b not in uncon:
+            uncon[b] = jnp.full((b,), -1, jnp.int32)
+        return uncon[b]
+
+    def prefill_slot(params, state, first_tok, first_lp, tokens, slot,
+                     start_pos, n_real, temp, seed, base_key, cnt_p, cnt_o,
+                     bias):
+        u = _uncon(first_tok.shape[0])
+        ft, fl, st, _ = prefill_slot_c(
+            params, state, first_tok, first_lp, tokens, slot, start_pos,
+            n_real, temp, seed, base_key, cnt_p, cnt_o, bias,
+            inert_tab, u, u)
+        return ft, fl, st
+
+    def decode_all(params, state, prev_tok, first_tok, meta, samp,
+                   base_key, cnt_o, cnt_p, bias):
+        tok, st, co, lp, _ = decode_all_c(
+            params, state, prev_tok, first_tok, meta, samp, base_key,
+            cnt_o, cnt_p, bias, inert_tab, _uncon(first_tok.shape[0]))
+        return tok, st, co, lp
+
+    def prefill_many(params, state, first_tok, first_lp, tokens, meta,
+                     samp, base_key, cnt_p, cnt_o, bias):
+        u = _uncon(first_tok.shape[0])
+        ft, fl, st, _ = prefill_many_c(
+            params, state, first_tok, first_lp, tokens, meta, samp,
+            base_key, cnt_p, cnt_o, bias, inert_tab, u, u)
+        return ft, fl, st
 
     return prefill_slot, decode_all, prefill_many
 

@@ -991,6 +991,22 @@ def make_handler(ctx: AppContext):
             # same seed => same draws regardless of slot/step/batch mates)
             if data.get("seed") is not None:
                 samp["seed"] = int(data["seed"])
+            # OpenAI response_format: json_object = grammar-constrained
+            # decoding — non-JSON tokens are masked ON DEVICE each step
+            # (serving/constrain.py) instead of prompt-and-pray. Needs an
+            # engine built with a "json" constraint (tools/serve_llm.py
+            # registers one by default).
+            rf = data.get("response_format") or {}
+            rft = rf.get("type") if isinstance(rf, dict) else rf
+            if rft in ("json_object", "json"):
+                if "json" not in getattr(gen.engine, "_cstarts", {}):
+                    return self.send_error(
+                        400, "response_format json_object unavailable: "
+                        "engine built without a json constraint")
+                samp["constraint"] = "json"
+            elif rft not in (None, "text"):
+                return self.send_error(
+                    400, f"unsupported response_format type {rft!r}")
             stops = data.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]

@@ -103,6 +103,11 @@ class Request:            # never conflate two requests with equal prompts
     # identically regardless of slot, step count, or batch companions.
     # None = a random seed per submission (draws differ every time).
     seed: int | None = None
+    # grammar-constrained decoding (serving/constrain.py): name of a
+    # constraint registered at engine construction (e.g. "json" — OpenAI
+    # response_format json_object). The engine masks disallowed tokens on
+    # device each step; None = unconstrained.
+    constraint: str | None = None
     segments: list | None = None
     tokens: list = field(default_factory=list)   # generated ids (incl. eos)
     deadline: float | None = None                # monotonic; engine-enforced
@@ -184,7 +189,8 @@ class ServingEngine:
                  prefix_cache: bool = True, fetch_every: int = 4,
                  prefill_batch: bool = True, max_waiting: int | None = None,
                  spec_lookup: int = 0, max_restarts: int = 0,
-                 restart_window_s: float = 600.0):
+                 restart_window_s: float = 600.0,
+                 constraints: dict | None = None):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
@@ -207,9 +213,33 @@ class ServingEngine:
         # tokens across batch widths under bf16 MXU tiling (PARITY.md) —
         # a changed fingerprint tells clients the draws are not
         # comparable across deployments.
+        # grammar constraints (serving/constrain.py): all registered
+        # automatons pack into ONE device-resident [S_total, V] table
+        # (disjoint row blocks); per-request start states select the
+        # grammar. Engines without constraints ride the same graphs with
+        # an inert [1, V] table — unconstrained rows are bitwise
+        # unaffected (llm.make_serving_fns constraints note).
+        self._cstarts: dict[str, int] = {}
+        self._ctab = None
+        if constraints:
+            if self.spec:
+                raise ValueError(
+                    "constrained decoding unsupported with spec_lookup "
+                    "(a drafted verify window has no per-position grammar "
+                    "state)")
+            from .constrain import concat_constraints
+            tab, self._cstarts = concat_constraints(constraints)
+            assert tab.shape[1] == cfg.vocab_size, \
+                f"constraint table vocab {tab.shape[1]} != cfg " \
+                f"{cfg.vocab_size}"
+            self._ctab = jnp.asarray(tab)
+        elif not self.spec:        # NOT spec_lookup: spec may be silently
+            # disabled (SSM/Pallas engines), which still uses these graphs
+            self._ctab = jnp.zeros((1, cfg.vocab_size), jnp.int16)
         self.fingerprint_cfg = (n_slots, jnp.dtype(state_dtype).name,
                                 bool(kv_quant), self.spec,
-                                bool(use_pallas_decode))
+                                bool(use_pallas_decode),
+                                tuple(sorted(self._cstarts)))
         self.hist: list[list[int]] = [[] for _ in range(n_slots)]
         self.stats = {"prefill_chunks": 0, "prefill_tokens": 0,
                       "reused_tokens": 0, "decode_steps": 0,
@@ -224,7 +254,8 @@ class ServingEngine:
         self._restart_marks: deque[float] = deque()
         self.prefill_slot, self.decode_all, self.prefill_many = \
             llm.make_serving_fns(cfg, use_pallas_decode=use_pallas_decode,
-                                 interpret=interpret, spec_lookup=self.spec)
+                                 interpret=interpret, spec_lookup=self.spec,
+                                 constraints=not self.spec)
         if not prefill_batch:
             self.prefill_many = None     # always one slot-chunk per tick
         # kept for _recover(): a scheduler restart re-inits device state
@@ -262,6 +293,15 @@ class ServingEngine:
         # so stale rows are inert and the sampler skips the read entirely
         # while no slot carries a bias
         self._bias = jnp.zeros((n_slots, cfg.vocab_size), jnp.float32)
+        # per-slot grammar state: _cinit_np is the admission-time start
+        # state (-1 = unconstrained; host-owned, uploaded when dirty),
+        # _cstate the live state (device-chained through the graphs like
+        # _cnt_o — the host reads tokens late, so it can never know the
+        # current state; the device always does)
+        self._cinit_np = np.full(n_slots, -1, np.int32)
+        self._cinit_dev = jnp.asarray(self._cinit_np)
+        self._cinit_dirty = False
+        self._cstate = jnp.full((n_slots,), -1, jnp.int32)
         self._cnt_row_set = jax.jit(
             lambda c, v, b: jax.lax.dynamic_update_slice(c, v[None], (b, 0)))
         self._tok_dev = jnp.zeros((n_slots,), jnp.int32)
@@ -313,7 +353,8 @@ class ServingEngine:
                frequency_penalty: float = 0.0,
                repetition_penalty: float = 1.0,
                logit_bias: dict | None = None,
-               logprobs: int = 0, seed: int | None = None) -> Request:
+               logprobs: int = 0, seed: int | None = None,
+               constraint: str | None = None) -> Request:
         """timeout_s: engine-enforced deadline — a request still waiting
         when it expires is dropped; a running one is retired at the next
         tick with whatever tokens it has (``Request.timed_out`` set).
@@ -332,7 +373,19 @@ class ServingEngine:
         seed: reproducible sampling (OpenAI semantics) — same seeded
         request => same draws, independent of slot/step/companions (see
         Request.seed). Unsupported under speculative serving (spec
-        windows keep the step-keyed scheme)."""
+        windows keep the step-keyed scheme).
+        constraint: name of a grammar registered via the engine's
+        ``constraints`` dict (serving/constrain.py, e.g. "json" for
+        OpenAI response_format json_object) — disallowed tokens are
+        masked ON DEVICE each step and the grammar state advances with
+        the sampled token. Unsupported under speculative serving."""
+        if constraint is not None:
+            if self.spec:
+                raise ValueError("constraint unsupported with spec_lookup")
+            if constraint not in self._cstarts:
+                raise ValueError(
+                    f"engine has no constraint {constraint!r} "
+                    f"(registered: {sorted(self._cstarts) or 'none'})")
         if logprobs:
             if self.spec:
                 raise ValueError("logprobs unsupported with spec_lookup")
@@ -354,7 +407,8 @@ class ServingEngine:
                     repetition_penalty=repetition_penalty,
                     logit_bias=dict(logit_bias) if logit_bias else None,
                     logprobs=int(logprobs),
-                    seed=int(seed) if seed is not None else None)
+                    seed=int(seed) if seed is not None else None,
+                    constraint=constraint)
         r.t_submit = time.monotonic()
         if timeout_s is not None:
             r.deadline = r.t_submit + timeout_s
@@ -513,6 +567,10 @@ class ServingEngine:
             self._cnt_p = jnp.zeros_like(self._cnt_p)
             self._cnt_o = jnp.zeros_like(self._cnt_o)
             self._bias = jnp.zeros_like(self._bias)
+            self._cinit_np[:] = -1
+            self._cinit_dev = jnp.asarray(self._cinit_np)
+            self._cinit_dirty = False
+            self._cstate = jnp.full_like(self._cstate, -1)
             self._tok_dev = jnp.zeros_like(self._tok_dev)
             self._first_tok = jnp.zeros_like(self._first_tok)
             self._first_lp = jnp.zeros_like(self._first_lp)
@@ -593,6 +651,10 @@ class ServingEngine:
             self._seed_np[b] = (r.seed if r.seed is not None
                                 else int(self._seed_rng.integers(1 << 31)))
             self._plen_np[b] = min(r.total_len, (1 << 31) - 1)
+            ci = self._cstarts[r.constraint] if r.constraint else -1
+            if ci != self._cinit_np[b]:
+                self._cinit_np[b] = ci
+                self._cinit_dirty = True
             row = np.asarray([r.temperature, r.top_p, float(r.top_k),
                               r.min_p, r.presence_penalty,
                               r.frequency_penalty, r.repetition_penalty,
@@ -813,11 +875,15 @@ class ServingEngine:
                 self._step_n, self._base_key, self._cnt_p, self._cnt_o,
                 self._bias)
         else:
-            self._first_tok, self._first_lp, self.state = self.prefill_many(
+            if self._cinit_dirty:
+                self._cinit_dev = jnp.asarray(self._cinit_np)
+                self._cinit_dirty = False
+            (self._first_tok, self._first_lp, self.state,
+             self._cstate) = self.prefill_many(
                 self.params, self.state, self._first_tok, self._first_lp,
                 jnp.asarray(toks), jnp.asarray(meta), self._temps_dev,
                 self._base_key, self._cnt_p, self._cnt_o,
-                self._bias)
+                self._bias, self._ctab, self._cinit_dev, self._cstate)
         fetched = False
         with self._lock:
             for b, r, new_cur, seg_done in fin:
@@ -909,13 +975,17 @@ class ServingEngine:
                     jnp.asarray(self.samp[b]), self._step_n, self._base_key,
                     self._cnt_p, self._cnt_o, self._bias)
             else:
-                self._first_tok, self._first_lp, self.state = \
-                    self.prefill_slot(
-                        self.params, self.state, self._first_tok,
-                        self._first_lp, jnp.asarray([chunk], jnp.int32),
-                        b, cur, n, jnp.asarray(self.samp[b]),
-                        int(self._seed_np[b]),
-                        self._base_key, self._cnt_p, self._cnt_o, self._bias)
+                if self._cinit_dirty:
+                    self._cinit_dev = jnp.asarray(self._cinit_np)
+                    self._cinit_dirty = False
+                (self._first_tok, self._first_lp, self.state,
+                 self._cstate) = self.prefill_slot(
+                    self.params, self.state, self._first_tok,
+                    self._first_lp, jnp.asarray([chunk], jnp.int32),
+                    b, cur, n, jnp.asarray(self.samp[b]),
+                    int(self._seed_np[b]),
+                    self._base_key, self._cnt_p, self._cnt_o, self._bias,
+                    self._ctab, self._cinit_dev, self._cstate)
             with self._lock:
                 self.cursor[b] = cur + n
                 if off + n == len(toks):
@@ -971,12 +1041,13 @@ class ServingEngine:
                     meta[3] = self._seed_np
                     meta[4] = self._plen_np
                     self._inject[:] = False
-                    tok_dev, self.state, self._cnt_o, lp_dev = \
-                        self.decode_all(
-                            self.params, self.state, self._tok_dev,
-                            self._first_tok, jnp.asarray(meta),
-                            self._temps_dev, self._base_key,
-                            self._cnt_o, self._cnt_p, self._bias)
+                    (tok_dev, self.state, self._cnt_o, lp_dev,
+                     self._cstate) = self.decode_all(
+                        self.params, self.state, self._tok_dev,
+                        self._first_tok, jnp.asarray(meta),
+                        self._temps_dev, self._base_key,
+                        self._cnt_o, self._cnt_p, self._bias,
+                        self._ctab, self._cstate)
                     self._tok_dev = tok_dev
                     with self._lock:
                         for b in dec:

@@ -60,6 +60,14 @@ class _AsciiTok:
     def prefix(self):
         return []
 
+    def vocab_bytes(self):
+        """Byte view of the synthetic vocab (id -> one printable ASCII
+        byte, same mapping as decode) so grammar-constrained decoding is
+        drivable on synthetic runs too (the printable range includes the
+        whole JSON alphabet)."""
+        return [None] + [bytes([33 + (i % 94)])
+                         for i in range(1, self.vocab)]
+
 
 def build_engine(args):
     import jax.numpy as jnp
@@ -83,12 +91,35 @@ def build_engine(args):
             args.gguf, max_context=args.ctx, quantize=args.int8)
         cfg, params = model.cfg, model.params
         tok = LLMTokenizer.from_gguf_kv(kv)
+    constraints = None
+    if args.json_depth > 0 and not args.spec:
+        # register the JSON grammar (OpenAI response_format json_object):
+        # one [S, V] int16 table on device; ~0.2 MB per state at a 151k
+        # vocab, so depth 4 (~630 states) costs ~190 MB HBM — tunable
+        import time as _t
+
+        from ..serving.constrain import (json_token_constraint,
+                                         token_table, json_char_dfa)
+        t0 = _t.monotonic()
+        if hasattr(tok, "normal"):
+            tc = json_token_constraint(tok, cfg.vocab_size,
+                                       max_depth=args.json_depth)
+        else:                                  # synthetic ASCII tokenizer
+            tc = token_table(json_char_dfa(args.json_depth),
+                             tok.vocab_bytes(), [tok.eos_id],
+                             n_vocab=cfg.vocab_size)
+        constraints = {"json": tc}
+        print(f"json constraint: {tc.trans.shape[0]} states x "
+              f"{tc.trans.shape[1]} vocab "
+              f"({tc.trans.nbytes / 1e6:.0f} MB, "
+              f"built in {_t.monotonic() - t0:.1f}s)")
     engine_kw = dict(n_slots=args.slots,
                      state_dtype=jnp.bfloat16, kv_quant=args.kv_quant,
                      use_pallas_decode=args.pallas,
                      sync_lag=args.sync_lag, fetch_every=args.fetch_every,
                      max_waiting=args.max_waiting, spec_lookup=args.spec,
-                     max_restarts=args.max_restarts)
+                     max_restarts=args.max_restarts,
+                     constraints=constraints)
     if args.mesh > 1:
         # tensor/expert-parallel serving over the first N chips: weights +
         # KV cache split over the mesh's "model" axis, the prefill/decode
@@ -140,6 +171,10 @@ def main(argv=None):
                          "window before the engine fails loudly (slot "
                          "state reset + requeue-or-fail; 0 = fail-loud "
                          "on first crash)")
+    ap.add_argument("--json-depth", type=int, default=4, dest="json_depth",
+                    help="max JSON nesting for response_format "
+                         "json_object (grammar-constrained decoding; "
+                         "0 disables — saves the [S, V] table's HBM)")
     ap.add_argument("--api-token", default=None)
     ap.add_argument("--mesh", type=int,
                     default=int(os.environ.get("CLEARCAM_MESH", "0") or 0),
