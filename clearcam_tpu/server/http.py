@@ -991,19 +991,55 @@ def make_handler(ctx: AppContext):
             # same seed => same draws regardless of slot/step/batch mates)
             if data.get("seed") is not None:
                 samp["seed"] = int(data["seed"])
-            # OpenAI response_format: json_object = grammar-constrained
-            # decoding — non-JSON tokens are masked ON DEVICE each step
-            # (serving/constrain.py) instead of prompt-and-pray. Needs an
-            # engine built with a "json" constraint (tools/serve_llm.py
-            # registers one by default).
+            # OpenAI response_format: grammar-constrained decoding — the
+            # grammar compiles to a token-transition table masked ON
+            # DEVICE each step (serving/constrain.py) instead of
+            # prompt-and-pray. json_object needs the engine's startup
+            # "json" grammar (tools/serve_llm.py registers one by
+            # default); json_schema (structured outputs) and the vLLM-
+            # style guided_choice extension compile PER GRAMMAR on first
+            # use and register into the engine's reserved table rows
+            # (ServingEngine.register_constraint — no graph recompile).
             rf = data.get("response_format") or {}
             rft = rf.get("type") if isinstance(rf, dict) else rf
+            choice_opts = data.get("guided_choice")
             if rft in ("json_object", "json"):
                 if "json" not in getattr(gen.engine, "_cstarts", {}):
                     return self.send_error(
                         400, "response_format json_object unavailable: "
                         "engine built without a json constraint")
                 samp["constraint"] = "json"
+            elif rft == "json_schema" or choice_opts:
+                import hashlib
+
+                from ..serving import constrain as _con
+                try:
+                    if choice_opts:
+                        key = "choice:" + hashlib.sha1(
+                            json.dumps(choice_opts).encode()).hexdigest()[:12]
+                        if key not in gen.engine._cstarts:
+                            gen.engine.register_constraint(
+                                key, _con.choice_token_constraint(
+                                    gen.tok, gen.engine.cfg.vocab_size,
+                                    [str(o) for o in choice_opts]))
+                    else:
+                        sch = (rf.get("json_schema") or {}).get("schema") \
+                            if isinstance(rf.get("json_schema"), dict) \
+                            else None
+                        if not isinstance(sch, dict):
+                            return self.send_error(
+                                400, "response_format json_schema needs "
+                                "json_schema.schema (object)")
+                        key = "schema:" + hashlib.sha1(json.dumps(
+                            sch, sort_keys=True).encode()).hexdigest()[:12]
+                        if key not in gen.engine._cstarts:
+                            gen.engine.register_constraint(
+                                key, _con.schema_token_constraint(
+                                    gen.tok,
+                                    gen.engine.cfg.vocab_size, sch))
+                except ValueError as e:      # unsupported schema construct
+                    return self.send_error(400, str(e))
+                samp["constraint"] = key
             elif rft not in (None, "text"):
                 return self.send_error(
                     400, f"unsupported response_format type {rft!r}")

@@ -32,6 +32,7 @@ Grammar notes (deliberate bounds — all checked by tests/test_constrain.py):
 """
 from __future__ import annotations
 
+import json
 from collections import defaultdict
 from dataclasses import dataclass
 
@@ -296,7 +297,8 @@ class TokenConstraint:
 
 
 def token_table(dfa: CharDFA, vocab: list, eos_ids: list[int],
-                n_vocab: int | None = None) -> TokenConstraint:
+                n_vocab: int | None = None,
+                name: str = "json") -> TokenConstraint:
     """Lift a byte DFA to the token level. ``vocab[t]`` is token t's raw
     byte string, or None for special/control tokens (disallowed under the
     constraint). EOS ids are allowed exactly in accepting states (self-
@@ -324,20 +326,294 @@ def token_table(dfa: CharDFA, vocab: list, eos_ids: list[int],
         if e is not None and 0 <= e < V:
             out[:, e] = -1
             out[acc_rows, e] = acc_rows.astype(np.int16)  # self-loop
-    return TokenConstraint(out, dfa.start, dfa.accepting.copy())
+    return TokenConstraint(out, dfa.start, dfa.accepting.copy(), name=name)
 
 
-def json_token_constraint(tok, n_vocab: int,
-                          max_depth: int = 4) -> TokenConstraint:
-    """JSON-mode constraint for an LLMTokenizer (utils/llm_tokenizer):
-    normal tokens constrain by their raw bytes, special tokens are
-    disallowed, eos/eot terminate accepting states."""
+def vocab_bytes_of(tok, n_vocab: int) -> list:
+    """Raw byte string per vocab id (None = special/unmapped, disallowed
+    under any constraint). Accepts an LLMTokenizer (``normal``: bytes ->
+    id) or anything exposing ``vocab_bytes()`` (synthetic tokenizers)."""
+    if hasattr(tok, "vocab_bytes"):
+        vb = list(tok.vocab_bytes())
+        return vb[:n_vocab] + [None] * (n_vocab - len(vb))
     vocab: list = [None] * n_vocab
     for b, tid in tok.normal.items():
         if tid < n_vocab:
             vocab[tid] = b
-    eos = [tok.eos_id, getattr(tok, "eot_id", None)]
-    return token_table(json_char_dfa(max_depth), vocab, eos, n_vocab)
+    return vocab
+
+
+def _eos_of(tok) -> list:
+    return [tok.eos_id, getattr(tok, "eot_id", None)]
+
+
+def json_token_constraint(tok, n_vocab: int,
+                          max_depth: int = 4) -> TokenConstraint:
+    """JSON-mode constraint for a tokenizer: normal tokens constrain by
+    their raw bytes, special tokens are disallowed, eos/eot terminate
+    accepting states."""
+    return token_table(json_char_dfa(max_depth),
+                       vocab_bytes_of(tok, n_vocab), _eos_of(tok), n_vocab)
+
+
+def schema_token_constraint(tok, n_vocab: int, schema: dict,
+                            max_items: int = 16) -> TokenConstraint:
+    """OpenAI structured outputs: response_format json_schema — see
+    schema_char_dfa for the supported subset (raises ValueError on
+    unsupported constructs)."""
+    return token_table(schema_char_dfa(schema, max_items),
+                       vocab_bytes_of(tok, n_vocab), _eos_of(tok), n_vocab,
+                       name="schema")
+
+
+def choice_token_constraint(tok, n_vocab: int,
+                            options: list[str]) -> TokenConstraint:
+    """Guided choice: output is exactly one of ``options`` (raw text)."""
+    return token_table(choice_char_dfa(options),
+                       vocab_bytes_of(tok, n_vocab), _eos_of(tok), n_vocab,
+                       name="choice")
+
+
+# -- schema / choice grammars -------------------------------------------------
+#
+# Beyond free-form JSON mode: compile a JSON-Schema subset (OpenAI
+# "json_schema" structured outputs) or a literal-choice list (vLLM-style
+# guided_choice) to the same byte-DFA -> token-table pipeline. These
+# automatons are built per request shape, so they are small (tens to a
+# few hundred states) and register into a serving engine's padded device
+# table at runtime (ServingEngine.register_constraint) — no recompile:
+# the table SHAPE is fixed, only rows upload.
+
+class _Graph:
+    """Mutable byte-DFA builder: integer states, per-state {byte: next}."""
+
+    def __init__(self):
+        self.rows: list[dict[int, int]] = []
+        self.accepting: set[int] = set()
+        # (number-complete state, exit state): the delimiter byte that ends
+        # a number belongs to the CONTEXT AFTER the number, so complete
+        # states inherit the exit's out-edges (and acceptance) in a final
+        # pass, once the whole graph is wired
+        self._forward: list[tuple[int, int]] = []
+
+    def new(self) -> int:
+        self.rows.append({})
+        return len(self.rows) - 1
+
+    def edge(self, s: int, bts, t: int) -> None:
+        for b in bts:
+            assert b not in self.rows[s] or self.rows[s][b] == t, \
+                f"grammar is not byte-deterministic at state {s} byte {b}"
+            self.rows[s][b] = t
+
+    def chain(self, s: int, data: bytes) -> int:
+        for b in data:
+            t = self.rows[s].get(b)
+            if t is None:
+                t = self.new()
+                self.edge(s, [b], t)
+            s = t
+        return s
+
+    def ws_loop(self, s: int) -> None:
+        self.edge(s, _WS, s)
+
+    def finish(self) -> CharDFA:
+        for st, exit_ in self._forward:
+            for b, t in self.rows[exit_].items():
+                self.rows[st].setdefault(b, t)
+            if exit_ in self.accepting:
+                self.accepting.add(st)
+        trans = np.full((len(self.rows), 256), -1, np.int16)
+        for i, row in enumerate(self.rows):
+            for b, t in row.items():
+                trans[i, b] = t
+        acc = np.zeros(len(self.rows), bool)
+        acc[list(self.accepting)] = True
+        return CharDFA(trans, 0, acc)
+
+
+def _wire_string_body(g: _Graph, s: int, exit_: int) -> None:
+    """Wire a JSON string BODY (after the opening quote) ending at
+    ``exit_`` on the closing quote — same byte classes as _str_next
+    (escapes, \\uXXXX, full UTF-8 continuation structure)."""
+    esc, u = g.new(), [g.new() for _ in range(4)]
+    b1, b2a, b2e0, b2ed, b3a, b3f0, b3f4 = (g.new() for _ in range(7))
+    g.edge(s, [0x22], exit_)
+    g.edge(s, [0x5C], esc)
+    g.edge(s, [c for c in range(0x20, 0x7F + 1) if c not in (0x22, 0x5C)], s)
+    g.edge(s, range(0xC2, 0xE0), b1)
+    g.edge(s, [0xE0], b2e0)
+    g.edge(s, [0xED], b2ed)
+    g.edge(s, [c for c in range(0xE1, 0xF0) if c != 0xED], b2a)
+    g.edge(s, [0xF0], b3f0)
+    g.edge(s, range(0xF1, 0xF4), b3a)
+    g.edge(s, [0xF4], b3f4)
+    g.edge(esc, _ESCAPABLE, s)
+    g.edge(esc, [0x75], u[0])
+    for a, b in zip(u, u[1:] + [None]):
+        g.edge(a, _HEX, s if b is None else b)
+    g.edge(b1, range(0x80, 0xC0), s)
+    g.edge(b2a, range(0x80, 0xC0), b1)
+    g.edge(b2e0, range(0xA0, 0xC0), b1)
+    g.edge(b2ed, range(0x80, 0xA0), b1)
+    g.edge(b3a, range(0x80, 0xC0), b2a)
+    g.edge(b3f0, range(0x90, 0xC0), b2a)
+    g.edge(b3f4, range(0x80, 0x90), b2a)
+
+
+def _wire_number(g: _Graph, s: int, exit_: int, integer: bool) -> None:
+    """JSON number (or integer) from value state ``s``; complete states
+    forward-inherit ``exit_``'s edges (delimiter-terminated)."""
+    minus, zero, intg = g.new(), g.new(), g.new()
+    g.edge(s, [0x2D], minus)
+    g.edge(s, [0x30], zero)
+    g.edge(s, _DIGITS[1:], intg)
+    g.edge(minus, [0x30], zero)
+    g.edge(minus, _DIGITS[1:], intg)
+    g.edge(intg, _DIGITS, intg)
+    complete = [zero, intg]
+    if not integer:
+        dot, frac, e, esign, exp = (g.new() for _ in range(5))
+        g.edge(zero, [0x2E], dot)
+        g.edge(intg, [0x2E], dot)
+        g.edge(dot, _DIGITS, frac)
+        g.edge(frac, _DIGITS, frac)
+        for st in (zero, intg, frac):
+            g.edge(st, (0x65, 0x45), e)
+        g.edge(e, (0x2B, 0x2D), esign)
+        g.edge(e, _DIGITS, exp)
+        g.edge(esign, _DIGITS, exp)
+        g.edge(exp, _DIGITS, exp)
+        complete.append(frac)
+        complete.append(exp)
+    g._forward.extend((st, exit_) for st in complete)
+
+
+def _wire_trie(g: _Graph, s: int, literals: list[bytes], exit_: int) -> None:
+    """Deterministic trie over ``literals`` from ``s``; each complete
+    literal lands on ``exit_`` (shared prefixes merge; a literal that
+    prefixes another still exits exactly at its own end)."""
+    if not literals or len(set(literals)) != len(literals):
+        raise ValueError("choice literals must be non-empty and distinct")
+    for a in literals:
+        if not a:
+            raise ValueError("empty literal")
+        for b in literals:
+            if a != b and b.startswith(a):
+                raise ValueError(
+                    f"literal {a!r} is a proper prefix of {b!r} — the "
+                    "trie could not tell where the short one ends")
+    for lit in literals:
+        g.edge(g.chain(s, lit[:-1]), [lit[-1]], exit_)
+
+
+def _wire_value(g: _Graph, s: int, exit_: int, schema: dict,
+                max_items: int) -> None:
+    """Compile one schema node: from value-start ``s`` (ws-looped by the
+    caller) to ``exit_``."""
+    if not isinstance(schema, dict):
+        raise ValueError(f"unsupported schema node {schema!r}")
+    if "enum" in schema or "const" in schema:
+        opts = schema.get("enum", [schema.get("const")])
+        lits = [json.dumps(v, ensure_ascii=False).encode() for v in opts]
+        _wire_trie(g, s, lits, exit_)
+        return
+    t = schema.get("type")
+    if t == "string":
+        body = g.new()
+        g.edge(s, [0x22], body)
+        _wire_string_body(g, body, exit_)
+    elif t in ("integer", "number"):
+        _wire_number(g, s, exit_, integer=t == "integer")
+    elif t == "boolean":
+        _wire_trie(g, s, [b"true", b"false"], exit_)
+    elif t == "null":
+        g.edge(g.chain(s, b"nul"), [0x6C], exit_)
+    elif t == "object":
+        props = schema.get("properties") or {}
+        first = g.new()
+        g.edge(s, [0x7B], first)              # {
+        g.ws_loop(first)
+        cur = first
+        names = list(props)
+        for i, name in enumerate(names):
+            key = json.dumps(name, ensure_ascii=False).encode()
+            st = g.chain(cur, key)
+            g.ws_loop(st)
+            colon = g.new()
+            g.edge(st, [0x3A], colon)         # :
+            g.ws_loop(colon)
+            after = g.new()
+            _wire_value(g, colon, after, props[name], max_items)
+            g.ws_loop(after)
+            if i + 1 < len(names):
+                nxt = g.new()
+                g.edge(after, [0x2C], nxt)    # ,
+                g.ws_loop(nxt)
+                cur = nxt
+            else:
+                g.edge(after, [0x7D], exit_)  # }
+        if not names:
+            g.edge(first, [0x7D], exit_)
+    elif t == "array":
+        items = schema.get("items") or {"type": "string"}
+        lo = int(schema.get("minItems", 0))
+        hi = int(schema.get("maxItems", max_items))
+        if not 0 <= lo <= hi or hi > 256:
+            raise ValueError(f"bad minItems/maxItems {lo}/{hi}")
+        open_ = g.new()
+        g.edge(s, [0x5B], open_)              # [
+        g.ws_loop(open_)
+        if lo == 0:
+            g.edge(open_, [0x5D], exit_)      # empty array
+        cur = open_
+        for k in range(hi):                   # cur expects item k
+            after = g.new()
+            _wire_value(g, cur, after, items, max_items)
+            g.ws_loop(after)
+            if k + 1 >= lo:
+                g.edge(after, [0x5D], exit_)  # ] only once lo items landed
+            if k + 1 < hi:
+                nxt = g.new()
+                g.edge(after, [0x2C], nxt)    # , -> item k+1 REQUIRED next
+                g.ws_loop(nxt)
+                cur = nxt
+    else:
+        raise ValueError(f"unsupported schema node {schema!r} (supported: "
+                         "enum/const, string, integer, number, boolean, "
+                         "null, object w/ fixed properties, array w/ "
+                         "bounded items)")
+
+
+def schema_char_dfa(schema: dict, max_items: int = 16) -> CharDFA:
+    """Compile a JSON-Schema SUBSET to a byte DFA (OpenAI structured-
+    outputs style): objects emit every declared property in declaration
+    order (strict mode semantics — all properties required, no
+    additionalProperties), arrays are bounded ([minItems, maxItems],
+    default maxItems=``max_items``), and leaves are string / integer /
+    number / boolean / null / enum / const. Unsupported constructs raise
+    ValueError (the HTTP surface maps that to 400). Whitespace is allowed
+    wherever JSON allows it; the final state accepts EOS only."""
+    g = _Graph()
+    start = g.new()
+    assert start == 0
+    g.ws_loop(start)
+    end = g.new()
+    _wire_value(g, start, end, schema, max_items)
+    g.accepting.add(end)
+    return g.finish()
+
+
+def choice_char_dfa(options: list[str]) -> CharDFA:
+    """Byte DFA accepting exactly one of ``options`` (raw text, not JSON
+    — the guided-choice classification surface)."""
+    g = _Graph()
+    start = g.new()
+    end = g.new()
+    _wire_trie(g, start, [o.encode() for o in options], end)
+    g.accepting.add(end)
+    return g.finish()
 
 
 def concat_constraints(cons: dict[str, TokenConstraint]):

@@ -190,7 +190,8 @@ class ServingEngine:
                  prefill_batch: bool = True, max_waiting: int | None = None,
                  spec_lookup: int = 0, max_restarts: int = 0,
                  restart_window_s: float = 600.0,
-                 constraints: dict | None = None):
+                 constraints: dict | None = None,
+                 constraint_rows: int = 0):
         assert cfg.max_context % llm.CHUNK == 0
         self.params = params
         self.cfg = cfg
@@ -221,21 +222,44 @@ class ServingEngine:
         # unaffected (llm.make_serving_fns constraints note).
         self._cstarts: dict[str, int] = {}
         self._ctab = None
-        if constraints:
-            if self.spec:
-                raise ValueError(
-                    "constrained decoding unsupported with spec_lookup "
-                    "(a drafted verify window has no per-position grammar "
-                    "state)")
-            from .constrain import concat_constraints
-            tab, self._cstarts = concat_constraints(constraints)
-            assert tab.shape[1] == cfg.vocab_size, \
-                f"constraint table vocab {tab.shape[1]} != cfg " \
-                f"{cfg.vocab_size}"
-            self._ctab = jnp.asarray(tab)
-        elif not self.spec:        # NOT spec_lookup: spec may be silently
-            # disabled (SSM/Pallas engines), which still uses these graphs
-            self._ctab = jnp.zeros((1, cfg.vocab_size), jnp.int16)
+        self._cap = self._cused = 0
+        init_rows = sum(c.trans.shape[0]
+                        for c in (constraints or {}).values())
+        total = init_rows + max(0, int(constraint_rows))
+        if total and self.spec:
+            raise ValueError(
+                "constrained decoding unsupported with spec_lookup (a "
+                "drafted verify window has no per-position grammar state)")
+        if not self.spec:
+            if total == 0:
+                # inert table: the graphs still take (ctab, cstate), but
+                # every row is unconstrained — bitwise no-op masking
+                self._ctab = jnp.zeros((1, cfg.vocab_size), jnp.int16)
+            else:
+                assert total < np.iinfo(np.int16).max, \
+                    "constraint table too tall for int16 states"
+                tab = np.full((total, cfg.vocab_size), -1, np.int16)
+                base = 0
+                for nm, c in (constraints or {}).items():
+                    assert c.trans.shape[1] == cfg.vocab_size, \
+                        f"constraint {nm}: vocab {c.trans.shape[1]} != " \
+                        f"cfg {cfg.vocab_size}"
+                    n = c.trans.shape[0]
+                    tab[base:base + n] = np.where(
+                        c.trans >= 0,
+                        (c.trans.astype(np.int32) + base).astype(np.int16),
+                        np.int16(-1))
+                    self._cstarts[nm] = base + c.start
+                    base += n
+                self._cap, self._cused = total, base
+                self._ctab = jnp.asarray(tab)
+        # row-block uploader for register_constraint: the TABLE SHAPE is
+        # fixed at construction, so runtime grammar registration (per-
+        # request json_schema / guided_choice) never recompiles the
+        # serving graphs — new rows upload into the reserved space
+        self._cupd = jax.jit(
+            lambda t, blk, off: jax.lax.dynamic_update_slice(t, blk,
+                                                             (off, 0)))
         self.fingerprint_cfg = (n_slots, jnp.dtype(state_dtype).name,
                                 bool(kv_quant), self.spec,
                                 bool(use_pallas_decode),
@@ -447,6 +471,41 @@ class ServingEngine:
                 self._deadlines += 1
             self._work.notify()
         return r
+
+    def register_constraint(self, name: str, tc) -> None:
+        """Register a grammar at runtime (per-request json_schema /
+        guided_choice): writes the TokenConstraint's rows into the device
+        table's reserved space (``constraint_rows``) — the table shape
+        never changes, so no serving graph recompiles; in-flight requests
+        keep decoding while the rows upload. Idempotent per name; raises
+        when the reserved space is exhausted (callers should hash the
+        grammar into ``name`` so repeat clients reuse their block).
+        Blocks round up to 64 rows so the uploader compiles for a handful
+        of shapes, not one per schema."""
+        with self._work:
+            if name in self._cstarts:
+                return
+            if self.spec:
+                raise ValueError("constraints unsupported with spec_lookup")
+            n = tc.trans.shape[0]
+            assert tc.trans.shape[1] == self.cfg.vocab_size
+            pad = -(-n // 64) * 64
+            if self._cused + pad > self._cap:
+                if self._cused + n > self._cap:
+                    raise ValueError(
+                        f"constraint table full ({self._cused}+{n} > "
+                        f"{self._cap} rows) — raise constraint_rows "
+                        "(serve_llm --constraint-rows)")
+                pad = n
+            base = self._cused
+            blk = np.full((pad, self.cfg.vocab_size), -1, np.int16)
+            blk[:n] = np.where(
+                tc.trans >= 0,
+                (tc.trans.astype(np.int32) + base).astype(np.int16),
+                np.int16(-1))
+            self._ctab = self._cupd(self._ctab, jnp.asarray(blk), base)
+            self._cused = base + pad
+            self._cstarts[name] = base + tc.start
 
     def cancel(self, r: Request) -> None:
         """Abandon a request (client disconnect / timeout): a waiting

@@ -119,7 +119,9 @@ def build_engine(args):
                      sync_lag=args.sync_lag, fetch_every=args.fetch_every,
                      max_waiting=args.max_waiting, spec_lookup=args.spec,
                      max_restarts=args.max_restarts,
-                     constraints=constraints)
+                     constraints=constraints,
+                     constraint_rows=0 if args.spec
+                     else args.constraint_rows)
     if args.mesh > 1:
         # tensor/expert-parallel serving over the first N chips: weights +
         # KV cache split over the mesh's "model" axis, the prefill/decode
@@ -175,6 +177,12 @@ def main(argv=None):
                     help="max JSON nesting for response_format "
                          "json_object (grammar-constrained decoding; "
                          "0 disables — saves the [S, V] table's HBM)")
+    ap.add_argument("--constraint-rows", type=int, default=512,
+                    dest="constraint_rows",
+                    help="device table rows reserved for grammars "
+                         "registered at runtime (response_format "
+                         "json_schema / guided_choice; ~0.3 MB per row "
+                         "at a 151k vocab; 0 disables)")
     ap.add_argument("--api-token", default=None)
     ap.add_argument("--mesh", type=int,
                     default=int(os.environ.get("CLEARCAM_MESH", "0") or 0),

@@ -276,6 +276,128 @@ def test_concat_constraints_offsets():
     assert (live >= a.trans.shape[0]).all()
 
 
+# -- schema / choice grammars -------------------------------------------------
+
+SCHEMA = {"type": "object",
+          "properties": {"a": {"type": "integer"},
+                         "b": {"enum": ["x", "y"]},
+                         "c": {"type": "array", "items": {"type": "boolean"},
+                               "minItems": 1, "maxItems": 2}}}
+
+
+def test_schema_dfa_accepts_and_rejects():
+    from clearcam_tpu.serving.constrain import schema_char_dfa
+    dfa = schema_char_dfa(SCHEMA)
+    ok = [b'{"a": 3, "b": "x", "c": [true]}',
+          b'{ "a" : -10, "b" : "y", "c" : [ false , true ] }']
+    bad = [b'{"b": "x"}',                        # properties are ordered
+           b'{"a": 3.5, ',                       # float where integer
+           b'{"a": 3, "b": "z"',                 # not in enum
+           b'{"a": 3, "b": "x", "c": []}',       # minItems 1
+           b'{"a": 3, "b": "x", "c": [true, true, true]',  # maxItems 2
+           b'{"a": 3, "b": "x", "c": [true,]',   # dangling comma
+           b'{"a": 3, "b": "x", "c": [true]} ']  # EOS only after close
+    for d in ok:
+        s = run_char_dfa(dfa, d)
+        assert s >= 0 and dfa.accepting[s], d
+        json.loads(d)
+    for d in bad:
+        s = run_char_dfa(dfa, d)
+        assert s < 0 or not dfa.accepting[s], d
+
+
+def test_schema_dfa_root_variants():
+    from clearcam_tpu.serving.constrain import schema_char_dfa
+    cases = [({"type": "integer"}, [b"42", b"-7", b"0"],
+              [b"01", b"4.2", b"-"]),
+             ({"type": "number"}, [b"4.25e-3", b"-0.5"], [b".5", b"1."]),
+             ({"enum": ["red", "green", 5]}, [b'"red"', b"5"],
+              [b'"blue"', b"6"]),
+             ({"type": "object", "properties": {}}, [b"{}", b"{ }"],
+              [b'{"a": 1}']),
+             ({"type": "array", "items": {"type": "null"}, "maxItems": 2},
+              [b"[]", b"[null]", b"[null, null]"], [b"[null, null, null]"])]
+    for sch, okdocs, baddocs in cases:
+        dfa = schema_char_dfa(sch)
+        for d in okdocs:
+            s = run_char_dfa(dfa, d)
+            assert s >= 0 and dfa.accepting[s], (sch, d)
+        for d in baddocs:
+            s = run_char_dfa(dfa, d)
+            assert s < 0 or not dfa.accepting[s], (sch, d)
+
+
+def test_schema_unsupported_raises():
+    from clearcam_tpu.serving.constrain import schema_char_dfa
+    for sch in [{"type": "object", "properties": {
+                    "a": {"anyOf": [{"type": "string"}]}}},
+                {"$ref": "#/defs/x"}, {"type": "tuple"}]:
+        with pytest.raises(ValueError):
+            schema_char_dfa(sch)
+
+
+def test_choice_dfa():
+    from clearcam_tpu.serving.constrain import choice_char_dfa
+    dfa = choice_char_dfa(["yes", "no", "maybe"])
+    for d, want in [(b"yes", True), (b"no", True), (b"maybe", True),
+                    (b"nope", False), (b"may", False)]:
+        s = run_char_dfa(dfa, d)
+        assert (s >= 0 and bool(dfa.accepting[s])) == want, d
+    with pytest.raises(ValueError):              # prefix literals ambiguous
+        choice_char_dfa(["yes", "yesterday"])
+
+
+def test_engine_runtime_registration_schema():
+    """register_constraint after construction: the table shape is fixed
+    (reserved rows), so the running engine picks the new grammar up with
+    no recompile; generated output matches the schema."""
+    from clearcam_tpu.serving.constrain import (schema_token_constraint,
+                                                choice_token_constraint)
+
+    class _Tok:                                   # vocab_bytes adapter
+        eos_id, eot_id = EOS, None
+
+        def vocab_bytes(self):
+            return VOCAB
+
+    cfg = tiny_cfg(max_context=256)
+    params = llm.init_params(cfg, seed=3)
+    eng = ServingEngine(params, cfg, n_slots=2,
+                        constraints={"json": _toy_constraint()},
+                        constraint_rows=256)
+    r0 = eng.submit([1, 2], max_new=30, temperature=1.0, eos_id=EOS,
+                    seed=5, constraint="json")
+    eng.run_until_idle()                          # engine already ran
+    sch = {"type": "object", "properties": {"a": {"type": "integer"},
+                                            "b": {"enum": ["x", "y"]}}}
+    eng.register_constraint("schema:t",
+                            schema_token_constraint(_Tok(), 64, sch))
+    eng.register_constraint("choice:t",
+                            choice_token_constraint(_Tok(), 64,
+                                                    ["yes", "no"]))
+    rs = eng.submit([1, 2, 3], max_new=60, temperature=1.0, eos_id=EOS,
+                    seed=21, constraint="schema:t")
+    rc = eng.submit([3, 2, 1], max_new=20, temperature=1.0, eos_id=EOS,
+                    seed=4, constraint="choice:t")
+    eng.run_until_idle()
+    assert r0.done
+    ids = rs.wait(1)
+    if ids and ids[-1] == EOS:
+        doc = json.loads(_decode(ids))
+        assert list(doc) == ["a", "b"]
+        assert isinstance(doc["a"], int) and doc["b"] in ("x", "y")
+    cids = rc.wait(1)
+    assert cids and cids[-1] == EOS              # accept -> forced eos
+    assert _decode(cids).decode() in ("yes", "no")
+    # idempotent + table-full error
+    eng.register_constraint("choice:t", choice_token_constraint(
+        _Tok(), 64, ["yes", "no"]))
+    big = schema_token_constraint(_Tok(), 64, SCHEMA)
+    with pytest.raises(ValueError, match="full"):
+        for i in range(99):
+            eng.register_constraint(f"fill{i}", big)
+
+
 # -- OpenAI surface (response_format) ----------------------------------------
 
 class _ByteTok:
@@ -302,6 +424,9 @@ class _ByteTok:
     def prefix(self):
         return []
 
+    def vocab_bytes(self):
+        return VOCAB
+
 
 def test_openai_response_format_json_object():
     """response_format json_object over the live HTTP server: finished
@@ -316,7 +441,8 @@ def test_openai_response_format_json_object():
     cfg = tiny_cfg(max_context=256)
     params = llm.init_params(cfg, seed=3)
     eng = ServingEngine(params, cfg, n_slots=2,
-                        constraints={"json": _toy_constraint()}).start()
+                        constraints={"json": _toy_constraint()},
+                        constraint_rows=256).start()
     gen = TextServing(eng, _ByteTok())
     ctx = AppContext(KVStore(":memory:"), "/tmp/cc_constrain_test", gen=gen)
     server = serve(ctx, port=0)
@@ -348,6 +474,36 @@ def test_openai_response_format_json_object():
             post({"messages": [{"role": "user", "content": "x"}],
                   "max_tokens": 8,
                   "response_format": {"type": "jsonl"}})
+        assert ei.value.code == 400
+        # structured outputs: compile + register at request time (the
+        # engine reserved rows at construction), output obeys the schema
+        sch = {"type": "object",
+               "properties": {"a": {"type": "integer"},
+                              "b": {"enum": ["x", "y"]}}}
+        out = post({"messages": [{"role": "user", "content": "go"}],
+                    "max_tokens": 120, "temperature": 1.0, "seed": 5,
+                    "response_format": {
+                        "type": "json_schema",
+                        "json_schema": {"name": "t", "schema": sch}}})
+        ch = out["choices"][0]
+        if ch["finish_reason"] == "stop":
+            doc = json.loads(ch["message"]["content"])
+            assert list(doc) == ["a", "b"] and doc["b"] in ("x", "y")
+        # guided choice: greedy must emit exactly one option then stop
+        out = post({"messages": [{"role": "user", "content": "pick"}],
+                    "max_tokens": 20, "temperature": 0.0,
+                    "guided_choice": ["yes", "no"]})
+        ch = out["choices"][0]
+        assert ch["finish_reason"] == "stop"
+        assert ch["message"]["content"] in ("yes", "no")
+        # unsupported schema construct -> clean 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"messages": [{"role": "user", "content": "x"}],
+                  "max_tokens": 8,
+                  "response_format": {"type": "json_schema",
+                                      "json_schema": {"schema": {
+                                          "type": "object", "properties": {
+                                              "a": {"anyOf": []}}}}}})
         assert ei.value.code == 400
     finally:
         server.shutdown()
