@@ -804,8 +804,12 @@ class NVR:
                 if cam.prev_frame is not None:
                     frames.append(cam.prev_frame[..., ::-1])
                 frames.append(cam.last_frame[..., ::-1])
-                req = self.summary_engine().submit(frames, self.qwen_prompt,
-                                                   max_new=60)
+                eng = self.summary_engine()
+                # JSON-constrained summaries (CLEARCAM_SUMMARY_JSON) carry
+                # structure overhead — give them headroom to close the
+                # object before max_new truncates
+                req = eng.submit(frames, self.qwen_prompt,
+                                 max_new=96 if eng.json_summaries else 60)
                 self._summaries.append((req, cam.name, notify))
             else:
                 # cooperative summary: a few decode steps per tick so the

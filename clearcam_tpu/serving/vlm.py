@@ -18,6 +18,24 @@ import jax.numpy as jnp
 from ..models import llm
 from .engine import Request, ServingEngine
 
+# CLEARCAM_SUMMARY_JSON=1: alert summaries come back as machine-parseable
+# JSON enforced by device-side grammar masking (serving/constrain.py) —
+# downstream consumers (notification routers, SIEM hooks) get structure
+# instead of free prose. The reference's summaries are free text
+# (clearcam.py:494-499).
+ALERT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "summary": {"type": "string"},
+        "objects": {"type": "array", "items": {"type": "string"},
+                    "maxItems": 8},
+        "risk": {"enum": ["none", "low", "medium", "high"]},
+    },
+}
+ALERT_JSON_PROMPT = (
+    ' Respond ONLY with a JSON object {"summary": <one sentence>, '
+    '"objects": [<visible object names>], "risk": "none|low|medium|high"}.')
+
 
 class VLMServingEngine:
     """Wraps ServingEngine with Qwen3-VL image segments + chat template."""
@@ -41,6 +59,20 @@ class VLMServingEngine:
         # when the deployment pins temperature 0 for deterministic alerts)
         engine_kw.setdefault("spec_lookup", int(
             os.environ.get("CLEARCAM_SPEC_LOOKUP", "0") or 0))
+        # CLEARCAM_SUMMARY_JSON=1: register the alert schema as a grammar
+        # constraint and submit summaries under it (mutually exclusive
+        # with speculative serving — constraints need per-step states)
+        self.json_summaries = bool(int(
+            os.environ.get("CLEARCAM_SUMMARY_JSON", "0") or 0))
+        if self.json_summaries and (engine_kw.get("spec_lookup")
+                                    or "constraints" in engine_kw):
+            print("CLEARCAM_SUMMARY_JSON ignored (spec_lookup or explicit "
+                  "constraints set)")
+            self.json_summaries = False
+        if self.json_summaries:
+            from .constrain import schema_token_constraint
+            engine_kw["constraints"] = {"alert": schema_token_constraint(
+                qwen.tok, qwen.lang.cfg.vocab_size, ALERT_SCHEMA)}
         # mesh: tensor/expert-parallel language model over a ("model",)
         # mesh axis (parallel/mesh.serving_engine_tp layout) — prefill/
         # decode graphs GSPMD-partition over ICI. The vision tower stays
@@ -68,6 +100,8 @@ class VLMServingEngine:
         with ``self.text(request)`` once done."""
         from ..models.qwen3vl import TEMP
         q = self.qwen
+        if self.json_summaries:
+            prompt = prompt + ALERT_JSON_PROMPT
         segs = [("custom",
                  jnp.asarray(q.letterbox(img), jnp.float32), self.n_img)
                 for img in images]
@@ -79,7 +113,8 @@ class VLMServingEngine:
             stop.add(q.tok.eot_id)
         return self.engine.submit(
             segments=segs, max_new=max_new, eos_id=stop,
-            temperature=TEMP if temperature is None else temperature)
+            temperature=TEMP if temperature is None else temperature,
+            constraint="alert" if self.json_summaries else None)
 
     def text(self, request: Request) -> str:
         toks = [t for t in request.tokens if not self.qwen.tok.is_end(t)]

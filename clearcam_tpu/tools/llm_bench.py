@@ -157,7 +157,8 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
                   prompt_len: int, max_new: int, pallas: bool = False,
                   shared_prefix: int = 0, prefix_cache: bool = True,
                   fetch_every: int = 4, prefill_batch: bool = True,
-                  spec: int = 0, loop_prompts: int = 0):
+                  spec: int = 0, loop_prompts: int = 0,
+                  constraint: bool = False):
     """Continuous-batching engine throughput (serving/engine.py): submit
     n_requests with staggered prompt lengths (heterogeneous live positions
     — the serving steady state), drive the scheduler to drain, report
@@ -167,10 +168,27 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
     from ..serving import ServingEngine
 
     rng = np.random.default_rng(0)
+    cons = None
+    if constraint:
+        # json grammar over the synthetic ASCII vocab: measures what
+        # response_format json_object costs at the full vocab width (the
+        # [B, V] int16 row gather + mask per step, table resident in HBM)
+        from ..serving.constrain import json_char_dfa, token_table
+        from .serve_llm import _AsciiTok
+        t0 = time.perf_counter()
+        tc = token_table(json_char_dfa(4),
+                         _AsciiTok(cfg.vocab_size).vocab_bytes(), [0],
+                         cfg.vocab_size)
+        print(json.dumps({"constraint_table": True,
+                          "states": int(tc.trans.shape[0]),
+                          "mb": round(tc.trans.nbytes / 1e6, 1),
+                          "build_s": round(time.perf_counter() - t0, 2)}))
+        cons = {"json": tc}
     eng = ServingEngine(params, cfg, n_slots=n_slots,
                         state_dtype=jnp.bfloat16, use_pallas_decode=pallas,
                         prefix_cache=prefix_cache, fetch_every=fetch_every,
-                        prefill_batch=prefill_batch, spec_lookup=spec)
+                        prefill_batch=prefill_batch, spec_lookup=spec,
+                        constraints=cons)
     # stagger lengths +-25% so slots sit at different absolute positions
     lens = [max(8, int(prompt_len * f))
             for f in rng.uniform(0.75, 1.25, n_requests)]
@@ -207,12 +225,15 @@ def bench_serving(cfg, params, n_slots: int, n_requests: int,
         assert all(r.done for r in w2)
 
     t0 = time.perf_counter()
-    reqs = [eng.submit(p, max_new=max_new) for p in prompts]
+    kw = {"constraint": "json", "eos_id": 0, "temperature": 1.0} \
+        if constraint else {}
+    reqs = [eng.submit(p, max_new=max_new, **kw) for p in prompts]
     eng.run_until_idle()
     dt = time.perf_counter() - t0
     total = sum(len(r.tokens) for r in reqs)
     assert all(r.done for r in reqs)
     r = {"serving": True, "n_slots": n_slots, "n_requests": n_requests,
+         "constraint": constraint,
          "prompt_len": prompt_len, "max_new": max_new, "pallas": pallas,
          "shared_prefix": shared_prefix, "fetch_every": fetch_every,
          "prefill_batch": prefill_batch, "spec": spec,
@@ -291,6 +312,10 @@ def main(argv=None):
     ap.add_argument("--loop-prompts", type=int, default=0,
                     help="with --serving: k-token repeated-pattern prompts "
                          "(prompt-lookup's upper-bound regime)")
+    ap.add_argument("--json", action="store_true",
+                    help="with --serving: every request runs under the "
+                         "json grammar constraint (response_format "
+                         "json_object cost at full vocab width)")
     ap.add_argument("--score", type=int, default=0,
                     help="measure teacher-forcing scoring tok/s "
                          "(make_score_fn) over an N-token prompt instead "
@@ -322,7 +347,8 @@ def main(argv=None):
                              shared_prefix=args.shared_prefix,
                              prefix_cache=not args.no_prefix_cache,
                              prefill_batch=not args.no_prefill_batch,
-                             spec=args.spec, loop_prompts=args.loop_prompts)
+                             spec=args.spec, loop_prompts=args.loop_prompts,
+                             constraint=args.json)
     if args.decode_batch:
         params = llm.quantize_params_int8(params)
         return bench_batched(cfg, params,

@@ -136,6 +136,45 @@ def test_summary_does_not_block_ticks(tmp_path):
     assert any(k.startswith("AI Summary") for k in kinds), kinds
 
 
+def test_json_summaries_via_engine(tmp_path, monkeypatch):
+    """CLEARCAM_SUMMARY_JSON=1: the summary notification body is grammar-
+    constrained to the alert schema — every generated prefix replays
+    through the schema DFA, and finished bodies json.loads into
+    {summary, objects, risk}."""
+    import json as _json
+
+    from clearcam_tpu.serving.constrain import run_char_dfa, schema_char_dfa
+    from clearcam_tpu.serving.vlm import ALERT_SCHEMA
+
+    monkeypatch.setenv("CLEARCAM_SUMMARY_JSON", "1")
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "cam1", "synthetic://640x360")
+    notifications = []
+    nvr = NVR(db, tmp_path / "data",
+              GlobalSettings(userID="uid", key="k", use_qwen=True),
+              detector=ColorKeyDetector(), qwen=tiny_vlm(),
+              notifier=lambda *a: notifications.append(a),
+              uploader=lambda **kw: True, summary_slots=2)
+    nvr.init_cam("cam1", "synthetic://640x360")
+    deadline = time.time() + 120
+    def bodies():
+        return [n[2] for n in notifications
+                if n[1].startswith("AI Summary")]
+    while not bodies() and time.time() < deadline:
+        nvr.tick()
+        time.sleep(0.01)
+    nvr.stop()
+    assert bodies(), [n[1] for n in notifications]
+    dfa = schema_char_dfa(ALERT_SCHEMA)
+    for b in bodies():
+        s = run_char_dfa(dfa, b.encode())
+        assert s >= 0, b                      # valid schema prefix always
+        if dfa.accepting[s]:                  # finished before max_new
+            doc = _json.loads(b)
+            assert list(doc) == ["summary", "objects", "risk"]
+            assert doc["risk"] in ("none", "low", "medium", "high")
+
+
 def test_concurrent_summaries_via_engine(tmp_path):
     """CLEARCAM_SUMMARY_SLOTS>0: two cameras alert and BOTH summaries decode
     concurrently through the continuous-batching engine — the cooperative
