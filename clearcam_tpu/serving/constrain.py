@@ -402,8 +402,12 @@ class _Graph:
 
     def edge(self, s: int, bts, t: int) -> None:
         for b in bts:
-            assert b not in self.rows[s] or self.rows[s][b] == t, \
-                f"grammar is not byte-deterministic at state {s} byte {b}"
+            if b in self.rows[s] and self.rows[s][b] != t:
+                # e.g. anyOf over two object schemas: both start with '{',
+                # so the automaton can't tell which branch it is in
+                raise ValueError(
+                    "grammar alternatives are not byte-deterministic "
+                    f"(conflict on byte {b:#x})")
             self.rows[s][b] = t
 
     def chain(self, s: int, data: bytes) -> int:
@@ -519,7 +523,22 @@ def _wire_value(g: _Graph, s: int, exit_: int, schema: dict,
         lits = [json.dumps(v, ensure_ascii=False).encode() for v in opts]
         _wire_trie(g, s, lits, exit_)
         return
+    if "anyOf" in schema:
+        # byte-disjoint alternatives share the value-start state: string
+        # ("), number (digit/-), object ({), array ([), boolean (t/f),
+        # null (n) all dispatch on their first byte; two alternatives of
+        # the SAME shape conflict and raise (edge determinism check)
+        if not schema["anyOf"]:
+            raise ValueError("empty anyOf")
+        for sub in schema["anyOf"]:
+            _wire_value(g, s, exit_, sub, max_items)
+        return
     t = schema.get("type")
+    if isinstance(t, list):
+        # union type, e.g. ["string", "null"] — the common nullable field
+        for tt in t:
+            _wire_value(g, s, exit_, {**schema, "type": tt}, max_items)
+        return
     if t == "string":
         body = g.new()
         g.edge(s, [0x22], body)

@@ -329,11 +329,36 @@ def test_schema_dfa_root_variants():
 
 def test_schema_unsupported_raises():
     from clearcam_tpu.serving.constrain import schema_char_dfa
-    for sch in [{"type": "object", "properties": {
-                    "a": {"anyOf": [{"type": "string"}]}}},
-                {"$ref": "#/defs/x"}, {"type": "tuple"}]:
+    for sch in [{"$ref": "#/defs/x"}, {"type": "tuple"}, {"anyOf": []},
+                # two object alternatives: both open with '{' — not
+                # byte-deterministic, must refuse instead of mis-compile
+                {"anyOf": [{"type": "object", "properties": {}},
+                           {"type": "object",
+                            "properties": {"a": {"type": "null"}}}]},
+                {"type": ["integer", "number"]}]:
         with pytest.raises(ValueError):
             schema_char_dfa(sch)
+
+
+def test_schema_nullable_and_unions():
+    from clearcam_tpu.serving.constrain import schema_char_dfa
+    sch = {"type": "object", "properties": {
+        "a": {"type": ["string", "null"]},
+        "b": {"anyOf": [{"type": "integer"}, {"type": "boolean"},
+                        {"type": "array", "items": {"type": "null"},
+                         "maxItems": 1}]}}}
+    dfa = schema_char_dfa(sch)
+    ok = [b'{"a": null, "b": 3}', b'{"a": "x", "b": true}',
+          b'{"a": null, "b": []}', b'{"a": "y", "b": [null]}']
+    bad = [b'{"a": 1, ', b'{"a": null, "b": null}',
+           b'{"a": null, "b": "x"}']
+    for d in ok:
+        s = run_char_dfa(dfa, d)
+        assert s >= 0 and dfa.accepting[s], d
+        json.loads(d)
+    for d in bad:
+        s = run_char_dfa(dfa, d)
+        assert s < 0 or not dfa.accepting[s], d
 
 
 def test_choice_dfa():
