@@ -233,6 +233,46 @@ def _tool_visible_len(s: str) -> int:
     return len(s)
 
 
+def _resolve_constraint(gen, rft, schema=None, choice_opts=None):
+    """Map an OpenAI response-format request to an engine constraint name
+    (grammar-constrained decoding, serving/constrain.py); registers
+    runtime grammars (json_schema / guided_choice) into the engine's
+    reserved table rows on first use, cached by content hash. Returns
+    None for text/absent formats; raises ValueError for anything
+    unsupported or unavailable (callers map to HTTP 400)."""
+    import hashlib
+
+    from ..serving import constrain as _con
+    if choice_opts:
+        key = "choice:" + hashlib.sha1(
+            json.dumps(choice_opts).encode()).hexdigest()[:12]
+        if key not in gen.engine._cstarts:
+            gen.engine.register_constraint(
+                key, _con.choice_token_constraint(
+                    gen.tok, gen.engine.cfg.vocab_size,
+                    [str(o) for o in choice_opts]))
+        return key
+    if rft in (None, "text"):
+        return None
+    if rft in ("json_object", "json"):
+        if "json" not in gen.engine._cstarts:
+            raise ValueError(
+                "response_format json_object unavailable: engine built "
+                "without a json constraint")
+        return "json"
+    if rft == "json_schema":
+        if not isinstance(schema, dict):
+            raise ValueError("json_schema needs a schema object")
+        key = "schema:" + hashlib.sha1(json.dumps(
+            schema, sort_keys=True).encode()).hexdigest()[:12]
+        if key not in gen.engine._cstarts:
+            gen.engine.register_constraint(
+                key, _con.schema_token_constraint(
+                    gen.tok, gen.engine.cfg.vocab_size, schema))
+        return key
+    raise ValueError(f"unsupported response_format type {rft!r}")
+
+
 def _samp_of(data: dict) -> dict:
     """Sampling kwargs for ServingEngine.submit from a /generate or
     OpenAI-style JSON body (absent fields = feature off). logit_bias
@@ -810,6 +850,8 @@ def make_handler(ctx: AppContext):
                     return self._post_openai(chat=False)
                 if parsed.path == "/v1/chat/completions":
                     return self._post_openai(chat=True)
+                if parsed.path == "/v1/responses":
+                    return self._post_v1_responses()
                 if parsed.path == "/v1/embeddings":
                     return self._post_v1_embeddings()
                 self.send_error(404)
@@ -1002,47 +1044,16 @@ def make_handler(ctx: AppContext):
             # (ServingEngine.register_constraint — no graph recompile).
             rf = data.get("response_format") or {}
             rft = rf.get("type") if isinstance(rf, dict) else rf
-            choice_opts = data.get("guided_choice")
-            if rft in ("json_object", "json"):
-                if "json" not in getattr(gen.engine, "_cstarts", {}):
-                    return self.send_error(
-                        400, "response_format json_object unavailable: "
-                        "engine built without a json constraint")
-                samp["constraint"] = "json"
-            elif rft == "json_schema" or choice_opts:
-                import hashlib
-
-                from ..serving import constrain as _con
-                try:
-                    if choice_opts:
-                        key = "choice:" + hashlib.sha1(
-                            json.dumps(choice_opts).encode()).hexdigest()[:12]
-                        if key not in gen.engine._cstarts:
-                            gen.engine.register_constraint(
-                                key, _con.choice_token_constraint(
-                                    gen.tok, gen.engine.cfg.vocab_size,
-                                    [str(o) for o in choice_opts]))
-                    else:
-                        sch = (rf.get("json_schema") or {}).get("schema") \
-                            if isinstance(rf.get("json_schema"), dict) \
-                            else None
-                        if not isinstance(sch, dict):
-                            return self.send_error(
-                                400, "response_format json_schema needs "
-                                "json_schema.schema (object)")
-                        key = "schema:" + hashlib.sha1(json.dumps(
-                            sch, sort_keys=True).encode()).hexdigest()[:12]
-                        if key not in gen.engine._cstarts:
-                            gen.engine.register_constraint(
-                                key, _con.schema_token_constraint(
-                                    gen.tok,
-                                    gen.engine.cfg.vocab_size, sch))
-                except ValueError as e:      # unsupported schema construct
-                    return self.send_error(400, str(e))
-                samp["constraint"] = key
-            elif rft not in (None, "text"):
-                return self.send_error(
-                    400, f"unsupported response_format type {rft!r}")
+            sch = (rf.get("json_schema") or {}).get("schema") \
+                if isinstance(rf, dict) and isinstance(
+                    rf.get("json_schema"), dict) else None
+            try:
+                cname = _resolve_constraint(gen, rft, sch,
+                                            data.get("guided_choice"))
+            except ValueError as e:          # unsupported format / schema
+                return self.send_error(400, str(e))
+            if cname:
+                samp["constraint"] = cname
             stops = data.get("stop") or []
             if isinstance(stops, str):
                 stops = [stops]
@@ -1307,6 +1318,224 @@ def make_handler(ctx: AppContext):
                 pass
             finally:
                 if not req.done:          # disconnect / stop-hit / timeout
+                    gen.cancel(req)
+
+        def _post_v1_responses(self):
+            """OpenAI Responses API (the current-generation endpoint new
+            SDKs default to — ``client.responses.create``) over the same
+            continuous-batching engine as chat/completions. Supported:
+            ``input`` (string or message list with input_text/output_text
+            content parts), ``instructions`` (system turn),
+            ``max_output_tokens``, ``temperature``/``top_p``, ``stream``
+            (typed SSE events: response.created ->
+            response.output_item.added -> response.content_part.added ->
+            response.output_text.delta* -> ...done -> response.completed),
+            ``text.format`` (text / json_object / json_schema — grammar-
+            constrained decoding, serving/constrain.py), and flat
+            ``tools`` function specs (function_call output items;
+            non-streamed only). Stateful features (store/
+            previous_response_id) are not persisted — each call is
+            stateless, like chat/completions."""
+            gen = ctx.text_gen
+            if gen is None:
+                return self.send_error(
+                    503, "no LLM serving engine configured")
+            try:
+                data = json.loads(self._body().decode() or "{}")
+            except json.JSONDecodeError:
+                return self.send_error(400, "invalid JSON body")
+            if data.get("previous_response_id"):
+                return self.send_error(
+                    400, "previous_response_id unsupported (stateless "
+                    "serving); send the full input history instead")
+
+            def parts_text(content):
+                if isinstance(content, str):
+                    return content
+                out = []
+                for p in content or []:
+                    if not isinstance(p, dict) or p.get("type") not in (
+                            "input_text", "output_text", "text"):
+                        raise ValueError(
+                            f"unsupported content part {p!r}")
+                    out.append(str(p.get("text") or ""))
+                return "".join(out)
+
+            msgs = []
+            if data.get("instructions"):
+                msgs.append({"role": "system",
+                             "content": str(data["instructions"])})
+            inp = data.get("input")
+            try:
+                if isinstance(inp, str):
+                    msgs.append({"role": "user", "content": inp})
+                elif isinstance(inp, list):
+                    for item in inp:
+                        if not isinstance(item, dict) or "role" not in item:
+                            raise ValueError(
+                                f"unsupported input item {item!r} (only "
+                                "role messages are supported)")
+                        msgs.append({"role": str(item["role"]),
+                                     "content":
+                                         parts_text(item.get("content"))})
+                else:
+                    raise ValueError("input (string or message list) "
+                                     "required")
+            except ValueError as e:
+                return self.send_error(400, str(e))
+            if not msgs:
+                return self.send_error(400, "empty input")
+
+            mt = data.get("max_output_tokens")
+            max_new = 128 if mt is None else max(1, min(int(mt), 4096))
+            samp = _samp_of(data)
+            fmt = (data.get("text") or {}).get("format") or {}
+            try:
+                cname = _resolve_constraint(
+                    gen, fmt.get("type"), fmt.get("schema"))
+            except ValueError as e:
+                return self.send_error(400, str(e))
+            if cname:
+                samp["constraint"] = cname
+            tools = data.get("tools") or None
+            if str(data.get("tool_choice") or "auto") == "none":
+                tools = None
+            if tools and data.get("stream"):
+                return self.send_error(
+                    400, "streaming with tools unsupported on "
+                    "/v1/responses; use stream: false")
+            timeout = float(data.get("timeout", 600))
+            fp = (gen.fingerprint() if hasattr(gen, "fingerprint")
+                  else "fp_clearcam_tpu")
+            model = str(data.get("model") or ctx.served_model)
+            from ..serving.engine import QueueFull
+            try:
+                req = gen.submit_messages(
+                    msgs, max_new=max_new,
+                    temperature=float(data.get("temperature", 1.0)),
+                    timeout_s=timeout, tools=tools, **samp)
+            except ValueError as e:
+                return self.send_error(400, str(e))
+            except QueueFull:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            rid = f"resp_{id(req):x}"
+            mid = f"msg_{id(req):x}"
+            created = int(time.time())
+
+            def response_obj(status, output, out_toks):
+                p_toks = len(gen.encode_messages(msgs, tools))
+                o = {"id": rid, "object": "response",
+                     "created_at": created, "model": model,
+                     "status": status, "system_fingerprint": fp,
+                     "output": output, "error": None,
+                     "incomplete_details": (
+                         {"reason": "max_output_tokens"}
+                         if status == "incomplete" else None),
+                     "usage": {"input_tokens": p_toks,
+                               "output_tokens": out_toks,
+                               "total_tokens": p_toks + out_toks}}
+                return o
+
+            def message_item(text, status="completed"):
+                return {"id": mid, "type": "message", "status": status,
+                        "role": "assistant",
+                        "content": [{"type": "output_text", "text": text,
+                                     "annotations": []}]}
+
+            if not data.get("stream"):
+                try:
+                    req.wait(timeout + 5)
+                except TimeoutError:
+                    gen.cancel(req)
+                    return self.send_error(504, "generation timed out")
+                if getattr(req, "failed", False):
+                    return self.send_error(500, "serving engine failed")
+                text = gen.text(req)
+                status = ("incomplete"
+                          if req.timed_out or len(req.tokens) >= max_new
+                          else "completed")
+                output = []
+                if tools:
+                    content, calls = gen.parse_tool_calls(text)
+                    for c in calls:
+                        output.append({
+                            "id": f"fc_{c['id'][5:]}",
+                            "type": "function_call",
+                            "call_id": c["id"], "status": "completed",
+                            "name": c["function"]["name"],
+                            "arguments": c["function"]["arguments"]})
+                    text = content
+                if text or not output:
+                    output.insert(0, message_item(text))
+                return self._json(response_obj(status, output,
+                                               len(req.tokens)))
+
+            # --- typed-event SSE streaming ------------------------------
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(ev: str, obj: dict):
+                b = (f"event: {ev}\n".encode()
+                     + b"data: " + json.dumps({"type": ev, **obj}).encode()
+                     + b"\n\n")
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+                self.wfile.flush()
+
+            deadline = time.time() + timeout
+            seen = ""
+            try:
+                emit("response.created",
+                     {"response": response_obj("in_progress", [], 0)})
+                emit("response.output_item.added",
+                     {"output_index": 0,
+                      "item": {"id": mid, "type": "message",
+                               "status": "in_progress",
+                               "role": "assistant", "content": []}})
+                emit("response.content_part.added",
+                     {"item_id": mid, "output_index": 0,
+                      "content_index": 0,
+                      "part": {"type": "output_text", "text": "",
+                               "annotations": []}})
+                while True:
+                    done = req.done
+                    full = seen + gen.text_delta(req, seen)
+                    delta = full[len(seen):]
+                    if delta:
+                        seen = full
+                        emit("response.output_text.delta",
+                             {"item_id": mid, "output_index": 0,
+                              "content_index": 0, "delta": delta})
+                    if done or time.time() > deadline:
+                        break
+                    time.sleep(0.02)
+                emit("response.output_text.done",
+                     {"item_id": mid, "output_index": 0,
+                      "content_index": 0, "text": seen})
+                emit("response.content_part.done",
+                     {"item_id": mid, "output_index": 0, "content_index": 0,
+                      "part": {"type": "output_text", "text": seen,
+                               "annotations": []}})
+                emit("response.output_item.done",
+                     {"output_index": 0, "item": message_item(seen)})
+                status = ("incomplete"
+                          if req.timed_out or len(req.tokens) >= max_new
+                          else "completed")
+                emit("response.completed",
+                     {"response": response_obj(status,
+                                               [message_item(seen)],
+                                               len(req.tokens))})
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                if not req.done:
                     gen.cancel(req)
 
         def _post_v1_embeddings(self):

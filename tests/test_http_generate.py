@@ -310,3 +310,80 @@ def test_openai_bearer_auth():
     finally:
         server.shutdown()
         eng.close()
+
+
+def test_responses_api_matches_chat(served):
+    """/v1/responses (string input + instructions) produces the same text
+    as /v1/chat/completions over the equivalent message list, with the
+    Responses object shape (output message item, usage, status)."""
+    url, gen, params, cfg = served
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hello"}]
+    with _post(f"{url}/v1/chat/completions",
+               {"messages": msgs, "max_tokens": 6, "temperature": 0}) as r:
+        want = json.loads(r.read())["choices"][0]["message"]["content"]
+    with _post(f"{url}/v1/responses",
+               {"input": "hello", "instructions": "be brief",
+                "max_output_tokens": 6, "temperature": 0}) as r:
+        out = json.loads(r.read())
+    assert out["object"] == "response"
+    assert out["status"] in ("completed", "incomplete")
+    item = out["output"][0]
+    assert item["type"] == "message" and item["role"] == "assistant"
+    assert item["content"][0]["type"] == "output_text"
+    assert item["content"][0]["text"] == want
+    assert out["usage"]["total_tokens"] == (out["usage"]["input_tokens"]
+                                            + out["usage"]["output_tokens"])
+    # message-list input with content parts frames identically
+    with _post(f"{url}/v1/responses",
+               {"input": [{"role": "system",
+                           "content": [{"type": "input_text",
+                                        "text": "be brief"}]},
+                          {"role": "user",
+                           "content": [{"type": "input_text",
+                                        "text": "hello"}]}],
+                "max_output_tokens": 6, "temperature": 0}) as r:
+        out2 = json.loads(r.read())
+    assert out2["output"][0]["content"][0]["text"] == want
+
+
+def test_responses_api_stream(served):
+    """Typed-event SSE: created -> output_item.added -> content_part.added
+    -> output_text.delta* -> *.done -> completed; deltas concatenate to
+    the non-streamed text."""
+    url, gen, params, cfg = served
+    body = {"input": "stream me", "max_output_tokens": 6, "temperature": 0}
+    with _post(f"{url}/v1/responses", body) as r:
+        want = json.loads(r.read())["output"][0]["content"][0]["text"]
+    with _post(f"{url}/v1/responses", {**body, "stream": True}) as r:
+        events = [json.loads(e) for e in _sse_events(r.read().decode())]
+    kinds = [e["type"] for e in events]
+    assert kinds[0] == "response.created"
+    assert kinds[-1] == "response.completed"
+    assert kinds.index("response.output_item.added") \
+        < kinds.index("response.output_text.done")
+    text = "".join(e["delta"] for e in events
+                   if e["type"] == "response.output_text.delta")
+    assert text == want
+    final = events[-1]["response"]
+    assert final["output"][0]["content"][0]["text"] == want
+    assert final["status"] in ("completed", "incomplete")
+
+
+def test_responses_api_errors(served):
+    url, gen, params, cfg = served
+    import urllib.error
+    for body, frag in [({"input": 7}, "input"),
+                       ({"input": "x", "previous_response_id": "r"},
+                        "previous_response_id"),
+                       ({"input": "x",
+                         "text": {"format": {"type": "json_object"}}},
+                        "json"),
+                       ({"input": "x", "stream": True,
+                         "tools": [{"type": "function", "name": "f"}]},
+                        "tools")]:
+        try:
+            with _post(f"{url}/v1/responses", body):
+                raise AssertionError(f"expected 400 for {body}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (body, e.code)
