@@ -1,7 +1,8 @@
-"""Static consistency checks for the web UI (no JS engine in the sandbox).
+"""Static consistency checks for the web UI (fast regex nets).
 
-The frontend can't be executed here (no browser/node), so these tests pin
-the contracts that break silently when HTML and JS drift apart:
+Since round 4 the frontend also EXECUTES in CI via the in-repo JS engine
+(tests/test_ui_exec.py, clearcam_tpu/jsengine) — these cheaper checks stay
+as a first line that pins the HTML/JS/server contracts directly:
 
 - every DOM id the script references must be declared somewhere in the
   markup (including ids minted inside template literals);
