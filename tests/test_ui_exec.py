@@ -54,26 +54,7 @@ def page_text(page: Path) -> str:
     return text
 
 
-def extract_scripts_and_handlers(text):
-    from clearcam_tpu.jsengine.dom import _FragmentParser, Document
-    doc = Document.__new__(Document)
-    doc.browser = None
-    p = _FragmentParser(doc)
-    p.feed(text)
-    p.close()
-    scripts = [src for el, src in p.scripts if "src" not in el.attrs]
-    handlers = []
-    root = p.root
-    stack = list(root.children)
-    while stack:
-        el = stack.pop()
-        if not hasattr(el, "attrs"):
-            continue
-        stack.extend(el.children)
-        for k, v in el.attrs.items():
-            if k.startswith("on") and v:
-                handlers.append((el.tag, k, v))
-    return scripts, handlers
+from clearcam_tpu.jsengine.check import extract_scripts_and_handlers  # noqa: E402
 
 
 # ---------------------------------------------------------------- gates
@@ -545,3 +526,26 @@ def test_cameraview_runs_against_real_server(live):
     # real class labels got templated in (COCO person)
     labels = to_py(b.get("CLASS_LABELS"))
     assert labels[0] == "person" and len(labels) == 80
+
+
+# ---------------------------------------------------------------- uicheck tool
+
+def test_uicheck_offline_clean_and_catches_injected_typo(tmp_path, monkeypatch):
+    from clearcam_tpu.tools import uicheck
+    assert uicheck.check_offline() == []
+    # a typo'd identifier inside a handler must be reported
+    bad = WEB / "mainview.html"
+    text = bad.read_text().replace("searchByText()", "searchByTxet()", 1)
+    (tmp_path / "mainview.html").write_text(text)
+    monkeypatch.setattr(uicheck, "WEB", tmp_path)
+    probs = uicheck.check_offline()
+    assert probs and "searchByTxet" in probs[0]
+
+
+def test_uicheck_live_against_real_server(live):
+    import urllib.request
+    from clearcam_tpu.tools import uicheck
+    urllib.request.urlopen(f"{live}/add_camera?cam_name=ui_cam&src=synthetic://64x48",
+                           timeout=10).read()
+    assert uicheck.check_live(live) == []
+    assert uicheck.main(["--url", live]) == 0
