@@ -353,6 +353,40 @@ def test_vod_upload_chunks_file(main):
     assert r.urls("/add_camera?cam_name=clipcam")
 
 
+def test_federation_section_renders_peer_cameras_inert(main):
+    """Peer camera/host strings are attacker-influenced (another NVR host);
+    the page builds this section with DOM nodes, so markup in names must
+    render as text, never as elements."""
+    b, r = main
+    orig = r.__call__
+    evil = "<img src=x onerror=alert(1)>"
+
+    def with_peers(method, url, body):
+        if url.startswith("/federation/cameras"):
+            return 200, json.dumps([
+                {"cam": "lobby", "host": "http://peer:8080",
+                 "url": "http://peer:8080/?cam=lobby"},
+                {"cam": evil, "host": "not a url",
+                 "url": "http://peer2:8080/?cam=x"},
+            ])
+        return orig(method, url, body)
+    b.fetch_handler = with_peers
+    b.call("loadFederation")
+    box = b.el("federation")
+    assert box.js_get("style").js_get("display") == ""
+    links = [c for c in b.el("fedcams").js_get("children").items]
+    assert [a.attrs.get("href") for a in links] == \
+        ["http://peer:8080/?cam=lobby", "http://peer2:8080/?cam=x"]
+    # bad host falls back to raw text in the pill; evil cam stays TEXT
+    pills = b.el("fedcams").inner_html()
+    assert "peer:8080" in pills and "not a url" in pills
+    assert "&lt;img" in pills and "<img" not in pills
+    # no peers -> section hides again
+    b.fetch_handler = orig
+    b.call("loadFederation")
+    assert box.js_get("style").js_get("display") == "none"
+
+
 def test_gallery_autorefresh_pauses_while_modal_open(main):
     b, r = main
     r.log.clear()
