@@ -271,6 +271,137 @@ class FfmpegSource(FrameSource):
         self._kill(self.pipe_proc)
 
 
+class MJPEGSource(FrameSource):
+    """motion-JPEG over HTTP (multipart/x-mixed-replace) — the most common
+    IP-camera protocol after RTSP, ingested WITHOUT ffmpeg.
+
+    The reference can only reach HTTP cameras through ffmpeg
+    (clearcam.py:300-371); this pure-Python reader gives minimal/air-gapped
+    deploys live detection + alerts + crops with zero external binaries
+    (recording/day-playback still needs the ffmpeg HLS recorder — when
+    ffmpeg exists it keeps handling http sources so recording works).
+
+    Frames are delimited by scanning for the JPEG SOI/EOI markers, which is
+    robust to cameras that omit Content-Length part headers; Content-Length
+    is honored when present (skips the scan).
+    """
+
+    MAX_BUF = 32 * 1024 * 1024  # a frame larger than this is a broken stream
+
+    def __init__(self, url: str, timeout: float = 10.0):
+        import urllib.request
+        self.url = url
+        self.timeout = timeout
+        self.resp = urllib.request.urlopen(url, timeout=timeout)
+        self.buf = b""
+        self.fails = 0
+
+    def _refill(self) -> bool:
+        chunk = self.resp.read1(65536) if hasattr(self.resp, "read1") else \
+            self.resp.read(65536)
+        if not chunk:
+            return False
+        self.buf += chunk
+        return True
+
+    def _next_jpeg(self) -> bytes | None:
+        while True:
+            # honor an explicit Content-Length part header when visible
+            m = re.search(rb"[Cc]ontent-[Ll]ength:\s*(\d+)\r?\n\r?\n", self.buf)
+            soi = self.buf.find(b"\xff\xd8")
+            if m and (soi == -1 or m.end() <= soi):
+                need = m.end() + int(m.group(1))
+                if len(self.buf) >= need:
+                    jpg = self.buf[m.end():need]
+                    self.buf = self.buf[need:]
+                    return jpg
+            elif soi != -1:
+                eoi = self.buf.find(b"\xff\xd9", soi + 2)
+                if eoi != -1:
+                    jpg = self.buf[soi:eoi + 2]
+                    self.buf = self.buf[eoi + 2:]
+                    return jpg
+            if len(self.buf) > self.MAX_BUF:
+                self.buf = b""
+                return None
+            if not self._refill():
+                return None
+
+    def read(self):
+        import cv2
+        try:
+            jpg = self._next_jpeg()
+        except Exception:
+            jpg = None
+        if jpg is None:
+            self.fails += 1
+            if self.fails > FfmpegSource.MAX_FAILS:
+                try:  # respawn semantics mirror the ffmpeg pipe (clearcam.py:407-413)
+                    import urllib.request
+                    self.close()
+                    self.resp = urllib.request.urlopen(self.url, timeout=self.timeout)
+                    self.fails = 0
+                except Exception:
+                    pass
+            return None
+        frame = cv2.imdecode(np.frombuffer(jpg, np.uint8), cv2.IMREAD_COLOR)
+        if frame is None:
+            return None
+        self.fails = 0
+        return frame
+
+    def close(self):
+        try:
+            self.resp.close()
+        except Exception:
+            pass
+
+
+class SnapshotSource(FrameSource):
+    """Still-JPEG polling (http://cam/snapshot.jpg) at a fixed rate — the
+    lowest-common-denominator IP-camera surface, also ffmpeg-free. read()
+    paces itself (FramePump loops as fast as read returns)."""
+
+    def __init__(self, url: str, fps: float = 2.0, timeout: float = 10.0):
+        self.url = url
+        self.interval = 1.0 / max(fps, 0.01)
+        self.timeout = timeout
+        self._next_t = 0.0
+
+    def read(self):
+        import cv2
+        import urllib.request
+        now = time.time()
+        if now < self._next_t:
+            time.sleep(self._next_t - now)
+        self._next_t = max(self._next_t + self.interval, time.time())
+        try:
+            with urllib.request.urlopen(self.url, timeout=self.timeout) as r:
+                data = r.read()
+        except Exception:
+            return None
+        return cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+
+
+def _sniff_http_source(src: str) -> FrameSource | None:
+    """Content-Type sniff for http(s) cameras when ffmpeg is unavailable:
+    multipart/x-mixed-replace -> MJPEG stream; image/* -> snapshot poller."""
+    import urllib.request
+    try:
+        resp = urllib.request.urlopen(src, timeout=10)
+    except Exception:
+        return None
+    ctype = (resp.headers.get("Content-Type") or "").lower()
+    if "multipart/x-mixed-replace" in ctype:
+        s = MJPEGSource.__new__(MJPEGSource)
+        s.url, s.timeout, s.resp, s.buf, s.fails = src, 10.0, resp, b"", 0
+        return s
+    resp.close()
+    if ctype.startswith("image/"):
+        return SnapshotSource(src)
+    return None
+
+
 def open_source(src: str, record_dir: Path) -> FrameSource:
     if src.startswith("synthetic://"):
         # synthetic://WxH?n=120&fps=30  (params optional, any order)
@@ -282,8 +413,20 @@ def open_source(src: str, record_dir: Path) -> FrameSource:
             return SyntheticSource(int(m.group(1)), int(m.group(2)), n,
                                    fps=float(params.get("fps", 100.0)))
         return SyntheticSource()
+    if src.startswith("mjpeg://"):  # force the pure-Python reader
+        return MJPEGSource("http://" + src[len("mjpeg://"):])
+    if src.startswith("mjpegs://"):
+        return MJPEGSource("https://" + src[len("mjpegs://"):])
+    if src.startswith("snapshot://"):
+        m = re.match(r"snapshot://(.*?)(?:\?fps=([\d.]+))?$", src)
+        return SnapshotSource("http://" + m.group(1),
+                              fps=float(m.group(2) or 2.0))
     if src.endswith(VOD_SUFFIXES):
         return OpenCVSource(src)
+    if src.startswith(("http://", "https://")) and find_ffmpeg() is None:
+        sniffed = _sniff_http_source(src)
+        if sniffed is not None:
+            return sniffed
     return FfmpegSource(src, record_dir)
 
 
