@@ -922,13 +922,15 @@ class HlsInstance:
     def js_set(self, name, value):
         pass
 
-    def emit(self, ev):
+    def emit(self, ev, data=None):
         for cb in self.handlers.get(ev, []):
-            self.browser.interp.call(cb, UNDEF, [ev, JSObject()])
+            self.browser.interp.call(cb, UNDEF, [ev, to_js(data) if data
+                                                 is not None else JSObject()])
 
 
 class HlsGlobal:
     MANIFEST_PARSED = "hlsManifestParsed"
+    ERROR = "hlsError"
 
     def __init__(self, browser):
         self.browser = browser
@@ -937,7 +939,8 @@ class HlsGlobal:
         if name == "isSupported":
             return lambda: self.browser.hls_supported
         if name == "Events":
-            return JSObject({"MANIFEST_PARSED": self.MANIFEST_PARSED})
+            return JSObject({"MANIFEST_PARSED": self.MANIFEST_PARSED,
+                             "ERROR": self.ERROR})
         return UNDEF
 
     def js_set(self, name, value):

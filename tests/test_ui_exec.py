@@ -182,6 +182,36 @@ def test_mainview_hls_mode_attaches_players():
     assert video in b.played
 
 
+def test_mainview_fatal_hls_error_falls_back_to_snapshots():
+    """A camera without an HLS playlist (mjpeg:// source, or recording not
+    started) must degrade to snapshot polling, not a black tile."""
+    r = Router()
+    b = Browser((WEB / "mainview.html").read_text(), fetch=r, hls=True)
+    assert b.document.get_element_by_id("v_gate").tag == "video"
+    b.hls_instances[0].emit("hlsError", {"fatal": True})
+    tile = b.document.get_element_by_id("v_gate")
+    assert tile.tag == "img" and b.hls_instances[0].destroyed
+    b.fire_timers(kind="interval", max_fires=30)
+    assert any("/snapshot?cam=gate" in src for _, src in b.loads)
+    # non-fatal errors must NOT tear the player down
+    b2 = Browser((WEB / "mainview.html").read_text(), fetch=Router(), hls=True)
+    b2.hls_instances[0].emit("hlsError", {"fatal": False})
+    assert b2.document.get_element_by_id("v_gate").tag == "video"
+
+
+def test_cameraview_fatal_hls_error_fallbacks():
+    # live view (today): snapshot mode with the id preserved
+    b, r = cam_browser(selected_dir=None, hls=True)
+    b.hls_instances[-1].emit("hlsError", {"fatal": True})
+    assert b.get("_snapImg").attrs.get("id") == "player"
+    # past day: /day.mp4 remux
+    b2, r2 = cam_browser(selected_dir="2026-08-10", hls=True)
+    b2.hls_instances[-1].emit("hlsError", {"fatal": True})
+    v = b2.document.get_element_by_id("player")
+    assert v.tag == "video"
+    assert v.js_get("src") == "/day.mp4?cam=gate&day=2026-08-10"
+
+
 def test_mainview_feature_flags_hide_search(main):
     b, r = main
     assert b.el("searchText").js_get("style").js_get("display") == ""
@@ -406,8 +436,11 @@ def test_gallery_autorefresh_pauses_while_modal_open(main):
 
 def cam_browser(router=None, selected_dir="2026-08-19", start_time="null",
                 now_ms=1755600000000.0, hls=False):
-    # 1755600000000 ms = 2026-08-19T...Z under the shifted test clock? No:
-    # the value is fixed; today() inside the page derives from it.
+    """selected_dir=None means "today under the page's (fake) clock"."""
+    if selected_dir is None:
+        import datetime
+        selected_dir = datetime.datetime.fromtimestamp(
+            now_ms / 1000, datetime.timezone.utc).strftime("%Y-%m-%d")
     r = router or Router()
     text = template_cameraview((WEB / "cameraview.html").read_text(),
                                selected_dir=selected_dir, start_time=start_time)
