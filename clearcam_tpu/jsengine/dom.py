@@ -1083,9 +1083,8 @@ class Browser:
 
         self.location = Location(self, url)
         self._install_globals()
-        self.errors = []
-        for _el, src in self._scripts:
-            self.interp.run(es.parse(src), self.genv)
+        for _el, src in self._scripts:  # a load-time JSThrow propagates:
+            self.interp.run(es.parse(src), self.genv)  # callers want loud
 
     # -- globals ---------------------------------------------------------------
     def _install_globals(self):

@@ -21,13 +21,22 @@ from dataclasses import dataclass, replace
 from pathlib import Path
 
 import functools
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..nn import functional as F
 
-CHUNK = 32
+# Prefill chunk width. A prefill dispatch reads every weight once to advance
+# one chunk, so at short chunks admission is weight-read-bound and wider
+# chunks raise prefill tok/s nearly linearly (PERF.md "Prefill chunk width");
+# the costs are coarser decode interleaving (one chunk's latency between
+# decode steps while admitting, runtime/nvr co-tenancy) and coarser
+# CHUNK-aligned prefix reuse. Graphs are shape-keyed on it: changing the
+# value recompiles (persistent-cached per value).
+CHUNK = int(os.environ.get("CLEARCAM_CHUNK", "32"))
 
 
 @dataclass(frozen=True)

@@ -530,3 +530,23 @@ def test_scheduler_death_fails_requests_loudly():
     with pytest.raises(RuntimeError):
         eng.submit([1], max_new=1)
     eng.close()
+
+
+def test_wider_chunk_matches_solo(monkeypatch):
+    """CLEARCAM_CHUNK (llm.CHUNK) widens the prefill chunk for admission
+    throughput (PERF.md "Prefill chunk width"); every request must stay
+    exactly its solo generation at any width. The stock suite pins
+    CHUNK=32 expectations (reuse alignment, tiny max_context), so this is
+    the wider-width exactness net."""
+    monkeypatch.setattr(llm, "CHUNK", 64)
+    cfg = tiny_cfg(max_context=256)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=2)
+    long_prompt = list(range(1, 81))        # 80 tokens -> 2 chunks at 64
+    r1 = eng.submit(long_prompt, max_new=8)
+    eng.step()                              # r1 mid-prefill
+    r2 = eng.submit([7, 6, 5], max_new=6)   # admission interleaves
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, long_prompt, 8)
+    assert r2.wait(1) == _solo(params, cfg, [7, 6, 5], 6)
+    eng.close()
