@@ -1424,7 +1424,12 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                 row_keys=serving_row_keys(    # first token: idx 0 per row
                     base_key, meta[3], jnp.zeros_like(meta[3])),
                 cmask=cmask)
-            cstate = _con_advance(con, crow, tok, cstate)
+            # fallback from cinit, gated on valid: a reused slot whose NEW
+            # occupant is unconstrained (cinit=-1) must not keep the retired
+            # request's cstate (it would grammar-mask a plain request);
+            # invalid rows are live decoders elsewhere — keep theirs
+            cstate = jnp.where(valid, _con_advance(con, crow, tok, cinit),
+                               cstate)
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
             first_lp = jnp.where(valid[:, None], lp, first_lp)
@@ -1486,7 +1491,9 @@ def make_serving_fns(cfg: TransformerConfig, use_pallas_decode: bool = False,
                 row_keys=serving_row_keys(
                     base_key, meta[3], jnp.zeros_like(meta[3])),
                 cmask=cmask)
-            cstate = _con_advance(con, crow, tok, cstate)
+            # same slot-reuse rule as the attention variant above
+            cstate = jnp.where(valid, _con_advance(con, crow, tok, cinit),
+                               cstate)
             first_tok = jnp.where(valid, tok, first_tok) \
                 .astype(first_tok.dtype)
             first_lp = jnp.where(valid[:, None], lp, first_lp)

@@ -138,7 +138,26 @@ def _graph_e() -> list[Layer]:
     ]
 
 
+def _graph_dryrun() -> list[Layer]:
+    """Slim 6-layer graph: stride-32 conv stem + the full 3-scale DDetect/DFL
+    head. Used by the multichip dryrun's TRAINING leg only — it keeps the real
+    objective end-to-end (TAL assignment, CIoU+BCE, optimizer, dp x tp
+    shardings) while the forward+backward graph compiles in seconds on CPU;
+    MULTICHIP_r04 timed out (rc 124) compiling the full 't' train step."""
+    L = Layer
+    return [
+        L("conv", args=dict(cin=3, cout=16, k=3, s=2, pad=1)),
+        L("conv", args=dict(cin=16, cout=32, k=3, s=2, pad=1)),
+        L("conv", args=dict(cin=32, cout=32, k=3, s=2, pad=1)),
+        L("conv", args=dict(cin=32, cout=64, k=3, s=2, pad=1)),
+        L("conv", args=dict(cin=64, cout=64, k=3, s=2, pad=1)),
+        L("ddetect", f=[2, 3, 4], args=dict(chs=(32, 64, 64), d=32)),
+    ]
+
+
 def layer_graph(size: str) -> list[Layer]:
+    if size == "dryrun":
+        return _graph_dryrun()
     return _graph_e() if size == "e" else _graph_small(size)
 
 

@@ -233,6 +233,93 @@ def check_blazeface(weights: Path, fixtures: Path) -> tuple[bool | None, str]:
                 f"(>0.3), blank {blank_p:.3f} (<0.05)")
 
 
+def check_adaface_arch(weights: Path, fixtures: Path) -> tuple[bool | None, str]:
+    """Architecture-level checks against the PUBLISHED AdaFace checkpoint
+    (reference models/adaface.py:79: adaface_ir50_ms1mv2.safetensors —
+    download-gated here, so this activates once fetch_weights has run):
+
+      1. loader exactness: converted key set + shapes == our full IR-50
+         param structure (24 BasicBlockIR units, `.list.` stripping,
+         OIHW->HWIO);
+      2. cross-implementation numerics: an independent torch IR-50 forward
+         on the REAL weights must match our embedding to 1e-4 (the same
+         rigor as check_blazeface / tests/test_torch_parity.py);
+      3. behavior: unit-norm embeddings that separate a face from a blank
+         frame (cos < 0.99)."""
+    ckpt = resolve_fixture("adaface_ir50_ms1mv2.safetensors", weights, fixtures)
+    if ckpt is None:
+        return None, "missing: adaface_ir50_ms1mv2.safetensors (weights/)"
+    import jax.numpy as jnp
+    from ..io import safetensors as st
+    from ..models import adaface
+
+    p = adaface.convert_state_dict(st.load(ckpt))
+    ref = adaface.init_params(seed=0)
+    if set(p) != set(ref):
+        extra, miss = set(p) - set(ref), set(ref) - set(p)
+        return False, f"key mismatch: +{sorted(extra)[:3]} -{sorted(miss)[:3]}"
+    bad = [k for k in p if np.asarray(p[k]).shape != np.asarray(ref[k]).shape]
+    if bad:
+        return False, f"shape mismatch: {bad[:5]}"
+
+    import cv2
+    face = cv2.resize(synthetic_face(), (112, 112))[..., ::-1]  # RGB
+    blank = np.zeros((112, 112, 3), np.uint8)
+    emb = np.asarray(adaface.embed(p, jnp.asarray(np.stack([face, blank]))))
+    norms = np.linalg.norm(emb, axis=-1)
+    if not np.allclose(norms, 1.0, rtol=1e-4):
+        return False, f"embeddings not unit-norm: {norms}"
+    cos = float(emb[0] @ emb[1])
+    if cos > 0.99:
+        return False, f"face/blank embeddings indistinct (cos {cos:.4f})"
+
+    # torch cross-implementation forward on the real weights
+    try:
+        import torch
+        import torch.nn.functional as tF
+    except ImportError:
+        return True, (f"keys+shapes ok, unit-norm, cos(face,blank) "
+                      f"{cos:.3f}; torch unavailable - numeric half skipped")
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    tt = lambda a: torch.from_numpy(np.asarray(a, np.float32))  # noqa: E731
+
+    def bn(pre, x):
+        return tF.batch_norm(x, tt(pn[pre + ".running_mean"]),
+                             tt(pn[pre + ".running_var"]),
+                             tt(pn[pre + ".weight"]), tt(pn[pre + ".bias"]),
+                             False, 0.0, 1e-5)
+
+    def cv(pre, x, stride=1, padding=0):
+        w = tt(np.transpose(pn[pre + ".weight"], (3, 2, 0, 1)))
+        return tF.conv2d(x, w, stride=stride, padding=padding)
+
+    with torch.no_grad():
+        x = (tt(np.stack([face, blank]).astype(np.float32)
+                ).permute(0, 3, 1, 2) / 255 - 0.5) / 0.5
+        x = tF.prelu(bn("bn0", cv("conv0", x, padding=1)),
+                     tt(pn["prelu_weight"]))
+        for i, (cin, depth, stride) in enumerate(adaface.BLOCKS):
+            pre = f"body.{i}"
+            if depth == cin:
+                sc = tF.max_pool2d(x, 1, stride) if stride > 1 else x
+            else:
+                sc = bn(pre + ".shortcut_layer1",
+                        cv(pre + ".shortcut_layer0", x, stride=stride))
+            h = cv(pre + ".conv_layer0", bn(pre + ".res_layer0", x), padding=1)
+            h = tF.prelu(bn(pre + ".res_layer1", h), tt(pn[pre + ".prelu_weight"]))
+            x = bn(pre + ".res_layer2",
+                   cv(pre + ".conv_layer1", h, stride=stride, padding=1)) + sc
+        x = bn("bn", x).flatten(1)
+        x = tF.linear(x, tt(pn["linear.weight"]), tt(pn["linear.bias"]))
+        x = (x - tt(pn["bn2.running_mean"])) / torch.sqrt(
+            tt(pn["bn2.running_var"]) + 1e-5)
+        ref_emb = (x / x.norm(dim=-1, keepdim=True)).numpy()
+    err = float(np.abs(emb - ref_emb).max())
+    ok = err < 1e-4
+    return ok, (f"keys+shapes ok, unit-norm, cos(face,blank) {cos:.3f}, "
+                f"torch cross-parity max err {err:.2e} (<1e-4)")
+
+
 def check_mot(weights: Path, fixtures: Path,
               detector_kind: str = "yolo") -> tuple[bool | None, str]:
     """Unique-person count on MOT16-03 (the reference regression invariant)."""
@@ -286,6 +373,7 @@ CHECKS = {
     "clip-pkl": check_clip_pkl,
     "tokenizer": check_tokenizer,
     "blazeface": check_blazeface,
+    "adaface-arch": check_adaface_arch,
     "mot": lambda w, f: check_mot(w, f, "yolo"),
     "mot-rfdetr": lambda w, f: check_mot(w, f, "rfdetr"),
     "yolo": check_yolo_golden,

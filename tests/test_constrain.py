@@ -207,6 +207,58 @@ def test_engine_mixed_batch_leaves_unconstrained_exact():
     _assert_valid_prefix(tc, [t for t in rc.wait(1) if t != EOS])
 
 
+def test_engine_slot_reuse_clears_stale_grammar_state():
+    """Regression (round-4 advisor, high): after a constrained request
+    retires with cstate=ACCEPT (EOS-only), plain requests batch-admitted
+    into the reused slots via prefill_many must NOT inherit the stale
+    grammar state — they must be token-exact vs a fresh engine."""
+    cfg = tiny_cfg(max_context=256)
+    params = llm.init_params(cfg, seed=3)
+    tc = _toy_constraint()
+    eng = ServingEngine(params, cfg, n_slots=2,
+                        constraints={"json": tc})
+    # drive a constrained request to completion in every slot
+    rcs = [eng.submit([1, 2, 3], max_new=160, temperature=1.0, eos_id=EOS,
+                      seed=s, constraint="json") for s in (11, 22)]
+    eng.run_until_idle()
+    assert any(r.tokens and r.tokens[-1] == EOS for r in rcs), \
+        "no constrained request reached ACCEPT (adjust seeds)"
+    # two plain admissions in ONE tick -> the batched prefill_many path
+    batched0 = eng.stats["prefill_batched_steps"]
+    rus = [eng.submit([5, 4, 3], max_new=20, eos_id=EOS),
+           eng.submit([2, 6, 1], max_new=20, eos_id=EOS)]
+    eng.run_until_idle()
+    assert eng.stats["prefill_batched_steps"] > batched0
+    assert rus[0].wait(1) == _solo(params, cfg, [5, 4, 3], 20, eos_id=EOS)
+    assert rus[1].wait(1) == _solo(params, cfg, [2, 6, 1], 20, eos_id=EOS)
+
+
+def test_engine_slot_reuse_clears_stale_grammar_state_ssm():
+    """Same regression on the SSM/hybrid prefill_many variant
+    (models/llm.py) — the scan-based batched prefill had the identical
+    stale-cstate fallback."""
+    ssm = llm.SSMConfig(conv_kernel=3, state_size=8, group_count=2,
+                        time_step_rank=4, inner_size=32)
+    cfg = tiny_cfg(max_context=256, ssm=ssm, full_attention_interval=2,
+                   qk_norm=8)
+    params = llm.init_params(cfg, seed=3)
+    tc = _toy_constraint()
+    eng = ServingEngine(params, cfg, n_slots=2,
+                        constraints={"json": tc})
+    rcs = [eng.submit([1, 2, 3], max_new=160, temperature=1.0, eos_id=EOS,
+                      seed=s, constraint="json") for s in (11, 22)]
+    eng.run_until_idle()
+    assert any(r.tokens and r.tokens[-1] == EOS for r in rcs), \
+        "no constrained request reached ACCEPT (adjust seeds)"
+    batched0 = eng.stats["prefill_batched_steps"]
+    rus = [eng.submit([5, 4, 3], max_new=20, eos_id=EOS),
+           eng.submit([2, 6, 1], max_new=20, eos_id=EOS)]
+    eng.run_until_idle()
+    assert eng.stats["prefill_batched_steps"] > batched0
+    assert rus[0].wait(1) == _solo(params, cfg, [5, 4, 3], 20, eos_id=EOS)
+    assert rus[1].wait(1) == _solo(params, cfg, [2, 6, 1], 20, eos_id=EOS)
+
+
 def test_engine_json_composes_with_filters_and_bias():
     """Constraint ∧ top_p/top_k ∧ penalties ∧ logit_bias: the grammar mask
     must win regardless of the other processors (bias can't resurrect a

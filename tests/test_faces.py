@@ -1,6 +1,8 @@
 """Face pipeline: BlazeFace graph/decode, AdaFace embedder, alignment
 geometry (with a stubbed detector so alignment is testable without real
 weights)."""
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -36,6 +38,20 @@ def test_adaface_shapes_and_norm():
     emb = np.asarray(adaface.embed(p, faces))
     assert emb.shape == (2, 512)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-4)
+
+
+def test_face_align_embed_e2e_golden():
+    """Full align->embed numeric regression net (round-4 VERDICT #3): replay
+    the recorded pipeline (tests/make_face_golden.py — stubbed detection,
+    real warp geometry, full 24-block IR-50 embed on seeded weights) and
+    demand bit-tight agreement with the committed fixture."""
+    import make_face_golden as g
+
+    fix = Path(__file__).parent / "fixtures" / "face_e2e_golden.npz"
+    crop, emb = g.run_pipeline()
+    with np.load(fix) as z:
+        np.testing.assert_array_equal(crop, z["crop"])     # warp is integer-exact
+        np.testing.assert_allclose(emb, z["embedding"], rtol=0, atol=2e-6)
 
 
 def test_alignment_puts_eyes_on_canonical_positions(tmp_path):

@@ -319,13 +319,9 @@ def test_blazeface_real_weight_parity():
     np.testing.assert_allclose(np.asarray(ours_c), ref_c, rtol=1e-4, atol=1e-4)
 
 
-def test_adaface_block_parity():
-    from clearcam_tpu.models import adaface
-    p = adaface.init_params(seed=11, blocks=adaface.BLOCKS_MINI)
-    pn = {k: np.asarray(v) for k, v in p.items()}
-    rng = np.random.default_rng(5)
-    faces = rng.integers(0, 255, (1, 112, 112, 3)).astype(np.uint8)
-    ours = np.asarray(adaface.embed(p, jnp.asarray(faces)))
+def _torch_adaface_forward(pn, faces, blocks):
+    """Reference-structured torch IR-50 forward (models/adaface.py:24-100):
+    uint8 RGB [B,112,112,3] -> L2-normalized [B,512] embedding."""
 
     def bn(pre, x):
         return tF.batch_norm(x, t(pn[pre + ".running_mean"]),
@@ -340,7 +336,7 @@ def test_adaface_block_parity():
         x = (t(faces.astype(np.float32)).permute(0, 3, 1, 2) / 255 - 0.5) / 0.5
         x = tF.conv2d(x, hwio_to_oihw(pn["conv0.weight"]), padding=1)
         x = prelu(bn("bn0", x), pn["prelu_weight"])
-        for i, (cin, depth, stride) in enumerate(adaface.BLOCKS_MINI):
+        for i, (cin, depth, stride) in enumerate(blocks):
             pre = f"body.{i}"
             if depth == cin:
                 sc = tF.max_pool2d(x, 1, stride) if stride > 1 else x
@@ -359,8 +355,37 @@ def test_adaface_block_parity():
         x = tF.linear(x, t(pn["linear.weight"]), t(pn["linear.bias"]))
         x = (x - t(pn["bn2.running_mean"])) / torch.sqrt(
             t(pn["bn2.running_var"]) + 1e-5)
-        ref = (x / x.norm(dim=-1, keepdim=True)).numpy()
+        return (x / x.norm(dim=-1, keepdim=True)).numpy()
+
+
+def test_adaface_block_parity():
+    from clearcam_tpu.models import adaface
+    p = adaface.init_params(seed=11, blocks=adaface.BLOCKS_MINI)
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    rng = np.random.default_rng(5)
+    faces = rng.integers(0, 255, (1, 112, 112, 3)).astype(np.uint8)
+    ours = np.asarray(adaface.embed(p, jnp.asarray(faces)))
+    ref = _torch_adaface_forward(pn, faces, adaface.BLOCKS_MINI)
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_adaface_ir50_full_forward_parity():
+    """The FULL 24-block IR-50 stack (reference models/adaface.py:63:
+    `sizes`), batch 2 — every residual unit, both shortcut kinds, all four
+    stage transitions, flatten order, affine-free bn2, final normalize.
+    He-initialized weights with unit BN stats keep activations bounded
+    through the residual chain, so the normalized embedding agrees to 1e-4:
+    a transposed filter, wrong PReLU slope, or off-by-one stride anywhere in
+    the 50 layers mismatches at order 1."""
+    from clearcam_tpu.models import adaface
+    p = adaface.init_params(seed=3)                      # full BLOCKS
+    pn = {k: np.asarray(v) for k, v in p.items()}
+    rng = np.random.default_rng(6)
+    faces = rng.integers(0, 255, (2, 112, 112, 3)).astype(np.uint8)
+    ours = np.asarray(adaface.embed(p, jnp.asarray(faces)))
+    ref = _torch_adaface_forward(pn, faces, adaface.BLOCKS)
+    assert ours.shape == ref.shape == (2, 512)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
 
 def test_clip_image_tower_parity():

@@ -67,6 +67,15 @@ def test_blazeface_extract_face_real_weights():
     assert face.shape == (112, 112, 3)
 
 
+def test_adaface_real_checkpoint():
+    """The published AdaFace IR-50 checkpoint (download-gated): loader
+    key/shape exactness, unit-norm + face/blank separation, and an
+    independent torch forward at 1e-4 (round-4 VERDICT #3's weight-gated
+    half; the in-suite random-weight halves live in test_torch_parity.py
+    and test_faces.py)."""
+    _run("adaface-arch")
+
+
 def test_mot16_unique_persons_yolo():
     _run("mot")
 
