@@ -304,15 +304,40 @@ class MJPEGSource(FrameSource):
         self.buf += chunk
         return True
 
+    @staticmethod
+    def _part_header(buf: bytes, soi: int):
+        """Parse the multipart part-header block preceding the next SOI:
+        (body_offset, content_length|None). Headers end at the first blank
+        line and are matched case-insensitively in any order — cameras
+        commonly send Content-Type AFTER Content-Length, which a
+        position-sensitive regex misses (round-4 advisor)."""
+        he, sep = buf.find(b"\r\n\r\n"), 4
+        he2 = buf.find(b"\n\n")
+        if he == -1 or (he2 != -1 and he2 < he):
+            he, sep = he2, 2
+        if he == -1 or (soi != -1 and he + sep > soi):
+            return None, None     # no header block before the jpeg data
+        clen = None
+        for line in buf[:he].replace(b"\r\n", b"\n").split(b"\n"):
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length":
+                try:
+                    clen = int(v.strip())
+                except ValueError:
+                    clen = None
+        return he + sep, clen
+
     def _next_jpeg(self) -> bytes | None:
         while True:
-            # honor an explicit Content-Length part header when visible
-            m = re.search(rb"[Cc]ontent-[Ll]ength:\s*(\d+)\r?\n\r?\n", self.buf)
             soi = self.buf.find(b"\xff\xd8")
-            if m and (soi == -1 or m.end() <= soi):
-                need = m.end() + int(m.group(1))
+            # honor an explicit Content-Length part header when visible —
+            # the authoritative frame length (an SOI/EOI scan truncates at
+            # an embedded EXIF/JFIF thumbnail's EOI)
+            body, clen = self._part_header(self.buf, soi)
+            if clen is not None:
+                need = body + clen
                 if len(self.buf) >= need:
-                    jpg = self.buf[m.end():need]
+                    jpg = self.buf[body:need]
                     self.buf = self.buf[need:]
                     return jpg
             elif soi != -1:
@@ -340,6 +365,9 @@ class MJPEGSource(FrameSource):
                     import urllib.request
                     self.close()
                     self.resp = urllib.request.urlopen(self.url, timeout=self.timeout)
+                    # stale partial-frame bytes from the dead connection
+                    # would corrupt the first frames after respawn
+                    self.buf = b""
                     self.fails = 0
                 except Exception:
                     pass

@@ -244,8 +244,10 @@ def _resolve_constraint(gen, rft, schema=None, choice_opts=None):
 
     from ..serving import constrain as _con
     if choice_opts:
-        key = "choice:" + hashlib.sha1(
-            json.dumps(choice_opts).encode()).hexdigest()[:12]
+        # full digest: names are internal, and truncation would let two
+        # different option lists silently share a grammar on collision
+        key = "choice:" + hashlib.sha256(
+            json.dumps(choice_opts).encode()).hexdigest()
         if key not in gen.engine._cstarts:
             gen.engine.register_constraint(
                 key, _con.choice_token_constraint(
@@ -263,8 +265,8 @@ def _resolve_constraint(gen, rft, schema=None, choice_opts=None):
     if rft == "json_schema":
         if not isinstance(schema, dict):
             raise ValueError("json_schema needs a schema object")
-        key = "schema:" + hashlib.sha1(json.dumps(
-            schema, sort_keys=True).encode()).hexdigest()[:12]
+        key = "schema:" + hashlib.sha256(json.dumps(
+            schema, sort_keys=True).encode()).hexdigest()
         if key not in gen.engine._cstarts:
             gen.engine.register_constraint(
                 key, _con.schema_token_constraint(

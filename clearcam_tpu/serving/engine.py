@@ -223,6 +223,14 @@ class ServingEngine:
         self._cstarts: dict[str, int] = {}
         self._ctab = None
         self._cap = self._cused = 0
+        # runtime-registered grammar bookkeeping (register_constraint):
+        # name -> (base, pad) row block, free-block list, and an LRU clock
+        # so exhausted reserved space evicts idle grammars instead of
+        # 400-ing every new schema until restart (round-4 advisor, medium)
+        self._cblocks: dict[str, tuple[int, int]] = {}
+        self._cfree: list[tuple[int, int]] = []
+        self._clru: dict[str, int] = {}
+        self._clock = 0
         init_rows = sum(c.trans.shape[0]
                         for c in (constraints or {}).values())
         total = init_rows + max(0, int(constraint_rows))
@@ -260,6 +268,14 @@ class ServingEngine:
         self._cupd = jax.jit(
             lambda t, blk, off: jax.lax.dynamic_update_slice(t, blk,
                                                              (off, 0)))
+        # Runtime-registered grammars (register_constraint) are EXCLUDED
+        # from the fingerprint by design: the HTTP layer names them by the
+        # full content hash of the schema/options, and a grammar's token
+        # masks depend only on the automaton, never on its row-block
+        # placement — so constrained draws are comparable per grammar
+        # content across deployments, exactly the contract the name
+        # carries. Construction-time grammars stay in (their names are
+        # deployment config, not content-addressed).
         self.fingerprint_cfg = (n_slots, jnp.dtype(state_dtype).name,
                                 bool(kv_quant), self.spec,
                                 bool(use_pallas_decode),
@@ -466,46 +482,123 @@ class ServingEngine:
                     and len(self._waiting) >= self.max_waiting:
                 raise QueueFull(
                     f"waiting queue at max_waiting={self.max_waiting}")
+            if r.constraint is not None:
+                if r.constraint not in self._cstarts:
+                    # registered at the pre-lock check but LRU-evicted
+                    # since: fail cleanly, the client re-registers
+                    raise ValueError(
+                        f"constraint {r.constraint!r} was evicted — "
+                        "re-register and resubmit")
+                if r.constraint in self._clru:
+                    self._clock += 1
+                    self._clru[r.constraint] = self._clock
             self._waiting.append(r)
             if r.deadline is not None:
                 self._deadlines += 1
             self._work.notify()
         return r
 
+    def _cinflight(self) -> set:
+        """Constraint names any live request still needs. Caller holds
+        self._lock; the waiting->running transition (_admit inside step())
+        happens under the same lock, so the union of the two collections
+        cannot miss a request."""
+        names = {r.constraint for r in self._waiting if r.constraint}
+        names.update(r.constraint for r in self.req
+                     if r is not None and r.constraint)
+        return names
+
+    def _calloc(self, pad: int) -> int | None:
+        """Best-fit a pad-row block from the free list, else extend the
+        tail. Returns the base row or None."""
+        fits = [(p, b) for b, p in self._cfree if p >= pad]
+        if fits:
+            p, b = min(fits)
+            self._cfree.remove((b, p))
+            if p > pad:
+                self._cfree.append((b + pad, p - pad))
+            return b
+        if self._cused + pad <= self._cap:
+            b = self._cused
+            self._cused += pad
+            return b
+        return None
+
     def register_constraint(self, name: str, tc) -> None:
         """Register a grammar at runtime (per-request json_schema /
         guided_choice): writes the TokenConstraint's rows into the device
         table's reserved space (``constraint_rows``) — the table shape
         never changes, so no serving graph recompiles; in-flight requests
-        keep decoding while the rows upload. Idempotent per name; raises
-        when the reserved space is exhausted (callers should hash the
-        grammar into ``name`` so repeat clients reuse their block).
-        Blocks round up to 64 rows so the uploader compiles for a handful
-        of shapes, not one per schema."""
+        keep decoding while the rows upload. Idempotent per name (callers
+        hash the grammar into ``name`` so repeat clients reuse their
+        block). Blocks round up to 64 rows so the uploader compiles for a
+        handful of shapes, not one per schema. When the reserved space is
+        exhausted, least-recently-used runtime grammars with NO in-flight
+        requests are evicted (their blocks freed and coalesced); raises
+        only when even eviction cannot make room. Construction-time
+        grammars are permanent — they are part of fingerprint_cfg."""
         with self._work:
             if name in self._cstarts:
+                self._clock += 1
+                if name in self._clru:
+                    self._clru[name] = self._clock
                 return
             if self.spec:
                 raise ValueError("constraints unsupported with spec_lookup")
             n = tc.trans.shape[0]
             assert tc.trans.shape[1] == self.cfg.vocab_size
             pad = -(-n // 64) * 64
-            if self._cused + pad > self._cap:
-                if self._cused + n > self._cap:
+
+            def try_alloc():
+                # padded first; exact-fit fallback squeezes the last rows
+                for want in dict.fromkeys((pad, n)):
+                    b = self._calloc(want)
+                    if b is not None:
+                        return b, want
+                return None, 0
+
+            base, size = try_alloc()
+            if base is None:
+                # evict idle runtime grammars, LRU-first, until it fits
+                busy = self._cinflight()
+                for victim in sorted(self._cblocks,
+                                     key=lambda k: self._clru.get(k, 0)):
+                    if victim in busy:
+                        continue
+                    vb, vp = self._cblocks.pop(victim)
+                    del self._cstarts[victim]
+                    self._clru.pop(victim, None)
+                    self._cfree.append((vb, vp))
+                    # coalesce adjacent free blocks (and the tail)
+                    self._cfree.sort()
+                    merged = []
+                    for fb, fp in self._cfree:
+                        if merged and merged[-1][0] + merged[-1][1] == fb:
+                            merged[-1] = (merged[-1][0], merged[-1][1] + fp)
+                        else:
+                            merged.append((fb, fp))
+                    if merged and merged[-1][0] + merged[-1][1] == self._cused:
+                        self._cused = merged.pop()[0]
+                    self._cfree = merged
+                    base, size = try_alloc()
+                    if base is not None:
+                        break
+                if base is None:
                     raise ValueError(
-                        f"constraint table full ({self._cused}+{n} > "
-                        f"{self._cap} rows) — raise constraint_rows "
+                        f"constraint table full ({n} rows needed, "
+                        f"{self._cap} total, every registered grammar "
+                        "in flight) — raise constraint_rows "
                         "(serve_llm --constraint-rows)")
-                pad = n
-            base = self._cused
-            blk = np.full((pad, self.cfg.vocab_size), -1, np.int16)
+            blk = np.full((size, self.cfg.vocab_size), -1, np.int16)
             blk[:n] = np.where(
                 tc.trans >= 0,
                 (tc.trans.astype(np.int32) + base).astype(np.int16),
                 np.int16(-1))
             self._ctab = self._cupd(self._ctab, jnp.asarray(blk), base)
-            self._cused = base + pad
             self._cstarts[name] = base + tc.start
+            self._cblocks[name] = (base, size)
+            self._clock += 1
+            self._clru[name] = self._clock
 
     def cancel(self, r: Request) -> None:
         """Abandon a request (client disconnect / timeout): a waiting

@@ -466,13 +466,62 @@ def test_engine_runtime_registration_schema():
     cids = rc.wait(1)
     assert cids and cids[-1] == EOS              # accept -> forced eos
     assert _decode(cids).decode() in ("yes", "no")
-    # idempotent + table-full error
+    # idempotent
     eng.register_constraint("choice:t", choice_token_constraint(
         _Tok(), 64, ["yes", "no"]))
+    # exhausting the reserved rows LRU-evicts idle runtime grammars instead
+    # of 400-ing until restart (round-4 advisor, medium): every register
+    # succeeds, the oldest idle blocks get recycled, and construction-time
+    # grammars are permanent
     big = schema_token_constraint(_Tok(), 64, SCHEMA)
+    for i in range(12):
+        eng.register_constraint(f"fill{i}", big)
+    assert "fill11" in eng._cstarts
+    assert "fill0" not in eng._cstarts       # LRU-evicted
+    assert "json" in eng._cstarts            # construction grammar stays
+
+
+def test_register_constraint_eviction_pins_inflight():
+    """Eviction must never recycle a grammar with a waiting/running
+    request: with every registered grammar in flight the table-full error
+    remains; once the request drains, the block frees and new grammars
+    register again — and output generated under eviction pressure still
+    obeys its grammar."""
+    from clearcam_tpu.serving.constrain import schema_token_constraint
+
+    class _Tok:
+        eos_id, eot_id = EOS, None
+
+        def vocab_bytes(self):
+            return VOCAB
+
+    big = schema_token_constraint(_Tok(), 64, SCHEMA)
+    pad = -(-big.trans.shape[0] // 64) * 64
+    cfg = tiny_cfg(max_context=256)
+    params = llm.init_params(cfg, seed=3)
+    # reserve room for exactly ONE padded block
+    eng = ServingEngine(params, cfg, n_slots=1,
+                        constraints={"json": _toy_constraint()},
+                        constraint_rows=pad + 16)
+    eng.register_constraint("a", big)
+    r = eng.submit([1, 2], max_new=60, temperature=1.0, eos_id=EOS,
+                   seed=5, constraint="a")       # waiting: engine not run yet
     with pytest.raises(ValueError, match="full"):
-        for i in range(99):
-            eng.register_constraint(f"fill{i}", big)
+        eng.register_constraint("b", big)        # "a" is pinned in flight
+    assert "a" in eng._cstarts
+    eng.run_until_idle()
+    body = [t for t in r.wait(1) if t != EOS]
+    assert body
+    s = big.start
+    for t in body:                               # replay under grammar "a"
+        s = int(big.trans[s, t])
+        assert s >= 0, (body, t)
+    # drained: "a" is idle now, so the next register evicts it
+    eng.register_constraint("b", big)
+    assert "b" in eng._cstarts and "a" not in eng._cstarts
+    # submitting against the evicted name fails loudly, not silently
+    with pytest.raises(ValueError, match="no constraint|evicted"):
+        eng.submit([1, 2], max_new=4, constraint="a")
 
 
 # -- OpenAI surface (response_format) ----------------------------------------

@@ -38,6 +38,11 @@ class CamHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path.startswith("/mjpeg"):
             with_len = "nolen" not in self.path
+            # cameras commonly send Content-Length BEFORE Content-Type;
+            # this variant also embeds a decoy EOI (COM segment holding
+            # FF D9 bytes — an EXIF-thumbnail stand-in) that an SOI/EOI
+            # scan would truncate at (round-4 advisor)
+            cl_first = "clfirst" in self.path
             self.send_response(200)
             self.send_header("Content-Type",
                              'multipart/x-mixed-replace; boundary="frame"')
@@ -45,11 +50,18 @@ class CamHandler(BaseHTTPRequestHandler):
             try:
                 for i in range(self.frames_served):
                     jpg = make_jpeg(i)
+                    if cl_first:
+                        jpg = jpg[:2] + b"\xff\xfe\x00\x04\xff\xd9" + jpg[2:]
                     self.wfile.write(b"--frame\r\n")
-                    self.wfile.write(b"Content-Type: image/jpeg\r\n")
-                    if with_len:
+                    if cl_first:
                         self.wfile.write(
                             f"Content-Length: {len(jpg)}\r\n".encode())
+                        self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                    else:
+                        self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                        if with_len:
+                            self.wfile.write(
+                                f"Content-Length: {len(jpg)}\r\n".encode())
                     self.wfile.write(b"\r\n")
                     self.wfile.write(jpg + b"\r\n")
             except BrokenPipeError:
@@ -74,8 +86,9 @@ def cam_server():
     srv.shutdown()
 
 
-@pytest.mark.parametrize("path", ["/mjpeg", "/mjpeg_nolen"],
-                         ids=["content-length", "soi-eoi-scan"])
+@pytest.mark.parametrize(
+    "path", ["/mjpeg", "/mjpeg_nolen", "/mjpeg_clfirst"],
+    ids=["content-length", "soi-eoi-scan", "cl-first+embedded-eoi"])
 def test_mjpeg_source_reads_frames(cam_server, path):
     src = MJPEGSource(f"http://{cam_server}{path}")
     try:
