@@ -159,7 +159,10 @@ class VisionTower:
                              p.get(pre + ".attn_out.bias"))
             h = F.layer_norm_p(p, pre + ".ln2", x, eps=1e-6)
             h = F.linear_p(p, pre + ".ffn_up", h)
-            h = jax.nn.gelu(h, approximate=False)
+            # tanh-approx GELU: the published checkpoints are trained
+            # with gelu_pytorch_tanh (HF qwen3_vl config; the reference's
+            # Tensor.gelu is the same tanh formula, qwen3vl.py:365)
+            h = jax.nn.gelu(h, approximate=True)
             x = x + F.linear_p(p, pre + ".ffn_down", h)
             if i in self.deepstack_idx:
                 # reference DeepstackLayer (qwen3vl.py:324-334): view to the
@@ -169,13 +172,13 @@ class VisionTower:
                 d = F.linear_p(p, f"v.deepstack.{i}.fc1",
                                x.reshape(-1, fc1_in))
                 d = F.linear_p(p, f"v.deepstack.{i}.fc2",
-                               jax.nn.gelu(d, approximate=False))
+                               jax.nn.gelu(d, approximate=True))
                 deepstack.append(d)
 
         x = F.layer_norm_p(p, "v.post_ln", x, eps=1e-6)
         merged = x.reshape(-1, self.merge_dim)            # 2x2 window concat
         merged = F.linear_p(p, "mm.0", merged)
-        merged = jax.nn.gelu(merged, approximate=False)
+        merged = jax.nn.gelu(merged, approximate=True)
         merged = F.linear_p(p, "mm.2", merged)
         return merged, deepstack
 

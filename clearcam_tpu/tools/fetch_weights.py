@@ -57,6 +57,16 @@ URLS = {
     "rfdetr": lambda **_: [
         (["https://storage.googleapis.com/rfdetr/rf-detr-nano.pth"],
          "rf-detr-nano.pth", "weights")],
+    # ggml IQ lattice codebooks (iq3xxs/iq3s/iq2s grids): public constants
+    # shipped in every llama.cpp checkout (ggml-common.h). Downloaded then
+    # extracted into weights/ggml_grids.npz (see main()) so IQ3_XXS/IQ3_S/
+    # IQ2_S GGUFs load with no llama.cpp checkout (io/ggml_grids.py).
+    "ggml-grids": lambda **_: [
+        (["https://raw.githubusercontent.com/ggml-org/llama.cpp/master/"
+          "ggml/src/ggml-common.h",
+          "https://raw.githubusercontent.com/ggerganov/llama.cpp/master/"
+          "ggml/src/ggml-common.h"],
+         "ggml-common.h", "weights")],
 }
 
 
@@ -116,6 +126,19 @@ def main(argv=None):
     ok = True
     for urls, dest in todo:
         ok &= fetch(urls, dest)
+    # post-step: extract the IQ lattice npz from the downloaded header
+    hdr = args.dest / "ggml-common.h"
+    npz = args.dest / "ggml_grids.npz"
+    if "ggml-grids" in models and hdr.exists() and not npz.exists():
+        try:
+            sys.path.insert(0, str(Path(__file__).resolve()
+                                   .parents[2] / "tools"))
+            from extract_ggml_grids import extract_to_npz
+            extract_to_npz(hdr.read_text(errors="replace"), npz)
+        except Exception as e:  # noqa: BLE001
+            print(f"  ggml_grids.npz: extraction FAILED ({e}); run "
+                  "tools/extract_ggml_grids.py manually")
+            ok = False
     # blazeface ships with the reference repo, not HF — note it
     if "face" in models:
         print("  note: blazeface.safetensors is distributed with the reference "

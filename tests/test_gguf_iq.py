@@ -217,6 +217,43 @@ def test_grids_npz_roundtrip(tmp_path, monkeypatch):
         ggml_grids.set_grids(None)
 
 
+def test_fetch_weights_extracts_grids_offline(tmp_path, monkeypatch):
+    """fetch_weights --models ggml-grids with the header already present
+    (no network touched): the post-step extracts weights/ggml_grids.npz
+    and load_grids() accepts it — the fresh-deployment IQ3/IQ2 story."""
+    import importlib.util
+    import pytest as _pytest
+    from clearcam_tpu.io import ggml_grids
+    from clearcam_tpu.tools import fetch_weights
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for name, (dt, n, nb) in ggml_grids.GRID_SPECS.items():
+        vals = rng.integers(0, 1 << (8 * nb), n, np.uint64)
+        body = ", ".join(f"0x{v:x}" for v in vals)
+        ctype = "uint32_t" if nb == 4 else "uint64_t"
+        lines.append(f"GGML_TABLE_BEGIN({ctype}, {name}, {n})\n"
+                     f"{body},\nGGML_TABLE_END()\n")
+    dest = tmp_path / "w"
+    dest.mkdir()
+    (dest / "ggml-common.h").write_text("\n".join(lines))
+
+    with _pytest.raises(SystemExit) as ei:
+        fetch_weights.main(["--dest", str(dest),
+                            "--fixtures", str(tmp_path / "f"),
+                            "--models", "ggml-grids"])
+    assert ei.value.code == 0
+    assert (dest / "ggml_grids.npz").exists()
+    monkeypatch.setenv("CLEARCAM_GGML_GRIDS", str(dest / "ggml_grids.npz"))
+    ggml_grids.set_grids(None)
+    try:
+        grids = ggml_grids.load_grids()
+        assert grids["iq2s_grid"].shape == (1024, 8)
+        assert grids["iq3xxs_grid"].shape == (256, 4)
+    finally:
+        ggml_grids.set_grids(None)
+
+
 def test_extractor_parses_c_and_python(tmp_path):
     """tools/extract_ggml_grids.py pulls tables from both source styles."""
     import importlib.util

@@ -426,3 +426,130 @@ def test_clip_image_tower_parity():
         emb = x[:, 0] @ t(pn["proj"])
         ref = (emb / (emb.norm(dim=-1, keepdim=True) + 1e-8)).numpy()
     np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_qwen3vl_vision_tower_parity():
+    """Qwen3-VL vision tower vs an independent torch forward structured
+    after the reference (llm/qwen3vl.py:154-298 / HF qwen3_vl): patchify
+    permute chain + temporal-dup conv embed, bilinear pos-emb resampling,
+    window partition order, 2D rotary, SDPA blocks with tanh-GELU FFN,
+    deepstack taps (fc1->gelu->fc2, norm present-but-unapplied), post_ln,
+    2x2 merge + mm projector. Non-square grid (4x6 patches) catches h/w
+    swaps; deepstack taps at two depths catch off-by-one layer indexing."""
+    from clearcam_tpu.models.qwen3vl import VisionTower
+
+    # head_dim must be 64: the 2D rotary embedding is 64-wide by
+    # construction (16 freqs x 2 axes, duplicated — qwen3vl.py:247-251)
+    kv, p = VisionTower.init_random(n_blocks=3, width=128, heads=2,
+                                    merge_dim=512, lang_dim=32,
+                                    grid_side=8, deepstack=(0, 2), seed=7)
+    tower = VisionTower(kv, p)
+    rng = np.random.default_rng(8)
+    img = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)  # gh=4, gw=6
+    ours_emb, ours_deep = tower(jnp.asarray(img))
+    ours_emb = np.asarray(ours_emb)
+    ours_deep = [np.asarray(d) for d in ours_deep]
+
+    merge, patch, side = 2, 16, 8
+    mean = torch.tensor(kv["clip.vision.image_mean"]).view(1, 3, 1, 1)
+    std = torch.tensor(kv["clip.vision.image_std"]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        x = t(img).permute(2, 0, 1)[None].float()
+        x = (x / 255 - mean) / std
+        gh, gw = 64 // patch, 96 // patch
+        # reference prefill's pixel_values permute chain (qwen3vl.py:268-288)
+        x = x.reshape(3, gh // merge, merge, patch, gw // merge, merge, patch)
+        x = x.permute(1, 4, 2, 5, 0, 3, 6)
+        px = x.unsqueeze(5).expand(-1, -1, -1, -1, -1, merge, -1, -1) \
+            .reshape(gh * gw, 3 * merge * patch * patch)
+        # stacked temporal conv (qwen3vl.py:226-231)
+        w = torch.stack([t(p["v.patch_embd.weight"]),
+                         t(p["v.patch_embd.weight.1"])], dim=2)
+        w = w.reshape(w.shape[0], -1, patch, patch)
+        h = tF.conv2d(px.reshape(-1, 6, patch, patch), w,
+                      t(p["v.patch_embd.bias"]), stride=patch)
+        h = h.view(h.shape[0], -1)
+        # bilinear pos-emb resample + window reorder (qwen3vl.py:154-187)
+        hg = torch.linspace(0, side - 1, gh)
+        wg = torch.linspace(0, side - 1, gw)
+        hf, wf = hg.int(), wg.int()
+        hc, wc = (hf + 1).clamp(max=side - 1), (wf + 1).clamp(max=side - 1)
+        ha, wa = hg - hf, wg - wf
+        ci = torch.stack([
+            (hf[:, None] * side + wf[None, :]).flatten(),
+            (hf[:, None] * side + wc[None, :]).flatten(),
+            (hc[:, None] * side + wf[None, :]).flatten(),
+            (hc[:, None] * side + wc[None, :]).flatten()]).long()
+        cw = torch.stack([
+            ((1 - ha)[:, None] * (1 - wa)[None, :]).flatten(),
+            ((1 - ha)[:, None] * wa[None, :]).flatten(),
+            (ha[:, None] * (1 - wa)[None, :]).flatten(),
+            (ha[:, None] * wa[None, :]).flatten()])
+        hidx = torch.arange(gh).view(gh // merge, merge)
+        widx = torch.arange(gw).view(gw // merge, merge)
+        reorder = (hidx[:, :, None, None] * gw
+                   + widx[None, None, :, :]).transpose(1, 2).flatten()
+        pos = (t(p["v.position_embd.weight"])[ci[:, reorder]]
+               * cw[:, reorder, None]).sum(0)
+        h = h + pos
+        # 2D rotary in window order (qwen3vl.py:189-194,247-251)
+        hpos = torch.arange(gh)[:, None].expand(-1, gw) \
+            .reshape(gh // merge, merge, gw // merge, merge) \
+            .transpose(1, 2).flatten()
+        wpos = torch.arange(gw)[None, :].expand(gh, -1) \
+            .reshape(gh // merge, merge, gw // merge, merge) \
+            .transpose(1, 2).flatten()
+        pid = torch.stack([hpos, wpos], -1).float()
+        inv = 1.0 / (10000.0 ** (torch.arange(0, 32, 2).float() / 32))
+        rope = (pid.unsqueeze(-1) * inv).flatten(1)
+        emb = torch.cat([rope, rope], -1)
+        cos, sin = emb.cos()[:, None, :], emb.sin()[:, None, :]
+
+        def rot(v):
+            d = v.shape[-1] // 2
+            return torch.cat([-v[..., d:], v[..., :d]], -1)
+
+        deeps = []
+        for i in range(3):
+            pre = f"v.blk.{i}"
+            n = tF.layer_norm(h, (128,), t(p[pre + ".ln1.weight"]),
+                              t(p[pre + ".ln1.bias"]), eps=1e-6)
+            qkv = tF.linear(n, t(p[pre + ".attn_qkv.weight"]),
+                            t(p[pre + ".attn_qkv.bias"]))
+            q, k, v = qkv.reshape(h.shape[0], 3, 2, -1).permute(1, 0, 2, 3)
+            q = q * cos + rot(q) * sin
+            k = k * cos + rot(k) * sin
+            att = tF.scaled_dot_product_attention(
+                q.transpose(0, 1)[None], k.transpose(0, 1)[None],
+                v.transpose(0, 1)[None])
+            att = att.transpose(1, 2).reshape(h.shape[0], -1)
+            h = h + tF.linear(att, t(p[pre + ".attn_out.weight"]),
+                              t(p[pre + ".attn_out.bias"]))
+            n = tF.layer_norm(h, (128,), t(p[pre + ".ln2.weight"]),
+                              t(p[pre + ".ln2.bias"]), eps=1e-6)
+            n = tF.gelu(tF.linear(n, t(p[pre + ".ffn_up.weight"]),
+                                  t(p[pre + ".ffn_up.bias"])),
+                        approximate="tanh")
+            h = h + tF.linear(n, t(p[pre + ".ffn_down.weight"]),
+                              t(p[pre + ".ffn_down.bias"]))
+            if i in (0, 2):
+                d = h.view(-1, 512)          # norm exists but is NOT applied
+                d = tF.gelu(tF.linear(d, t(p[f"v.deepstack.{i}.fc1.weight"]),
+                                      t(p[f"v.deepstack.{i}.fc1.bias"])),
+                            approximate="tanh")
+                deeps.append(tF.linear(d, t(p[f"v.deepstack.{i}.fc2.weight"]),
+                                       t(p[f"v.deepstack.{i}.fc2.bias"])))
+        h = tF.layer_norm(h, (128,), t(p["v.post_ln.weight"]),
+                          t(p["v.post_ln.bias"]), eps=1e-6)
+        m = h.view(-1, 512)
+        m = tF.gelu(tF.linear(m, t(p["mm.0.weight"]), t(p["mm.0.bias"])),
+                    approximate="tanh")
+        ref_emb = tF.linear(m, t(p["mm.2.weight"]),
+                            t(p["mm.2.bias"])).numpy()
+        ref_deep = [d.numpy() for d in deeps]
+
+    assert ours_emb.shape == ref_emb.shape == (6, 32)  # (gh*gw/4, lang)
+    np.testing.assert_allclose(ours_emb, ref_emb, rtol=1e-4, atol=1e-5)
+    assert len(ours_deep) == len(ref_deep) == 2
+    for od, rd in zip(ours_deep, ref_deep):
+        np.testing.assert_allclose(od, rd, rtol=1e-4, atol=1e-5)

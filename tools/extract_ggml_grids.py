@@ -47,20 +47,26 @@ def extract_table(text: str, name: str, count: int) -> np.ndarray:
     raise SystemExit(f"could not extract {name} ({count} entries) from input")
 
 
+def extract_to_npz(text: str, out_path) -> None:
+    """Extract all three lattice tables from source text into an npz
+    (also called by tools/fetch_weights.py after downloading
+    ggml-common.h, so a networked fresh deployment gets IQ3/IQ2 support
+    with no llama.cpp checkout)."""
+    out = {}
+    for name, (dtype, count, _) in GRID_SPECS.items():
+        out[name] = extract_table(text, name, count).astype(dtype)
+        print(f"{name}: {count} entries ok")
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out_path, **out)
+    print(f"wrote {out_path}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("source", help="ggml-common.h or tinygrad ggml_common.py")
     ap.add_argument("-o", "--out", default="weights/ggml_grids.npz")
     args = ap.parse_args()
-    text = Path(args.source).read_text(errors="replace")
-
-    out = {}
-    for name, (dtype, count, _) in GRID_SPECS.items():
-        out[name] = extract_table(text, name, count).astype(dtype)
-        print(f"{name}: {count} entries ok")
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    np.savez(args.out, **out)
-    print(f"wrote {args.out}")
+    extract_to_npz(Path(args.source).read_text(errors="replace"), args.out)
 
 
 if __name__ == "__main__":
