@@ -460,6 +460,68 @@ def make_handler(ctx: AppContext):
             self.end_headers()
             self.wfile.write(data)
 
+        def _get_live_mp4(self, q, cam):
+            """Air-gapped LIVE video: tail the camera's rolling HLS `.ts`
+            segments into fMP4 fragments streamed progressively (pure-Python
+            box rewriting, io/fmp4.py) — a plain ``<video>`` plays live at
+            ~2-4 s latency with neither hls.js (CDN, reference
+            mainview.html:2678) nor ffmpeg on the serving host. A segment
+            is consumed once a NEWER one exists (the HLS muxer writes in
+            place; a successor means it is complete), which sets the
+            latency floor at one segment (2 s). The stream ends when the
+            recorder goes idle (`idle_timeout`, default 30 s) or the
+            client disconnects; the UI's <video> error handler reconnects."""
+            name = safe_cam_name(self._q(q, "cam_name") or cam)
+            if not name:
+                return self.send_error(400, "need cam or cam_name")
+            base = self._cameras_dir() / name / "streams"
+
+            def complete_segs():
+                if not base.is_dir():
+                    return []
+                days = sorted(d for d in base.iterdir()
+                              if d.is_dir() and DATE_RE.match(d.name))
+                if not days:
+                    return []
+                segs = sorted(days[-1].glob("*.ts"))
+                return segs[:-1]          # newest may still be mid-write
+
+            deadline = time.time() + min(float(self._q(q, "wait") or 10.0),
+                                         60.0)
+            segs = complete_segs()
+            while not segs and time.time() < deadline:
+                time.sleep(0.25)
+                segs = complete_segs()
+            if not segs:
+                return self.send_error(404, "no live recording for that camera")
+            self.send_response(200)
+            self.send_header("Content-Type", "video/mp4")
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            from ..io import fmp4
+            remux = fmp4.Remuxer(self.wfile.write)
+            # join near live: seed with only the most recent complete
+            # segment; everything older is history, not live
+            sent = {str(s) for s in segs[:-1]}
+            idle_limit = min(float(self._q(q, "idle_timeout") or 30.0), 3600.0)
+            last_new = time.time()
+            try:
+                while True:
+                    new = [s for s in complete_segs()
+                           if str(s) not in sent]
+                    for s in new:
+                        sent.add(str(s))
+                        remux.add_segment(s)
+                    if new:
+                        last_new = time.time()
+                        self.wfile.flush()
+                    elif time.time() - last_new > idle_limit:
+                        break             # recorder stalled or stopped
+                    else:
+                        time.sleep(0.25)
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass                      # client went away
+
         def _get_list_cameras(self, q, cam):
             cams = ctx.db.run_get("links", None)
             progs = ctx.db.run_get("analysis_prog", None)

@@ -161,7 +161,13 @@ def test_mainview_boot_renders_grid_gallery_days(main):
     assert b.el("counts_gate").text() == "person:3 car:1"
     # VOD camera renders progress, live camera renders snapshot fallback
     assert "analyzing 42%" in b.el("cams").inner_html()
-    assert b.document.get_element_by_id("v_gate").tag == "img"  # air-gap polls
+    # air-gapped ladder: no hls.js -> real video via the /live.mp4 fMP4
+    # tail first; stills only once the stream errors
+    tile = b.document.get_element_by_id("v_gate")
+    assert tile.tag == "video"
+    assert any("/live.mp4?cam=gate" in src for _, src in b.loads)
+    tile.dispatch("error")
+    assert b.document.get_element_by_id("v_gate").tag == "img"
     assert any("/snapshot?cam=gate" in src for _, src in b.loads)
     assert len(b.el("gallery").js_get("children").items) == 1
     assert b.el("pageLabel").text() == "page 1"
@@ -184,13 +190,19 @@ def test_mainview_hls_mode_attaches_players():
 
 def test_mainview_fatal_hls_error_falls_back_to_snapshots():
     """A camera without an HLS playlist (mjpeg:// source, or recording not
-    started) must degrade to snapshot polling, not a black tile."""
+    started) must degrade down the air-gapped ladder — live fMP4 tail
+    (/live.mp4) first, snapshot polling only when that errors too — never
+    a black tile."""
     r = Router()
     b = Browser((WEB / "mainview.html").read_text(), fetch=r, hls=True)
     assert b.document.get_element_by_id("v_gate").tag == "video"
     b.hls_instances[0].emit("hlsError", {"fatal": True})
     tile = b.document.get_element_by_id("v_gate")
-    assert tile.tag == "img" and b.hls_instances[0].destroyed
+    assert tile.tag == "video" and b.hls_instances[0].destroyed
+    assert any("/live.mp4?cam=gate" in src for _, src in b.loads)
+    tile.dispatch("error")                      # live stream unplayable too
+    tile = b.document.get_element_by_id("v_gate")
+    assert tile.tag == "img"
     b.fire_timers(kind="interval", max_fires=30)
     assert any("/snapshot?cam=gate" in src for _, src in b.loads)
     # non-fatal errors must NOT tear the player down
@@ -200,9 +212,14 @@ def test_mainview_fatal_hls_error_falls_back_to_snapshots():
 
 
 def test_cameraview_fatal_hls_error_fallbacks():
-    # live view (today): snapshot mode with the id preserved
+    # live view (today): /live.mp4 fMP4 tail with the id preserved; only
+    # an error on THAT stream drops to snapshot stills
     b, r = cam_browser(selected_dir=None, hls=True)
     b.hls_instances[-1].emit("hlsError", {"fatal": True})
+    v = b.document.get_element_by_id("player")
+    assert v.tag == "video"
+    assert v.js_get("src").startswith("/live.mp4?cam=gate")
+    v.dispatch("error")
     assert b.get("_snapImg").attrs.get("id") == "player"
     # past day: /day.mp4 remux
     b2, r2 = cam_browser(selected_dir="2026-08-10", hls=True)
@@ -455,8 +472,18 @@ def today_of(b):
 def test_cameraview_live_airgap_snapshot_mode():
     b, r = cam_browser()
     today = today_of(b)
-    # page booted with selectedDir=today? only then snapshot mode engages
+    # page booted with selectedDir=today -> live fMP4 tail; error on the
+    # stream -> snapshot polling; 'ended' (recorder idle) -> reconnect
     b2, r2 = cam_browser(selected_dir=today)
+    v = b2.document.get_element_by_id("player")
+    assert v.tag == "video"
+    assert v.js_get("src").startswith("/live.mp4?cam=gate")
+    n_loads = len(b2.loads)
+    v.dispatch("ended")
+    b2.fire_timers(kind="timeout", max_fires=5)
+    assert any("/live.mp4?cam=gate" in src
+               for _, src in b2.loads[n_loads:])   # reconnected
+    v.dispatch("error")
     assert b2.get("_snapImg") is not None and b2.get("_snapImg").tag == "img"
     b2.fire_timers(kind="interval", max_fires=50)
     assert any("/snapshot?cam=gate" in src for _, src in b2.loads)
