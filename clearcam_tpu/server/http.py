@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import base64
 import json
+import os
 import queue
 import re
 import shutil
@@ -46,6 +47,22 @@ from ..utils.labels import COCO_LABELS
 SCORE_CUTOFF = 0.21  # search result floor (clearcam.py:689)
 WEB_DIR = Path(__file__).parent / "web"
 DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+# the reference loads hls.js from a CDN (mainview.html:2841) — egress-gated.
+# Air-gapped deployments drop a copy at one of these paths and the server
+# rewrites the pages' script tag to the locally served /hls.js.
+_HLS_CDN_TAG = "https://cdn.jsdelivr.net/npm/hls.js@1"
+
+
+def vendored_hls_path() -> Path | None:
+    """Locally vendored hls.js, if the deployment provides one."""
+    env = os.environ.get("CLEARCAM_HLSJS")
+    cands = ([Path(env)] if env else []) + [
+        WEB_DIR / "vendor" / "hls.js", Path("weights") / "hls.js"]
+    for p in cands:
+        if p.is_file():
+            return p
+    return None
 
 
 def safe_cam_name(name: str | None) -> str | None:
@@ -812,9 +829,23 @@ def make_handler(ctx: AppContext):
             ctx.db.run_put("counters", cam, counter)
             self._json({})
 
+        def _hls_src(self, html: str) -> str:
+            """Point the pages' hls.js script tag at the vendored copy when
+            one exists (served at /hls.js) instead of the CDN."""
+            if vendored_hls_path() is not None:
+                return html.replace(_HLS_CDN_TAG, "/hls.js")
+            return html
+
+        def _get_hls_js(self, q, cam):
+            fp = vendored_hls_path()
+            if fp is None:
+                return self.send_error(404, "no vendored hls.js")
+            self._send_file_ranged(fp, "application/javascript")
+
         def _page(self, q, cam):
             if not cam:
-                return self._html((WEB_DIR / "mainview.html").read_text())
+                return self._html(
+                    self._hls_src((WEB_DIR / "mainview.html").read_text()))
             # per-camera page (served at /?cam=<name>, clearcam.py:968-988)
             selected_dir = self._q(q, "folder", datetime.now().strftime("%Y-%m-%d"))
             start = self._q(q, "start")
@@ -832,7 +863,7 @@ def make_handler(ctx: AppContext):
                 "{cam_name}": json.dumps(cam)[1:-1],
             }.items():
                 html = html.replace(k, v)
-            self._html(html)
+            self._html(self._hls_src(html))
 
         def _static(self, path: str):
             rel = path.lstrip("/")

@@ -594,3 +594,28 @@ def test_mainview_playback_affordances_present():
                    'id="cameraFilter"', "populateCameraFilter",
                    "dialog[open]"):
         assert needle in html, needle
+
+
+def test_vendored_hls_js(base, tmp_path, monkeypatch):
+    """Air-gapped hls.js: the reference loads it from a CDN
+    (mainview.html:2841). When a deployment vendors a local copy
+    (CLEARCAM_HLSJS / web/vendor / weights/hls.js), the served pages'
+    script tag rewrites to /hls.js and the server serves the file."""
+    url, ctx = base
+    # without a vendored copy: CDN tag intact, /hls.js is 404
+    monkeypatch.delenv("CLEARCAM_HLSJS", raising=False)
+    page = get(f"{url}/", raw=True).decode()
+    assert "cdn.jsdelivr.net/npm/hls.js" in page
+    assert 'src="/hls.js"' not in page
+    with pytest.raises(urllib.error.HTTPError):
+        get(f"{url}/hls.js")
+    # drop a local copy: both pages rewrite, and the file is served
+    js = tmp_path / "hls.js"
+    js.write_text("window.Hls = function VendoredHls(){};")
+    monkeypatch.setenv("CLEARCAM_HLSJS", str(js))
+    page = get(f"{url}/", raw=True).decode()
+    assert 'src="/hls.js"' in page and "cdn.jsdelivr.net/npm/hls.js" not in page
+    get(f"{url}/add_camera?cam_name=hcam&src=synthetic://64x48", raw=True)
+    campage = get(f"{url}/?cam=hcam", raw=True).decode()
+    assert 'src="/hls.js"' in campage
+    assert get(f"{url}/hls.js", raw=True) == js.read_bytes()
