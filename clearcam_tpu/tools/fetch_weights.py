@@ -67,6 +67,14 @@ URLS = {
           "https://raw.githubusercontent.com/ggerganov/llama.cpp/master/"
           "ggml/src/ggml-common.h"],
          "ggml-common.h", "weights")],
+    # hls.js for fully air-gapped live/day HLS playback: the server serves
+    # weights/hls.js at /hls.js and rewrites the pages' CDN script tag
+    # (server/http.vendored_hls_path; reference loads it from the CDN,
+    # mainview.html:2841)
+    "hls.js": lambda **_: [
+        (["https://cdn.jsdelivr.net/npm/hls.js@1/dist/hls.min.js",
+          "https://unpkg.com/hls.js@1/dist/hls.min.js"],
+         "hls.js", "weights")],
 }
 
 
