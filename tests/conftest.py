@@ -15,7 +15,28 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: model-graph compiles dominate test time otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/clearcam_jax_cache")
+# (CLEARCAM_JAX_CACHE_DIR override lets CI measure a true cold run)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CLEARCAM_JAX_CACHE_DIR",
+                                 "/tmp/clearcam_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
+import re  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: compile-heavy tests listed in slow_tests.txt get the
+    `slow` marker so `pytest -m "not slow"` is a <10-min cold fast tier
+    (full suite ~62 min cold; see the manifest header to regenerate)."""
+    manifest = Path(__file__).parent / "slow_tests.txt"
+    entries = {ln.strip() for ln in manifest.read_text().splitlines()
+               if ln.strip() and not ln.startswith("#")}
+    for item in items:
+        base = re.sub(r"\[.*\]$", "", item.nodeid)
+        if base in entries or base.split("::")[0] in entries:
+            item.add_marker(pytest.mark.slow)
