@@ -550,3 +550,19 @@ def test_wider_chunk_matches_solo(monkeypatch):
     assert r1.wait(1) == _solo(params, cfg, long_prompt, 8)
     assert r2.wait(1) == _solo(params, cfg, [7, 6, 5], 6)
     eng.close()
+
+
+def test_wide_engine_16_slots_matches_solo():
+    """The production-recommended 16-slot config (PERF.md slot ladder,
+    DEPLOY.md guidance): 20 concurrent requests through 16 slots — wider
+    batched-prefill admission waves and slot reuse than the small-engine
+    tests — each exactly its solo greedy output."""
+    cfg = tiny_cfg(max_context=64)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=16)
+    prompts = [[(7 * i + j) % 50 + 1 for j in range(3 + i % 5)]
+               for i in range(20)]
+    reqs = [eng.submit(p, max_new=5) for p in prompts]
+    eng.run_until_idle()
+    for p, r in zip(prompts, reqs):
+        assert r.wait(1) == _solo(params, cfg, p, 5)
