@@ -31,15 +31,24 @@ _BLOCK = 128
 
 
 def use_flash() -> bool:
-    """Kernel selection at TRACE time: Pallas flash on the TPU backend,
-    XLA attention elsewhere (CPU tests exercise the reference math path;
-    the stock kernel has no interpret hook). CLEARCAM_VIT_FLASH=0/1
-    overrides — e.g. 0 to A/B the XLA path on hardware."""
+    """Kernel selection at TRACE time: XLA attention by DEFAULT everywhere;
+    the Pallas flash kernel is opt-in via CLEARCAM_VIT_FLASH=1 (the env
+    override is unconditional — only set it on TPU; the stock kernel has
+    no interpret hook on CPU).
+
+    Measured A/B on the real v5e (round 5, tools/clip_bench, ViT-L/14
+    tower end-to-end, /tmp/clipflash.log): XLA 590/537/499 img/s at batch
+    16/64/128 vs flash 301/268/261 — the kernel LOSES ~2x on this tower
+    (T=257 pads to 384, head_dim 64 half-fills the MXU, and XLA's
+    unfused attention overlaps its score traffic behind the MLP matmuls).
+    Round 4 wired it default-on from a fused-attention ceiling estimate
+    (PERF.md CLIP post-mortem) without this end-to-end A/B; the estimate
+    does not survive contact with the actual kernel."""
     import os
     env = os.environ.get("CLEARCAM_VIT_FLASH", "")
     if env in ("0", "1"):
         return env == "1"
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def mha_flash(q, k, v, sm_scale: float | None = None):
