@@ -146,10 +146,12 @@ class VisionTower:
                 .transpose(1, 0, 2, 3)
             q = q * cos + rotate_half(q) * sin
             k = k * cos + rotate_half(k) * sin
-            # flash on TPU: at 640x640 the grid is 1600 tokens and XLA's
-            # f32 [1,H,1600,1600] score buffer is ~164 MB of HBM traffic
-            # per block (see ops/vit_attention.py; PERF.md CLIP post-mortem
-            # measured the same pattern on ViT-L)
+            # XLA attention by default: the 640x640 grid is 1600 tokens and
+            # the f32 [1,H,1600,1600] scores LOOK like ~164 MB of HBM traffic
+            # per block, but measured (tools/vit_flash_ab.py, real v5e) XLA
+            # still beats the Pallas flash kernel 1.55x here (2.3x at 448²)
+            # — its score round-trips overlap behind the projection/MLP
+            # matmuls. CLEARCAM_VIT_FLASH=1 opts into the kernel.
             from ..ops.vit_attention import mha_flash, use_flash
             _mha = mha_flash if use_flash() else F.mha
             out = _mha(q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
