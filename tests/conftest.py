@@ -15,13 +15,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: model-graph compiles dominate test time otherwise
-# (CLEARCAM_JAX_CACHE_DIR override lets CI measure a true cold run)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("CLEARCAM_JAX_CACHE_DIR",
-                                 "/tmp/clearcam_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# (CLEARCAM_JAX_CACHE_DIR override lets CI measure a true cold run). The path
+# is keyed by a host-CPU fingerprint — foreign AOT entries can SIGILL
+# (utils/jaxcache.py).
+from clearcam_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.configure(jax)
 
 import re  # noqa: E402
 from pathlib import Path  # noqa: E402

@@ -29,10 +29,11 @@ WORKER = textwrap.dedent("""
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/clearcam_jax_cache")
+    sys.path.insert(0, %r)
+    from clearcam_tpu.utils import jaxcache
+    jax.config.update("jax_compilation_cache_dir", jaxcache.cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import numpy as np
-    sys.path.insert(0, %r)
     from clearcam_tpu.parallel import federation as fed
 
     fed.init_distributed(f"127.0.0.1:{port}", num_processes=2, process_id=pid,
