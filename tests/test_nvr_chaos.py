@@ -1,0 +1,161 @@
+"""NVR chaos soak: randomized failure injection against the live product
+loop. The serving engine has a randomized soak (tests/test_serving_soak.py);
+this is the NVR-side counterpart. A background NVR.run loop keeps ticking
+while the "operator" thread hammers it with every mutation the HTTP surface
+can produce — camera hot-add / remove / re-point (clearcam.py:255-268
+semantics), per-camera settings and alert edits, counter resets, executor
+tasks — and the detector/tracker randomly throw. Invariants at the end:
+
+  * the loop is still alive and made progress through every injection,
+  * cams mirrors the links table exactly after a final refresh,
+  * injected detector errors were isolated (counted, loop not killed),
+  * counters synced to the KV store are well-formed,
+  * stop() leaves no camera pumps running.
+
+Seeded; failures print the seed (CLEARCAM_CHAOS_SEED reruns a schedule).
+"""
+import os
+import threading
+import time
+
+import numpy as np
+
+from clearcam_tpu.runtime.counters import RollingClassCounter
+from clearcam_tpu.runtime.nvr import NVR
+from clearcam_tpu.runtime.settings import GlobalSettings
+from clearcam_tpu.utils.db import KVStore
+
+SEED = int(os.environ.get("CLEARCAM_CHAOS_SEED",
+                          str(np.random.default_rng().integers(0, 2 ** 31))))
+
+
+class ChaoticDetector:
+    """Emits one fixed detection per frame; randomly explodes."""
+
+    def __init__(self, rng, fail_p=0.08):
+        self.rng, self.fail_p = rng, fail_p
+        self.calls = 0
+        self.errors = 0
+
+    def detect_many(self, frames):
+        self.calls += 1
+        if self.rng.random() < self.fail_p:
+            self.errors += 1
+            raise RuntimeError("chaos: device hiccup")
+        out = []
+        for f in frames:
+            h, w = f.shape[:2]
+            out.append(np.array(
+                [[w * 0.2, h * 0.2, w * 0.5, h * 0.5, 0.9, 0.0]], np.float64))
+        return out
+
+
+def test_nvr_chaos_soak(tmp_path):
+    rng = np.random.default_rng(SEED)
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "cam0", "synthetic://320x240")
+    det = ChaoticDetector(rng)
+    nvr = NVR(db, tmp_path / "data", GlobalSettings(), detector=det)
+
+    err: list[BaseException] = []
+
+    def loop():
+        try:
+            nvr.run(tick_sleep=0.002)
+        except BaseException as e:  # noqa: BLE001
+            err.append(e)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    deadline = time.time() + 20          # hard cap; ~120 ops normally ≪ this
+    next_cam = 1
+    sizes = ["320x240", "160x120", "240x180"]
+    try:
+        for op_i in range(120):
+            if time.time() > deadline:
+                break
+            live = sorted(db.run_get("links", None) or {})
+            op = rng.integers(0, 7)
+            if op == 0 and len(live) < 6:                    # hot-add
+                db.run_put("links", f"cam{next_cam}",
+                           f"synthetic://{sizes[int(rng.integers(0, 3))]}")
+                next_cam += 1
+                nvr._last_cam_check = 0
+            elif op == 1 and len(live) > 1:                  # remove
+                db.run_delete("links", str(rng.choice(live)))
+                nvr._last_cam_check = 0
+            elif op == 2 and live:                           # re-point
+                db.run_put("links", str(rng.choice(live)),
+                           f"synthetic://{sizes[int(rng.integers(0, 3))]}")
+            elif op == 3 and live:                           # settings edit
+                cam = str(rng.choice(live))
+                db.run_put("settings", cam, {
+                    "threshold": float(rng.uniform(0.2, 0.8)),
+                    "detect_fps": int(rng.integers(1, 60)),
+                    "coords": [[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]],
+                    "outside": bool(rng.integers(0, 2))})
+            elif op == 4 and live:                           # alert edit
+                cam = str(rng.choice(live))
+                a = RollingClassCounter(window_seconds=2, max=1, classes=[0])
+                a.new = True
+                db.run_put("alerts", cam, a, id=str(rng.integers(1, 4)))
+            elif op == 5 and live:                           # counter reset
+                cam = str(rng.choice(live))
+                c = db.run_get("counters", cam)
+                if isinstance(c, RollingClassCounter):
+                    c.reset = True
+                    db.run_put("counters", cam, c)
+            else:                                            # executor task
+                assert nvr.executor.submit(lambda v=op_i: v * 2) == op_i * 2
+            # force frequent housekeeping/sync so edits actually land
+            for cam in list(nvr.cams.values()):
+                cam.last_sync = 0
+                cam.last_live_check = 0
+            time.sleep(0.01)
+    finally:
+        nvr.running = False
+        t.join(timeout=10)
+        nvr.stop()
+
+    assert not t.is_alive(), f"loop hung (seed {SEED})"
+    assert not err, f"loop died: {err!r} (seed {SEED})"
+    assert det.calls > 50, f"loop starved: {det.calls} detects (seed {SEED})"
+    assert det.errors > 0, f"chaos never fired (seed {SEED})"  # fail_p=.08, >50 calls
+    from clearcam_tpu.runtime import metrics
+    snap = metrics.snapshot()
+    assert snap["counters"].get("detect_errors", 0) >= det.errors - 1, \
+        f"errors not isolated+counted (seed {SEED})"
+
+    # cams mirrored links on every refresh; after stop() all were removed
+    assert nvr.cams == {}, f"stop left cameras: {list(nvr.cams)} (seed {SEED})"
+    for cam in (db.run_get("links", None) or {}):
+        c = db.run_get("counters", cam)
+        # {} / None = camera never lived long enough to sync (db dict folding)
+        assert c in (None, {}) or isinstance(c, RollingClassCounter), \
+            f"malformed synced counter for {cam} (seed {SEED})"
+
+
+def test_nvr_chaos_final_state_consistent(tmp_path):
+    """Determinism-free variant: after the storm, a fresh refresh converges —
+    every linked camera comes back up and detects."""
+    rng = np.random.default_rng(SEED + 1)
+    db = KVStore(tmp_path / "kv.db")
+    det = ChaoticDetector(rng, fail_p=0.0)
+    nvr = NVR(db, tmp_path / "data", GlobalSettings(), detector=det)
+    for i in range(3):
+        db.run_put("links", f"cam{i}", "synthetic://160x120")
+    nvr.run(max_ticks=1)
+    # churn: remove one, re-point one, add one — then converge
+    db.run_delete("links", "cam0")
+    db.run_put("links", "cam1", "synthetic://320x240")
+    db.run_put("links", "cam3", "synthetic://160x120")
+    nvr._last_cam_check = 0
+    nvr.run(max_ticks=40, tick_sleep=0.005)
+    try:
+        assert set(nvr.cams) == {"cam1", "cam2", "cam3"}, (
+            f"cams != links after churn: {sorted(nvr.cams)} (seed {SEED})")
+        assert nvr.cams["cam1"].src == "synthetic://320x240"
+        for name, cam in nvr.cams.items():
+            assert cam.last_frame_num > 0, f"{name} never produced a frame"
+    finally:
+        nvr.stop()
