@@ -292,6 +292,24 @@ def _resolve_constraint(gen, rft, schema=None, choice_opts=None):
     raise ValueError(f"unsupported response_format type {rft!r}")
 
 
+def _submit_retrying(do_submit, re_resolve, tries=4):
+    """Submit, absorbing the register→submit LRU-eviction race: a grammar
+    registered by _resolve_constraint can be evicted by a concurrent
+    register_constraint before this request's submit lands (it is not yet
+    pinned by _cinflight). The engine fails that cleanly with a 'was
+    evicted' ValueError — an internal re-register protocol an OpenAI
+    client should never see — so re-resolve (content-hash cache miss
+    re-registers the grammar) and resubmit."""
+    for _ in range(tries - 1):
+        try:
+            return do_submit()
+        except ValueError as e:
+            if "was evicted" not in str(e):
+                raise
+            re_resolve()
+    return do_submit()
+
+
 def _samp_of(data: dict) -> dict:
     """Sampling kwargs for ServingEngine.submit from a /generate or
     OpenAI-style JSON body (absent fields = feature off). logit_bias
@@ -501,6 +519,14 @@ def make_handler(ctx: AppContext):
                 if not days:
                     return []
                 segs = sorted(days[-1].glob("*.ts"))
+                if len(days) >= 2:
+                    # midnight rollover: the previous day's tail is
+                    # complete once the new day has a segment (successor
+                    # rule across the directory boundary) — without this
+                    # the old day's last segments were silently dropped
+                    # and the stream stalled until the new day had two
+                    prev = sorted(days[-2].glob("*.ts"))
+                    return prev + segs[:-1] if segs else prev[:-1]
                 return segs[:-1]          # newest may still be mid-write
 
             deadline = time.time() + min(float(self._q(q, "wait") or 10.0),
@@ -1205,9 +1231,15 @@ def make_handler(ctx: AppContext):
                                               **_samp_at(samp, i))
             from ..serving.engine import QueueFull
             reqs = []
+            rereg = lambda: _resolve_constraint(  # noqa: E731
+                gen, rft, sch, data.get("guided_choice"))
             try:
                 for i in range(n_choices):
-                    reqs.append(make(i))
+                    if cname:
+                        reqs.append(_submit_retrying(
+                            lambda i=i: make(i), rereg))
+                    else:
+                        reqs.append(make(i))
             except ValueError as e:     # e.g. logprobs under spec serving
                 for r in reqs:
                     gen.cancel(r)
@@ -1505,10 +1537,15 @@ def make_handler(ctx: AppContext):
             model = str(data.get("model") or ctx.served_model)
             from ..serving.engine import QueueFull
             try:
-                req = gen.submit_messages(
+                sub = lambda: gen.submit_messages(  # noqa: E731
                     msgs, max_new=max_new,
                     temperature=float(data.get("temperature", 1.0)),
                     timeout_s=timeout, tools=tools, **samp)
+                if cname:
+                    req = _submit_retrying(sub, lambda: _resolve_constraint(
+                        gen, fmt.get("type"), fmt.get("schema")))
+                else:
+                    req = sub()
             except ValueError as e:
                 return self.send_error(400, str(e))
             except QueueFull:

@@ -60,7 +60,10 @@ def main(argv=None):
                                  jnp.asarray(b1), stride=2, padding=1))
         return jax.nn.silu(F.conv2d(y, jnp.asarray(w2, jnp.bfloat16),
                                     jnp.asarray(b2), stride=2, padding=1))
-    xla = jax.jit(lambda x: xla_stem(x, w1, b1, w2, b2).mean())
+    # weights ride as jitted ARGUMENTS (repo convention: never close a
+    # jitted fn over weight arrays); the wrapper keeps timeit 1-ary
+    xla_m = jax.jit(lambda x, *w: xla_stem(x, *w).mean())
+    xla = lambda x: xla_m(x, w1, b1, w2, b2)  # noqa: E731
     dt_xla = timeit(xla, x, steps=args.steps)
 
     # Pallas kernel: planes prebuilt on device (in the real pipeline the
@@ -71,7 +74,8 @@ def main(argv=None):
     b1c = jnp.asarray(np.tile(b1, 4).reshape(-1, 1))
     b2c = jnp.asarray(b2.reshape(-1, 1))
     planes = jax.block_until_ready(jax.jit(S.s4d_planes)(x))
-    kern = jax.jit(lambda p: S.stem_planes(p, w1p, b1c, w2p, b2c).mean())
+    kern_m = jax.jit(lambda p, *w: S.stem_planes(p, *w).mean())
+    kern = lambda p: kern_m(p, w1p, b1c, w2p, b2c)
     dt_kern = timeit(kern, planes, steps=args.steps)
 
     # s2d transpose cost when NOT fused into a producer (upper bound on
@@ -80,12 +84,11 @@ def main(argv=None):
     dt_s2d = timeit(s2d, x, steps=args.steps)
 
     # numeric check at this batch (device): max|diff| via in-jit reduce
-    full_xla = jax.jit(lambda x: xla_stem(x, w1, b1, w2, b2))
-    full_kern = jax.jit(
-        lambda p: S.stem_planes(p, w1p, b1c, w2p, b2c).transpose(0, 1, 3, 2))
-    diff = jax.jit(lambda x, p: jnp.max(jnp.abs(
-        full_xla(x).astype(jnp.float32) -
-        full_kern(p).astype(jnp.float32))))(x, planes)
+    diff = jax.jit(lambda x, p, *w: jnp.max(jnp.abs(
+        xla_stem(x, w[0], w[1], w[2], w[3]).astype(jnp.float32) -
+        S.stem_planes(p, w[4], w[5], w[6], w[7])
+        .transpose(0, 1, 3, 2).astype(jnp.float32))))(
+        x, planes, w1, b1, w2, b2, w1p, b1c, w2p, b2c)
     print(json.dumps({
         "batch": b,
         "xla_stem_ms": round(dt_xla * 1e3, 3),

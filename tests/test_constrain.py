@@ -672,3 +672,37 @@ def test_run_char_dfa_dead_stays_dead():
     assert run_char_dfa(dfa, b'x{') == -1
     assert run_char_dfa(CharDFA(dfa.trans, dfa.start, dfa.accepting),
                         b'{}', state=-1) == -1
+
+
+def test_submit_retrying_absorbs_eviction_race():
+    """register->submit can race LRU eviction of a runtime grammar: the
+    engine fails such submits with a 'was evicted' ValueError, and the HTTP
+    layer must re-resolve (re-register) and resubmit instead of surfacing
+    the internal protocol as a client 400."""
+    from clearcam_tpu.server.http import _submit_retrying
+
+    calls = {"submit": 0, "resolve": 0}
+
+    def submit():
+        calls["submit"] += 1
+        if calls["submit"] <= 2:
+            raise ValueError("constraint 'schema:x' was evicted — "
+                             "re-register and resubmit")
+        return "req"
+
+    assert _submit_retrying(submit, lambda: calls.__setitem__(
+        "resolve", calls["resolve"] + 1)) == "req"
+    assert calls == {"submit": 3, "resolve": 2}
+
+    # non-eviction errors pass straight through untouched
+    def bad():
+        raise ValueError("logprobs unsupported under spec serving")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="logprobs"):
+        _submit_retrying(bad, lambda: None)
+
+    # a persistent eviction storm still fails after the retry budget
+    def always():
+        raise ValueError("constraint 'x' was evicted — re-register and resubmit")
+    with _pytest.raises(ValueError, match="evicted"):
+        _submit_retrying(always, lambda: None, tries=3)

@@ -103,3 +103,28 @@ def test_live_mp4_no_recording_404(live_server):
     conn.request("GET", "/live.mp4")
     assert conn.getresponse().status == 400
     conn.close()
+
+
+def test_live_mp4_day_rollover(live_server):
+    """Midnight rollover: the previous day's tail segments are complete the
+    moment the new day directory has a segment — they must stream (not be
+    silently dropped), and the new day must begin without waiting for a
+    second segment."""
+    port, seg_dir = live_server
+    prev_dir = seg_dir.parent / "2000-01-01"       # sorts before today
+    prev_dir.mkdir()
+    for i in range(3):
+        (prev_dir / f"stream_{i:06d}.ts").write_bytes(
+            make_segment(n_frames=6, t0=i * 18000)[0])
+    # new day exists with ONE still-mid-write segment: the old fix streamed
+    # nothing here (needed two new-day segments) and never revisited the
+    # previous day's final segment
+    (seg_dir / "stream_000000.ts").write_bytes(
+        make_segment(n_frames=6, t0=3 * 18000)[0])
+
+    buf = _read_stream(port, "/live.mp4?cam=gate&idle_timeout=2", 10 ** 9)
+    assert buf[4:8] == b"ftyp"
+    kinds = [k for k, _ in walk_boxes(buf)]
+    # join-near-live seeds everything but the last complete segment as
+    # history: at least the previous day's FINAL segment streams now
+    assert kinds.count(b"moof") >= 1, kinds

@@ -44,7 +44,10 @@ def extract_table(text: str, name: str, count: int) -> np.ndarray:
             return np.asarray(vals, np.uint64)
         print(f"warning: {name}: found {len(vals)} values, want {count}; "
               f"trying next pattern", file=sys.stderr)
-    raise SystemExit(f"could not extract {name} ({count} entries) from input")
+    # ValueError, not SystemExit: extract_to_npz is also a library call
+    # (tools/fetch_weights.py wraps it in `except Exception` for its
+    # graceful-fallback message; SystemExit would escape that handler)
+    raise ValueError(f"could not extract {name} ({count} entries) from input")
 
 
 def extract_to_npz(text: str, out_path) -> None:
@@ -66,7 +69,10 @@ def main() -> None:
     ap.add_argument("source", help="ggml-common.h or tinygrad ggml_common.py")
     ap.add_argument("-o", "--out", default="weights/ggml_grids.npz")
     args = ap.parse_args()
-    extract_to_npz(Path(args.source).read_text(errors="replace"), args.out)
+    try:
+        extract_to_npz(Path(args.source).read_text(errors="replace"), args.out)
+    except ValueError as e:
+        raise SystemExit(str(e))   # clean CLI error, no traceback
 
 
 if __name__ == "__main__":
