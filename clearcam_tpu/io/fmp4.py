@@ -133,12 +133,17 @@ class Remuxer:
         self.skipped = 0
 
     def add_segment(self, path: str | Path) -> None:
-        d = mpegts.read_segment(path)
-        units = d.units
-        if not units or d.sps is None or d.pps is None:
-            self.skipped += 1
-            return
-        geo = h264.parse_sps(d.sps)
+        try:
+            d = mpegts.read_segment(path)
+            units = d.units
+            if not units or d.sps is None or d.pps is None:
+                self.skipped += 1
+                return
+            geo = h264.parse_sps(d.sps)
+        except Exception:  # noqa: BLE001 — truncated/corrupt segment: the
+            self.skipped += 1  # skip contract must hold for THROWING parses
+            return             # too, or one bad .ts 500s /day.mp4 forever
+            # (bit-flipped SPS -> parse_sps IndexError, short PMT, ...)
         if not self.inited:
             self.write(init_segment(d.sps, d.pps))
             self.geometry = (geo["width"], geo["height"])
@@ -155,8 +160,16 @@ class Remuxer:
             dur = (units[i + 1].dts - u.dts) if i + 1 < len(units) else 0
             if dur <= 0 or dur > self.MAX_GAP:
                 dur = samples[-1]["dur"] if samples else DEFAULT_DUR
+            # cts through the 33-bit PTS wrap: pts can wrap while dts has
+            # not (B-frame reorder at the 26.5 h boundary) — interpret the
+            # difference mod 2^33 as a small signed offset, or the >IIIi
+            # pack below overflows with struct.error mid-stream
+            cts = int(u.pts - u.dts) & ((1 << 33) - 1)
+            if cts >= 1 << 32:
+                cts -= 1 << 33
+            cts = max(-(1 << 31), min((1 << 31) - 1, cts))  # garbage ts clamp
             samples.append({"data": h264.annexb_to_avcc(u.nals), "dur": dur,
-                            "key": u.key, "cts": int(u.pts - u.dts)})
+                            "key": u.key, "cts": cts})
         base = units[0].dts + self.offset
         self.seq += 1
         self.write(fragment(self.seq, samples, base))

@@ -319,6 +319,11 @@ def save(path: str | Path, kv: dict, tensors: dict[str, np.ndarray],
          alignment: int = 32):
     """Minimal GGUF v3 writer (F32/F16) for fixtures and model export."""
     import struct as _s
+    if alignment != 32 and "general.alignment" not in kv:
+        # readers default to 32 (load() here, reference gguf.py:169): a
+        # non-default alignment MUST ride in the KV or every tensor is
+        # read at a silently-wrong offset
+        kv = {**kv, "general.alignment": int(alignment)}
     out = bytearray()
     out += b"GGUF" + _s.pack("<i", 3)
     out += _s.pack("<q", len(tensors)) + _s.pack("<q", len(kv))

@@ -64,16 +64,13 @@ def probe_resolution(src: str, timeout: float = 10.0) -> tuple[int, int]:
     return 1920, 1080
 
 
-def hls_record_cmd(ff: str, src: str, out_dir: Path, vod: bool = False) -> list[str]:
-    """ffmpeg arguments for the copy->HLS recorder (clearcam.py:311-344)."""
-    if vod:
-        return [ff, "-i", src, "-c:v", "copy", "-an", "-f", "hls",
-                "-hls_time", "2", "-hls_list_size", "0",
-                "-hls_flags", "independent_segments",
-                "-hls_segment_type", "fmp4",
-                "-hls_fmp4_init_filename", "init.mp4",
-                "-hls_segment_filename", str(out_dir / "seg_%06d.m4s"),
-                str(out_dir / "stream.m3u8")]
+def hls_record_cmd(ff: str, src: str, out_dir: Path) -> list[str]:
+    """ffmpeg arguments for the copy->HLS recorder (clearcam.py:329-345).
+
+    The reference's VOD fmp4 variant (clearcam.py:311-325) is intentionally
+    absent: VOD analysis reads via OpenCVSource and serves the original
+    file through the HTTP VOD path rewrite — no recorder runs for VOD cams
+    (a vod branch here was dead code; removed)."""
     rtsp = ["-rtsp_transport", "tcp"] if src.startswith("rtsp") else []
     return [ff, *rtsp, "-fflags", "+genpts", "-avoid_negative_ts", "make_zero",
             "-i", src, "-c", "copy", "-an", "-f", "hls",
@@ -117,6 +114,7 @@ class FrameSource:
     """Interface: read() -> frame | None (BGR uint8 HWC); close()."""
 
     fps: float = 30.0
+    finite: bool = False   # True: a file that ENDS (VOD), not a live feed
 
     def read(self) -> np.ndarray | None:  # pragma: no cover - interface
         raise NotImplementedError
@@ -142,6 +140,7 @@ class SyntheticSource(FrameSource):
     def __init__(self, width=640, height=360, n_frames=None, seed=0, fps=100.0):
         self.w, self.h = width, height
         self.n = n_frames
+        self.finite = n_frames is not None
         self.t = 0
         self.fps = fps
         rng = np.random.default_rng(seed)
@@ -179,6 +178,8 @@ class SyntheticSource(FrameSource):
 
 class OpenCVSource(FrameSource):
     """VOD playback through cv2.VideoCapture (reference clearcam.py:425-438)."""
+
+    finite = True
 
     def __init__(self, path: str, grab_skip: bool = True):
         import cv2
@@ -237,7 +238,17 @@ class FfmpegSource(FrameSource):
         self.hls_proc = subprocess.Popen(
             hls_record_cmd(ff, self.src, self.record_dir),
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        time.sleep(self.warmup_s)  # let the playlist appear
+        # wait for the playlist + first segment (warmup_s is the CAP, not a
+        # fixed sleep — a 15 s sleep per camera froze the NVR tick thread
+        # for every hot-add; typical streams are ready in one 2 s segment)
+        playlist = self.record_dir / "stream.m3u8"
+        deadline = time.monotonic() + self.warmup_s
+        while time.monotonic() < deadline:
+            if playlist.exists() and any(self.record_dir.glob("*.ts")):
+                break
+            if self.hls_proc.poll() is not None:
+                break                     # recorder died; let read() respawn
+            time.sleep(0.25)
         self.pipe_proc = subprocess.Popen(
             raw_decode_cmd(ff, self.record_dir / "stream.m3u8", self.w, self.h),
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
@@ -288,11 +299,14 @@ class MJPEGSource(FrameSource):
 
     MAX_BUF = 32 * 1024 * 1024  # a frame larger than this is a broken stream
 
-    def __init__(self, url: str, timeout: float = 10.0):
+    def __init__(self, url: str, timeout: float = 10.0, resp=None):
         import urllib.request
         self.url = url
         self.timeout = timeout
-        self.resp = urllib.request.urlopen(url, timeout=timeout)
+        # resp: an already-open response (_sniff_http_source sniffed the
+        # Content-Type from it; reuse instead of reconnecting)
+        self.resp = resp if resp is not None else \
+            urllib.request.urlopen(url, timeout=timeout)
         self.buf = b""
         self.fails = 0
 
@@ -399,10 +413,12 @@ class SnapshotSource(FrameSource):
     def read(self):
         import cv2
         import urllib.request
-        now = time.time()
+        # monotonic, like every other pacing loop here: a wall-clock step
+        # backwards (NTP/DST) must not freeze the camera for the delta
+        now = time.monotonic()
         if now < self._next_t:
             time.sleep(self._next_t - now)
-        self._next_t = max(self._next_t + self.interval, time.time())
+        self._next_t = max(self._next_t + self.interval, time.monotonic())
         try:
             with urllib.request.urlopen(self.url, timeout=self.timeout) as r:
                 data = r.read()
@@ -421,9 +437,7 @@ def _sniff_http_source(src: str) -> FrameSource | None:
         return None
     ctype = (resp.headers.get("Content-Type") or "").lower()
     if "multipart/x-mixed-replace" in ctype:
-        s = MJPEGSource.__new__(MJPEGSource)
-        s.url, s.timeout, s.resp, s.buf, s.fails = src, 10.0, resp, b"", 0
-        return s
+        return MJPEGSource(src, resp=resp)
     resp.close()
     if ctype.startswith("image/"):
         return SnapshotSource(src)
@@ -446,9 +460,22 @@ def open_source(src: str, record_dir: Path) -> FrameSource:
     if src.startswith("mjpegs://"):
         return MJPEGSource("https://" + src[len("mjpegs://"):])
     if src.startswith("snapshot://"):
-        m = re.match(r"snapshot://(.*?)(?:\?fps=([\d.]+))?$", src)
-        return SnapshotSource("http://" + m.group(1),
-                              fps=float(m.group(2) or 2.0))
+        # fps may ride anywhere in the query (cameras have their own
+        # params: snapshot://cam/img.cgi?user=a&fps=5) and malformed
+        # values fall back to the default instead of killing init_cam
+        from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+        parts = urlsplit("http://" + src[len("snapshot://"):])
+        fps, keep = 2.0, []
+        for k, v in parse_qsl(parts.query, keep_blank_values=True):
+            if k == "fps":
+                try:
+                    fps = float(v)
+                except ValueError:
+                    pass
+            else:
+                keep.append((k, v))
+        url = urlunsplit(parts._replace(query=urlencode(keep)))
+        return SnapshotSource(url, fps=fps)
     if src.endswith(VOD_SUFFIXES):
         return OpenCVSource(src)
     if src.startswith(("http://", "https://")) and find_ffmpeg() is None:
@@ -530,11 +557,22 @@ class FramePump(threading.Thread):
                 time.sleep(1.0)
                 continue
             if frame is None:
-                if self.source.progress() is not None:  # VOD finished
-                    self.ended = True
-                    return
+                if self.source.finite:
+                    # a finite file ends on SUSTAINED failure, not one
+                    # corrupt frame (a mid-file decode glitch used to
+                    # silently abandon the rest of the VOD); works for
+                    # containers with unknown frame counts too (where
+                    # progress() is None and EOF was never detected)
+                    self._eof_strikes = getattr(self, "_eof_strikes", 0) + 1
+                    if self._eof_strikes >= 5 or (
+                            self.source.progress() or 0) >= 100.0:
+                        self.ended = True
+                        return
+                    time.sleep(0.05)
+                    continue
                 time.sleep(0.5)
                 continue
+            self._eof_strikes = 0
             self.slot.push(frame)
             # blocking sources (ffmpeg pipe — FramePump's remaining users;
             # synthetic sources ride SharedFramePump) pace themselves inside

@@ -339,6 +339,7 @@ class NVR:
         self.fswriter = AsyncFileWriter()
         self.shared_pump = None  # lazily created for non-blocking sources
         self._last_cam_check = 0.0
+        self._initing: set[str] = set()   # hot-adds mid-init off-thread
         self.running = True
         self.native_ingest: NativeIngest | None = None
         if use_native_ingest:
@@ -421,20 +422,53 @@ class NVR:
             if self.native_ingest is not None and getattr(cam, "native_key", None):
                 self.native_ingest.remove(name)  # reclaim the batcher slot
 
+    # sources whose construction is instant (no network / no subprocess):
+    # initialize inline so tests and local cams stay deterministic
+    _FAST_SRC = ("synthetic://",)
+
+    def _init_cam_async(self, name: str, src: str):
+        """Hot-add slow sources OFF the tick thread: an FfmpegSource spawn
+        (resolution probe + playlist warmup) or an HTTP connect can take
+        seconds — done inline it froze detection for EVERY camera per
+        hot-add. The init thread re-checks the links table before/after
+        publishing so a camera removed or re-pointed mid-init tears back
+        down instead of living as a zombie."""
+        if src.startswith(self._FAST_SRC) or str(src).endswith(VOD_SUFFIXES):
+            try:
+                self.init_cam(name, src)
+            except Exception as e:  # noqa: BLE001
+                print(f"init_cam {name} failed: {e}")
+            return
+
+        def work():
+            try:
+                self.init_cam(name, src)
+            except Exception as e:  # noqa: BLE001
+                print(f"init_cam {name} failed: {e}")
+            finally:
+                self._initing.discard(name)
+            link = self.db.run_get("links", name)
+            if isinstance(link, list):
+                link = link[0]
+            cam = self.cams.get(name)
+            if cam is not None and link != cam.src:
+                self.remove_cam(name)   # removed/re-pointed while initing
+
+        self._initing.add(name)
+        threading.Thread(target=work, daemon=True,
+                         name=f"init-{name}").start()
+
     def refresh_cams(self):
         """Hot add / re-point from the links table (clearcam.py:255-268)."""
         links = self.db.run_get("links", None)
         for name, src in links.items():
-            if not isinstance(src, str):
+            if not isinstance(src, str) or name in self._initing:
                 continue
             if name not in self.cams:
-                try:
-                    self.init_cam(name, src)
-                except Exception as e:  # noqa: BLE001
-                    print(f"init_cam {name} failed: {e}")
+                self._init_cam_async(name, src)
             elif self.cams[name].src != src:
                 self.remove_cam(name)
-                self.init_cam(name, src)
+                self._init_cam_async(name, src)
         for name in [n for n in self.cams if n not in links]:
             self.remove_cam(name)
 

@@ -84,3 +84,19 @@ def test_multipart_split_merge(tmp_path):
     assert set(tensors) == {"x", "y"}
     np.testing.assert_array_equal(tensors["x"], a["x"])
     np.testing.assert_array_equal(tensors["y"], b["y"])
+
+
+def test_save_nondefault_alignment_roundtrip(tmp_path):
+    """save(alignment=64) must write general.alignment into the KV —
+    readers default to 32 and would otherwise compute a wrong data start
+    (silent 32-byte-shifted weight corruption whenever ceil32 != ceil64)."""
+    rng = np.random.default_rng(0)
+    # pick names so the header end is unlikely to be 64-aligned by luck
+    tensors = {"a.weight": rng.normal(size=(3, 5)).astype(np.float32),
+               "bb.weight": rng.normal(size=(7,)).astype(np.float32)}
+    p = tmp_path / "m64.gguf"
+    gguf.save(p, {"general.name": "t"}, tensors, alignment=64)
+    kv, sd = gguf.load(p)
+    assert int(kv["general.alignment"]) == 64
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(sd[k], v)

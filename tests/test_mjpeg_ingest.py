@@ -158,3 +158,56 @@ def test_mjpeg_through_frame_pump(cam_server):
     pump.stop()
     pump.join(timeout=5)
     assert frame is not None and frame.shape == (48, 64, 3) and num >= 3
+
+
+def test_snapshot_url_fps_anywhere_in_query(tmp_path):
+    """fps may ride among the camera's own query params and malformed
+    values fall back to the default instead of killing init_cam."""
+    from clearcam_tpu.runtime.ingest import SnapshotSource, open_source
+
+    s = open_source("snapshot://cam.local/img.cgi?user=a&fps=5&pw=b", tmp_path)
+    assert isinstance(s, SnapshotSource)
+    assert abs(s.interval - 0.2) < 1e-9
+    assert "fps=" not in s.url and "user=a" in s.url and "pw=b" in s.url
+
+    s = open_source("snapshot://cam.local/img.cgi?fps=.", tmp_path)
+    assert abs(s.interval - 0.5) < 1e-9            # default 2.0 fps
+
+    s = open_source("snapshot://cam.local/img.cgi", tmp_path)
+    assert abs(s.interval - 0.5) < 1e-9
+
+
+def test_frame_pump_survives_midfile_decode_glitch():
+    """One corrupt frame mid-VOD must not abandon the rest of the file;
+    sustained failure (>=5 consecutive) still ends the pump."""
+    import time as _time
+
+    from clearcam_tpu.runtime.ingest import FramePump, FrameSlot, FrameSource
+
+    class GlitchyVOD(FrameSource):
+        finite = True
+        fps = 100.0
+
+        def __init__(self):
+            self.t = 0
+
+        def read(self):
+            self.t += 1
+            if self.t == 3:
+                return None                        # transient decode glitch
+            if self.t > 10:
+                return None                        # real EOF (sustained)
+            import numpy as _np
+            return _np.zeros((4, 4, 3), _np.uint8)
+
+        def progress(self):
+            return None                            # unknown frame count
+
+    src = GlitchyVOD()
+    pump = FramePump("vod", src, FrameSlot())
+    pump.start()
+    t0 = _time.time()
+    while not pump.ended and _time.time() - t0 < 10:
+        _time.sleep(0.02)
+    assert pump.ended, "EOF never detected with unknown frame count"
+    assert src.t > 10, f"pump gave up at frame {src.t} on one glitch"

@@ -280,3 +280,34 @@ def test_daily_restart_reopens_streams(tmp_path):
     restart_all_cams(n)
     assert "a" not in n.cams and "b" in n.cams
     n.stop()
+
+
+def test_hot_add_slow_source_does_not_block_tick(tmp_path):
+    """Hot-adding a network camera whose connect hangs must not freeze the
+    tick thread (a 15 s ffmpeg warmup per hot-add used to stall detection
+    for every camera); slow inits run off-thread and publish when ready."""
+    import socket
+
+    # a server that accepts but never answers: urlopen blocks till timeout
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    db = KVStore(tmp_path / "kv.db")
+    db.run_put("links", "fast", "synthetic://160x120")
+    nvr = NVR(db, tmp_path / "data", GlobalSettings(),
+              detector=ColorKeyDetector())
+    try:
+        nvr.run(max_ticks=2)
+        db.run_put("links", "hang", f"mjpeg://127.0.0.1:{port}/stream")
+        nvr._last_cam_check = 0
+        t0 = time.time()
+        nvr.tick()
+        assert time.time() - t0 < 2.0, "tick blocked on a hanging hot-add"
+        assert "hang" in nvr._initing and "hang" not in nvr.cams
+        # existing cameras keep detecting while the init thread hangs
+        nvr.run(max_ticks=10, tick_sleep=0.01)
+        assert nvr.cams["fast"].last_frame_num > 0
+    finally:
+        nvr.stop()
+        srv.close()

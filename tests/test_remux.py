@@ -375,3 +375,68 @@ def test_export_clip_remux_fallback(tmp_path, monkeypatch):
     walk_boxes(out.read_bytes())
     # the 240p relay segment is a re-encode: honestly unavailable
     assert not relay.export_clip(tmp_path, out, live=True)
+
+
+def test_remux_skips_throwing_segment(tmp_path, monkeypatch):
+    """A corrupt .ts whose PARSE RAISES (truncated PMT, bit-flipped SPS)
+    must count as skipped like other undecodable segments — one bad file
+    used to 500 /day.mp4 forever and kill /live.mp4 streams mid-read."""
+    good = tmp_path / "a.ts"
+    good.write_bytes(make_segment(n_frames=5)[0])
+    bad = tmp_path / "b.ts"
+    bad.write_bytes(make_segment(n_frames=5, t0=90000)[0])
+    good2 = tmp_path / "c.ts"
+    good2.write_bytes(make_segment(n_frames=5, t0=180000)[0])
+
+    real = fmp4.mpegts.read_segment
+
+    def flaky(path):
+        if str(path).endswith("b.ts"):
+            raise IndexError("truncated PMT")
+        return real(path)
+
+    monkeypatch.setattr(fmp4.mpegts, "read_segment", flaky)
+    out = tmp_path / "day.mp4"
+    skipped = fmp4.remux_segments([good, bad, good2], out)
+    assert skipped == 1
+    kinds = [k for k, _ in walk_boxes(out.read_bytes())]
+    assert kinds.count(b"moof") == 2
+
+
+def test_remux_cts_through_pts_wrap(tmp_path):
+    """pts wraps at 2^33 while dts has not (B-frame reorder at the 26.5 h
+    boundary): cts must come out as the small positive reorder delay, not
+    ±2^33 (which overflowed the signed-32 trun pack with struct.error)."""
+    wrap = 1 << 33
+    seg = tmp_path / "w.ts"
+    # dts just below the wrap; pts = dts + delay wraps past 2^33
+    t0 = wrap - 2 * (90000 // 30)
+    w = TSWriter()
+    w.packets(0, pat(), True)
+    w.packets(0x1000, pmt(), True)
+    sps = make_sps(320, 180)
+    for i in range(5):
+        dts = (t0 + i * (90000 // 30)) % wrap
+        pts = (dts + (90000 // 30)) % wrap
+        nals = [sps, PPS, fake_slice(0x65, i)] if i == 0 \
+            else [fake_slice(0x41, i)]
+        w.packets(0x100, pes(annexb(*nals), pts, dts), True)
+    seg.write_bytes(bytes(w.out))
+    out = tmp_path / "w.mp4"
+    assert fmp4.remux_segments([seg], out) == 0      # no struct.error
+    data = out.read_bytes()
+    # every trun cts row must be the one-frame reorder delay
+    for kind, payload in walk_boxes(data):
+        if kind != b"moof":
+            continue
+    # parse trun rows directly: locate 'trun' and read its sample rows
+    i = data.find(b"trun")
+    assert i > 0
+    flags = int.from_bytes(data[i + 5:i + 8], "big")
+    assert flags == 0xF01
+    n = int.from_bytes(data[i + 8:i + 12], "big")
+    rows = data[i + 16:i + 16 + 16 * n]
+    for r in range(n):
+        cts = int.from_bytes(rows[r * 16 + 12:r * 16 + 16], "big",
+                             signed=True)
+        assert cts == 90000 // 30, cts
