@@ -40,6 +40,10 @@ def pkcs7_pad(data: bytes) -> bytes:
 
 
 def pkcs7_unpad(data: bytes) -> bytes:
+    if not data:
+        # truncated .aes (e.g. IV-only upload): keep the documented
+        # ValueError taxonomy rather than IndexError on data[-1]
+        raise ValueError("bad PKCS7 padding")
     n = data[-1]
     if not 1 <= n <= BLOCK or data[-n:] != bytes([n]) * n:
         raise ValueError("bad PKCS7 padding")

@@ -164,22 +164,31 @@ def export_clip(stream_dir: Path, output_path: Path, live: bool = False,
             print(f"export_clip: remux failed: {e}")
             output_path.unlink(missing_ok=True)
             return False
-    concat = Path(stream_dir) / "concat_list.txt"
+    # unique per-export work file: the 4 s live-relay thread and event-clip
+    # exports run concurrently against the SAME stream_dir — a shared
+    # concat_list.txt let one overwrite the other's segment list mid-export
+    # (silently wrong clip contents)
+    import uuid as _uuid
+    concat = Path(stream_dir) / f"concat_{_uuid.uuid4().hex[:12]}.txt"
     concat.write_text("".join(f"file '{s.resolve()}'\n" for s in recent))
     output_path.parent.mkdir(parents=True, exist_ok=True)
     base = [ff, "-y", "-f", "concat", "-safe", "0", "-i", str(concat),
             "-loglevel", "quiet", "-an", "-pix_fmt", "yuv420p", "-c:v", "libx264"]
-    if live:
-        cmd = base + ["-vf", "scale=-2:240,fps=24,format=yuv420p",
-                      "-preset", "veryslow", "-crf", "32", str(output_path)]
-        return subprocess.run(cmd).returncode == 0
-    crf = 18
-    while True:
-        if subprocess.run(base + ["-crf", str(crf), str(output_path)]).returncode != 0:
-            return False
-        if output_path.stat().st_size < MAX_CLIP_BYTES * 0.9 or crf >= 48:
-            return True
-        crf += 5
+    try:
+        if live:
+            cmd = base + ["-vf", "scale=-2:240,fps=24,format=yuv420p",
+                          "-preset", "veryslow", "-crf", "32", str(output_path)]
+            return subprocess.run(cmd).returncode == 0
+        crf = 18
+        while True:
+            if subprocess.run(
+                    base + ["-crf", str(crf), str(output_path)]).returncode != 0:
+                return False
+            if output_path.stat().st_size < MAX_CLIP_BYTES * 0.9 or crf >= 48:
+                return True
+            crf += 5
+    finally:
+        concat.unlink(missing_ok=True)
 
 
 def export_and_upload(cam_name: str, thumbnail: Path, userID: str, key: str,
@@ -199,12 +208,16 @@ def export_and_upload(cam_name: str, thumbnail: Path, userID: str, key: str,
                        length=length, start=start, end=end):
         return False
     ff = find_ffmpeg()
-    tmp = clips / f"{stamp}_temp.mp4"
-    subprocess.run([ff, "-i", str(mp4), "-i", str(thumbnail), "-map", "0",
-                    "-map", "1", "-c", "copy", "-disposition:v:1",
-                    "attached_pic", "-y", str(tmp)])
-    if tmp.exists():
-        os.replace(tmp, mp4)
+    if ff is not None:
+        # thumbnail mux is cosmetic: when export_clip succeeded via the
+        # no-ffmpeg fMP4 fallback, upload WITHOUT the attached_pic rather
+        # than TypeError-ing on ff=None and dropping the whole clip
+        tmp = clips / f"{stamp}_temp.mp4"
+        subprocess.run([ff, "-i", str(mp4), "-i", str(thumbnail), "-map", "0",
+                        "-map", "1", "-c", "copy", "-disposition:v:1",
+                        "attached_pic", "-y", str(tmp)])
+        if tmp.exists():
+            os.replace(tmp, mp4)
     aes = Path(f"{mp4}.aes")
     if not encrypt_file(mp4, aes, key):
         return False
@@ -221,8 +234,11 @@ def upload_live_segment(stream_dir: Path, signed_url: str, key: str) -> bool:
     (clearcam.py:548-554). Work files live under the camera's own stream_dir
     (the reference uses fixed CWD paths, clearcam.py:549 — with one relay
     thread per camera every 4 s that cross-contaminates uploads between
-    cameras; per-camera paths fix that)."""
-    mp4 = Path(stream_dir) / "live_segment.mp4"
+    cameras; per-camera paths fix that). The name is unique per call: a
+    veryslow encode taking >4 s overlaps the next relay thread, and a
+    shared file let one thread's cleanup unlink the other's upload."""
+    import uuid as _uuid
+    mp4 = Path(stream_dir) / f"live_segment_{_uuid.uuid4().hex[:12]}.mp4"
     if not export_clip(stream_dir, mp4, live=True):
         return False
     aes = Path(f"{mp4}.aes")

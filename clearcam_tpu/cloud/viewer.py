@@ -80,7 +80,10 @@ class ViewerClient:
     # -- devices / live -----------------------------------------------------
     def list_devices(self) -> list:
         out = self._get("/get_live_devicesv2", session_token=self.token)
-        return out if isinstance(out, list) else out.get("devices", [])
+        if isinstance(out, list):
+            return out
+        # non-JSON 200 body (relay HTML error page) -> empty, not a crash
+        return out.get("devices", []) if isinstance(out, dict) else []
 
     def get_stream_link(self, name: str):
         out = self._get("/get_stream_download_link", session_token=self.token,
@@ -117,7 +120,9 @@ class ViewerClient:
     def list_events(self, newest_creation_time: int | float = 0) -> list:
         out = self._get("/events", session_token=self.token,
                         newest_creation_time=newest_creation_time)
-        return out if isinstance(out, list) else out.get("events", [])
+        if isinstance(out, list):
+            return out
+        return out.get("events", []) if isinstance(out, dict) else []
 
     def download_event(self, event: dict, key: str, dst: Path | None = None) -> bytes:
         """Download + decrypt one event clip (VideoHelper.kt:285-340).

@@ -340,6 +340,8 @@ class NVR:
         self.shared_pump = None  # lazily created for non-blocking sources
         self._last_cam_check = 0.0
         self._initing: set[str] = set()   # hot-adds mid-init off-thread
+        from collections import deque
+        self._ready_inits = deque()       # (name, src, opened source)
         self.running = True
         self.native_ingest: NativeIngest | None = None
         if use_native_ingest:
@@ -364,7 +366,10 @@ class NVR:
         d.mkdir(parents=True, exist_ok=True)
         return d
 
-    def init_cam(self, name: str, src: str):
+    def init_cam(self, name: str, src: str, source=None):
+        """Tick-thread only (tracker.reset_cam mutates the shared SoA the
+        tick's update_all indexes into). ``source``: a pre-opened
+        FrameSource from _init_cam_async's worker — the slow part."""
         cam = CamState(name=name, src=src, vod=str(src).endswith(VOD_SUFFIXES))
         self.tracker.reset_cam(name)   # fresh track ids, like a new OCSort
         cam.counter = RollingClassCounter(cam_name=name, window_seconds=float("inf"))
@@ -381,7 +386,8 @@ class NVR:
         cam.alerts = alerts
         cam.start_time = time.time()
         record_dir = self.stream_day_dir(cam)
-        cam.source = open_source(src, record_dir)
+        cam.source = source if source is not None \
+            else open_source(src, record_dir)
         if not cam.vod:
             from .ingest import FfmpegSource
             if (self.native_ingest is not None
@@ -391,6 +397,13 @@ class NVR:
                 cam.native_key = self.native_ingest.register(
                     name, cam.source.pipe_proc.stdout.fileno(),
                     (cam.source.h, cam.source.w, 3))
+                # start the stall clock NOW: a stream that is dead from
+                # birth (camera offline at add time) must trip the 15 s
+                # housekeeping restart — with last_seq_seen left 0.0 the
+                # truthiness gate never fired and the camera stayed dead
+                # until a process restart (reference respawns after 5
+                # failed reads, clearcam.py:407-413)
+                cam.last_seq_seen = time.time()
             elif isinstance(cam.source, SyntheticSource):
                 # non-blocking sources share ONE pump thread (per-camera
                 # Python threads convoy the GIL at 100+ cameras)
@@ -430,9 +443,10 @@ class NVR:
         """Hot-add slow sources OFF the tick thread: an FfmpegSource spawn
         (resolution probe + playlist warmup) or an HTTP connect can take
         seconds — done inline it froze detection for EVERY camera per
-        hot-add. The init thread re-checks the links table before/after
-        publishing so a camera removed or re-pointed mid-init tears back
-        down instead of living as a zombie."""
+        hot-add. ONLY open_source runs on the worker; everything that
+        touches shared state (tracker.reset_cam's SoA swap, pump/native
+        registration, the cams dict) is deferred to the tick thread via
+        _ready_inits, so nothing races update_all."""
         if src.startswith(self._FAST_SRC) or str(src).endswith(VOD_SUFFIXES):
             try:
                 self.init_cam(name, src)
@@ -440,23 +454,43 @@ class NVR:
                 print(f"init_cam {name} failed: {e}")
             return
 
+        record_dir = self.cam_dir(name) / "streams" \
+            / datetime.now().strftime("%Y-%m-%d")
+        record_dir.mkdir(parents=True, exist_ok=True)
+
         def work():
             try:
-                self.init_cam(name, src)
+                source = open_source(src, record_dir)
             except Exception as e:  # noqa: BLE001
                 print(f"init_cam {name} failed: {e}")
-            finally:
                 self._initing.discard(name)
-            link = self.db.run_get("links", name)
-            if isinstance(link, list):
-                link = link[0]
-            cam = self.cams.get(name)
-            if cam is not None and link != cam.src:
-                self.remove_cam(name)   # removed/re-pointed while initing
+                return
+            self._ready_inits.append((name, src, source))
 
         self._initing.add(name)
         threading.Thread(target=work, daemon=True,
                          name=f"init-{name}").start()
+
+    def _publish_ready_inits(self):
+        """Tick thread: finish hot-adds whose slow source-open completed.
+        Re-checks the links table so a camera removed or re-pointed while
+        its source was opening is torn down instead of living as a zombie."""
+        while self._ready_inits:
+            name, src, source = self._ready_inits.popleft()
+            self._initing.discard(name)
+            link = self.db.run_get("links", name)
+            if isinstance(link, list):
+                link = link[0]
+            if link != src or name in self.cams:
+                try:
+                    source.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                continue
+            try:
+                self.init_cam(name, src, source=source)
+            except Exception as e:  # noqa: BLE001
+                print(f"init_cam {name} failed: {e}")
 
     def refresh_cams(self):
         """Hot add / re-point from the links table (clearcam.py:255-268)."""
@@ -476,6 +510,7 @@ class NVR:
 
     def tick(self):
         now = time.time()
+        self._publish_ready_inits()
         if now - self._last_cam_check >= 5:
             self._last_cam_check = now
             self.refresh_cams()
@@ -483,15 +518,28 @@ class NVR:
         if self.native_ingest is not None and self.native_ingest.groups:
             self._native_frames = self.native_ingest.snapshot_all()
 
-        # gather fresh frames
+        # gather fresh frames — per-camera isolation like every other
+        # stage (a corrupt VOD read or a locked analysis_prog put must not
+        # escape tick() and kill the whole loop)
         todo: list[CamState] = []
         frames: list[np.ndarray] = []
         for cam in list(self.cams.values()):
-            frame, num = self._next_frame(cam)
-            if frame is None:
-                continue
-            if not self._should_infer(cam):
-                cam.last_preds = np.zeros((0, 7))
+            try:
+                frame, num = self._next_frame(cam)
+                if frame is None:
+                    continue
+                if not self._should_infer(cam):
+                    cam.last_preds = np.zeros((0, 7))
+                    continue
+                if cam.native_key is not None:
+                    # the native view aliases the seqlock group buffer
+                    # (rewritten next snapshot); copy only frames we KEEP —
+                    # schedule/fps-capped cameras skip the ~6 MB memcpy
+                    frame = frame.copy()
+            except Exception as e:  # noqa: BLE001
+                from . import metrics
+                print(f"frame gather error {cam.name}: {e}")
+                metrics.count("gather_errors")
                 continue
             cam.prev_frame = cam.last_frame
             cam.last_frame = frame
@@ -579,8 +627,9 @@ class NVR:
             if seq < 0 or seq == cam.last_frame_num:
                 return None, -1
             cam.last_seq_seen = time.time()
-            # copy: the group buffer is rewritten by the next snapshot
-            return frame.copy(), seq
+            # VIEW into the seqlock group buffer (rewritten by the next
+            # snapshot): tick() copies it only after _should_infer passes
+            return frame, seq
         frame, num = cam.slot.snapshot()
         if frame is None or num == cam.last_frame_num:
             return None, -1
@@ -599,8 +648,10 @@ class NVR:
             if now - cam.last_infer_t < 1.0 / float(cap):
                 return False
         if not cam.alerts:
-            self._mark_infer(cam, cap)
-            return True
+            # reference semantics: any() over an empty alert dict is False
+            # (clearcam.py:447) — deleting every alert PAUSES detection
+            # for the camera instead of burning device/disk on it forever
+            return False
         active = any(a.is_active(alerts_enabled=cam.alerts_on)
                      for a in cam.alerts.values())
         if not active:
@@ -733,7 +784,7 @@ class NVR:
             print(f"{cam.name}: ingest stalled, restarting stream")
             src = cam.src
             self.remove_cam(cam.name)
-            self.init_cam(cam.name, src)
+            self._init_cam_async(cam.name, src)   # spawn is seconds-long
             return
         if now - cam.last_live_check >= 5:
             cam.last_live_check = now
@@ -742,7 +793,7 @@ class NVR:
                 link = link[0]
             if isinstance(link, str) and link != cam.src:
                 self.remove_cam(cam.name)
-                self.init_cam(cam.name, link)
+                self._init_cam_async(cam.name, link)
                 return
             if self.settings.userID and not cam.vod:
                 threading.Thread(target=self._check_live_link, args=(cam,),
@@ -963,6 +1014,15 @@ class NVR:
         cam.source.close()
         cam.source = OpenCVSource(cam.src)
         self.tracker.reset_cam(cam.name)
+        # fresh track ids restart at 1: every per-camera novelty/throttle
+        # structure keyed by track id must reset with them, or the stale
+        # entries swallow the whole re-analysis (ids already "seen" ->
+        # counters/alerts never fire; old media-time occurrences -> crop
+        # saves never trigger)
+        cam.object_set = set()
+        cam.object_set_zone = set()
+        cam.pred_occs = {}
+        cam.last_frame_num = -1
         for sub in ("objects", "faces", "event_images"):
             shutil.rmtree(self.cam_dir(cam.name) / sub, ignore_errors=True)
 

@@ -378,6 +378,9 @@ class ServingEngine:
         self._base_key = jax.random.PRNGKey(seed)
         self._step_n = 0
         self._tick_n = 0
+        self._admit_n = 0
+        self._admit_seq = [0] * n_slots   # admission order (age-fair pre)
+        self._prefer_decode = False       # prefill/decode alternation bit
         self._thread: threading.Thread | None = None
         self._stop = False
         self._dead = False            # set by _fail_all on scheduler death
@@ -477,7 +480,8 @@ class ServingEngine:
         with self._work:
             if self._dead:
                 raise RuntimeError(
-                    "serving engine scheduler died (see traceback above)")
+                    "serving engine stopped (closed, or scheduler died — "
+                    "see traceback above)")
             if self.max_waiting is not None \
                     and len(self._waiting) >= self.max_waiting:
                 raise QueueFull(
@@ -751,6 +755,19 @@ class ServingEngine:
             self._work.notify_all()
         if self._thread is not None:
             self._thread.join(timeout=30)
+        # a graceful close must not leave clients blocked in wait(): fail
+        # whatever is still queued or mid-generation (they keep any partial
+        # tokens), and make later submits error instead of hanging
+        with self._work:
+            self._dead = True
+            for r in list(self._waiting):
+                r.failed = True
+                r._done.set()
+            self._waiting.clear()
+            for r in self.req:
+                if r is not None and not r.done:
+                    r.failed = True
+                    r._done.set()
 
     # -- scheduler ---------------------------------------------------------
 
@@ -788,11 +805,14 @@ class ServingEngine:
         free = [b for b in range(self.n_slots) if self.phase[b] == _FREE]
         while self._waiting and free:
             r = self._waiting.popleft()
-            b = max(free, key=lambda s: self._reuse_len(s, r))
+            reuses = {s: self._reuse_len(s, r) for s in free}
+            b = max(free, key=reuses.__getitem__)
             free.remove(b)
-            reuse = self._reuse_len(b, r)
+            reuse = reuses[b]
             self.req[b] = r
             self.phase[b] = _PREFILL
+            self._admit_n += 1
+            self._admit_seq[b] = self._admit_n   # age-fair prefill order
             self.cursor[b] = reuse
             # reuse == len(leading segment) (multimodal follow-up): the
             # whole text segment is already in cache — start at segment 1
@@ -955,9 +975,24 @@ class ServingEngine:
              lp_stacked, self._step_n))
         self._acc = []
 
+    @staticmethod
+    def _materialize(rec):
+        """Sync a pending record's device arrays to host np arrays. Kept
+        separate from _process so the (possibly RTT-long) sync runs outside
+        the engine lock while _process runs under it."""
+        if rec[0] == "first":
+            k, b, ep, tok, lp, born = rec
+            return (k, b, ep, np.asarray(tok),
+                    None if lp is None else np.asarray(lp), born)
+        k, metas, stacked, lp_stacked, born = rec
+        return (k, metas, np.asarray(stacked),
+                None if lp_stacked is None else np.asarray(lp_stacked), born)
+
     def _process(self, rec) -> None:
         """Materialize one pending record (the device work is usually done
-        by now — this sync is the pipeline's tail, not its critical path)."""
+        by now — this sync is the pipeline's tail, not its critical path).
+        Called under self._lock when reached from step() (see _materialize);
+        the np.asarray calls below are then free no-ops."""
         if rec[0] == "first":
             _, b, ep, tok_dev, lp_dev, _born = rec   # [B] first_tok snapshot
             if self.phase[b] == _LIVE and self.epoch[b] == ep:
@@ -1080,9 +1115,25 @@ class ServingEngine:
                 # anything left was already retired on its own
                 self._cancel.clear()
             self._admit()
-            pre = [b for b in range(self.n_slots)
-                   if self.phase[b] == _PREFILL]
+            # oldest-admission-first, NOT slot-index order: pre[0] decides
+            # whether this tick serves a custom (image) segment, and an
+            # index-ordered list could starve a high-indexed VLM slot for
+            # as long as lower slots kept re-admitting text prompts
+            pre = sorted((b for b in range(self.n_slots)
+                          if self.phase[b] == _PREFILL),
+                         key=lambda b: self._admit_seq[b])
+            has_dec = any(
+                self.phase[b] == _LIVE
+                and (self.spec or self.cursor[b] <= self.cfg.max_context - 1)
+                for b in range(self.n_slots))
 
+        # chunked-prefill fairness: when BOTH prefill and decode work
+        # exist, alternate ticks — an unconditional prefill-first policy
+        # let one long uncached prompt stall every live decode for its
+        # whole admission (hundreds of chunks), not the documented
+        # one-chunk gap. Pure-prefill / pure-decode states are unaffected.
+        if pre and has_dec and self._prefer_decode:
+            pre = []
         did = False
         batch_rows = []
         if pre and self.prefill_many is not None \
@@ -1090,13 +1141,12 @@ class ServingEngine:
                 == "text":
             # every mid-prefill slot currently on a TEXT segment advances
             # one chunk in ONE dispatch (shared weight sweep). A slot on a
-            # custom (image) segment waits; it cannot starve — it becomes
-            # pre[0] once lower slots go live, and text prompts finish in
-            # bounded chunks.
+            # custom (image) segment waits; age-ordered pre bounds the wait
             batch_rows = [b for b in pre if self.req[b]
                           .segments[self.seg_idx[b]][0] == "text"]
         if len(batch_rows) >= 2:
             self._prefill_batched(batch_rows)
+            self._prefer_decode = True
             did = True
         elif pre:
             b = pre[0]
@@ -1112,6 +1162,7 @@ class ServingEngine:
                     self.cursor[b] = cur + n
                     self.seg_idx[b] += 1
                     self.seg_start[b] = cur + n
+                self._prefer_decode = True
                 return True
             toks = seg[1]
             off = cur - int(self.seg_start[b])
@@ -1153,8 +1204,10 @@ class ServingEngine:
                             ("first", b, self.epoch[b], self._first_tok,
                              None if self.spec else self._first_lp,
                              self._step_n))
+            self._prefer_decode = True
             did = True
         else:
+            self._prefer_decode = False
             dec = [b for b in range(self.n_slots)
                    if self.phase[b] == _LIVE
                    and (self.spec
@@ -1225,7 +1278,14 @@ class ServingEngine:
         while self._pending and self._step_n - self._pending[0][-1] >= target:
             with self._lock:
                 rec = self._pending.popleft()
-            self._process(rec)
+            # blocking device->host sync OUTSIDE the lock (can cost a full
+            # tunnel RTT), then bookkeeping UNDER it: _process's
+            # _emit/_retire mutate phase/req/epoch/_deadlines, and the
+            # unlocked decrement of _deadlines raced submit()'s locked
+            # increment (a lost update could disable deadline enforcement)
+            rec = self._materialize(rec)
+            with self._lock:
+                self._process(rec)
             popped = True
         # publish occupancy/throughput gauges at a bounded rate: every 32
         # ticks while busy, and once on the busy->idle transition so the

@@ -566,3 +566,48 @@ def test_wide_engine_16_slots_matches_solo():
     eng.run_until_idle()
     for p, r in zip(prompts, reqs):
         assert r.wait(1) == _solo(params, cfg, p, 5)
+
+
+def test_long_prefill_does_not_stall_decodes():
+    """Chunked-prefill fairness: while a long uncached prompt admits, live
+    slots must keep decoding (alternating ticks) — the old prefill-first
+    policy stalled every decode for the prompt's entire admission."""
+    cfg = tiny_cfg(max_context=192)
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=2)
+
+    r1 = eng.submit([1, 2, 3], max_new=40)
+    for _ in range(12):                      # r1 live, several tokens deep
+        eng.step()
+    before = len(r1.tokens)
+    long_prompt = list(range(1, 129))        # 128 tokens = 4 CHUNK=32 chunks
+    r2 = eng.submit(long_prompt, max_new=2)
+    # 6 ticks: alternation gives ~3 decode steps to r1 mid-admission
+    for _ in range(6):
+        eng.step()
+    assert not r2.done                       # r2 still prefilling/lagged
+    assert len(r1.tokens) > before, \
+        "live decode starved during a long prompt's admission"
+    eng.run_until_idle()
+    assert r1.wait(1) == _solo(params, cfg, [1, 2, 3], 40)
+    assert r2.wait(1) == _solo(params, cfg, long_prompt, 2)
+
+
+def test_close_unblocks_waiters():
+    """A graceful close() must complete every queued/in-flight request
+    (failed=True, partial tokens kept) — clients blocked in wait() used to
+    hang forever because only a CRASH failed them."""
+    cfg = tiny_cfg()
+    params = llm.init_params(cfg, seed=4)
+    eng = ServingEngine(params, cfg, n_slots=1)       # driven inline
+    live = eng.submit([1, 2, 3], max_new=50)          # ~50 ticks of work
+    queued = eng.submit([4, 5], max_new=4)            # waits for the slot
+    for _ in range(5):                                # live mid-generation
+        eng.step()
+    assert not live.done and not queued.done
+    eng.close()
+    assert live.wait(5) is not None and live.failed
+    assert queued.wait(5) is not None and queued.failed
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="stopped"):
+        eng.submit([1], max_new=1)
