@@ -378,7 +378,11 @@ def make_handler(ctx: AppContext):
             return False
 
         def do_GET(self):  # noqa: N802
-            if not self._authorized():
+            # /healthz is exempt from token auth: orchestration liveness
+            # probes (k8s/LB health checks) can't carry deployment secrets,
+            # and the body exposes only liveness counters
+            if self.path.split("?", 1)[0] != "/healthz" \
+                    and not self._authorized():
                 return
             parsed = urlparse(unquote(self.path))
             # keep_blank_values: "window=" means "clear the window", and an
@@ -437,6 +441,25 @@ def make_handler(ctx: AppContext):
                 self.wfile.write(body)
                 return
             self._json(snap)
+
+        def _get_healthz(self, q, cam):
+            """GET /healthz — cheap liveness/readiness probe (no reference
+            analogue: the reference's only health signal is whether :8080
+            accepts at all, clearcam.py:1459). Side-effect-free: no device
+            work, no filesystem, just the metrics snapshot; ``ready`` flips
+            false once the NVR loop exits (NVR.run clears ``running``)."""
+            from ..runtime import metrics
+            snap = metrics.snapshot()
+            nvr = ctx.nvr
+            self._json({
+                "ok": True,
+                "ready": nvr is None or bool(nvr.running),
+                "uptime_s": snap["uptime_s"],
+                "cameras": 0 if nvr is None else len(nvr.cams),
+                "frames": snap["counters"].get("frames", 0),
+                "errors": {k: v for k, v in snap["counters"].items()
+                           if k.endswith("_errors")},
+            })
 
         def _get_profile(self, q, cam):
             """Capture a JAX/XLA profiler trace for N seconds -> trace dir

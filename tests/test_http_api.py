@@ -474,6 +474,32 @@ def test_api_token_auth(tmp_path):
         server.shutdown()
 
 
+def test_healthz(base):
+    """Liveness probe: ok/ready with zero cameras on a fresh server."""
+    url, ctx = base
+    h = get(f"{url}/healthz")
+    assert h["ok"] is True and h["ready"] is True
+    assert h["cameras"] == 0 and h["uptime_s"] >= 0
+    assert isinstance(h["errors"], dict)
+
+
+def test_healthz_auth_exempt(tmp_path):
+    """Orchestration probes can't carry secrets: /healthz answers 200 with
+    an api_token configured while every other route still 401s."""
+    db = KVStore(tmp_path / "kv.db")
+    c = AppContext(db, tmp_path / "data", settings=GlobalSettings(),
+                   api_token="s3cret")
+    server = serve(c, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        assert get(f"{url}/healthz")["ok"] is True
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(f"{url}/list_cameras")
+        assert e.value.code == 401
+    finally:
+        server.shutdown()
+
+
 def test_camera_name_traversal_blocked(base):
     """/delete_camera and /add_camera must reject names that escape the
     cameras dir (round-1 advisor high finding: ?cam_name=../.. hit rmtree)."""
