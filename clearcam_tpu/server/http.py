@@ -451,9 +451,18 @@ def make_handler(ctx: AppContext):
             from ..runtime import metrics
             snap = metrics.snapshot()
             nvr = ctx.nvr
+            # inspect the LLM generator only if already materialized —
+            # ctx.text_gen would trigger the lazy model load
+            g = ctx._gen
+            if callable(g) and not hasattr(g, "submit"):
+                g = None
+            serving_dead = bool(getattr(getattr(g, "engine", None),
+                                        "_dead", False))
             self._json({
                 "ok": True,
-                "ready": nvr is None or bool(nvr.running),
+                "ready": (nvr is None or bool(nvr.running))
+                         and not serving_dead,
+                "serving_dead": serving_dead,
                 "uptime_s": snap["uptime_s"],
                 "cameras": 0 if nvr is None else len(nvr.cams),
                 "frames": snap["counters"].get("frames", 0),

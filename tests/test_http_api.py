@@ -481,6 +481,41 @@ def test_healthz(base):
     assert h["ok"] is True and h["ready"] is True
     assert h["cameras"] == 0 and h["uptime_s"] >= 0
     assert isinstance(h["errors"], dict)
+    assert h["serving_dead"] is False
+
+
+def test_healthz_reports_dead_serving_engine(tmp_path):
+    """A serving engine whose crash-recovery budget is exhausted flips
+    ready -> false (engine._dead, serving/engine._fail_all); the probe must
+    NOT materialize a lazily-constructed generator to find out."""
+    class DeadEngine:
+        _dead = True
+
+    class Gen:
+        submit = None          # looks materialized to AppContext.text_gen
+        engine = DeadEngine()
+
+    db = KVStore(tmp_path / "kv.db")
+    c = AppContext(db, tmp_path / "data", settings=GlobalSettings(), gen=Gen())
+    server = serve(c, port=0)
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        h = get(f"{url}/healthz")
+        assert h["serving_dead"] is True and h["ready"] is False
+    finally:
+        server.shutdown()
+
+    # unmaterialized factory: probe must not call it
+    booby = lambda: (_ for _ in ()).throw(AssertionError("materialized!"))  # noqa: E731
+    c2 = AppContext(KVStore(tmp_path / "kv2.db"), tmp_path / "data2",
+                    settings=GlobalSettings(), gen=booby)
+    server2 = serve(c2, port=0)
+    url2 = f"http://127.0.0.1:{server2.server_address[1]}"
+    try:
+        h = get(f"{url2}/healthz")
+        assert h["ready"] is True and h["serving_dead"] is False
+    finally:
+        server2.shutdown()
 
 
 def test_healthz_auth_exempt(tmp_path):
